@@ -111,67 +111,29 @@ def expand_candidates(
     """Stages E-F: score sort + greedy expansion + bitmask + backward closure
     (bloom_gram_miner.cpp:595-706).  ``docs`` may be a dict {doc_idx: tokens}
     covering at least every doc that appears in a candidate occurrence.
+
+    Delegates to the shared windowed kernel (core/expand.py) with windows
+    built from the full documents (W = doc tail length), which is exactly the
+    whole-corpus semantics of the reference.
     """
-    # Stage E (":598-607"): score = support*length DESC, tie support DESC,
-    # final deterministic key tokens ASC (deviation, see module docstring).
-    candidates = sorted(
-        candidates,
-        key=lambda c: (-c.support * len(c.tokens), -c.support, c.tokens),
-    )
+    from boilerplate_buster_spark.core.expand import WCandidate, WOcc, expand_windowed
 
     get_doc = docs.__getitem__ if isinstance(docs, dict) else lambda i: docs[i]
-    # Occupancy bitmask (":613-616"), lazily per doc.
-    processed: dict[int, set[int]] = defaultdict(set)
-    final: list[Phrase] = []
+    wcands = []
+    max_tail = 1
+    for c in candidates:
+        woccs = []
+        for d, p in c.occs:
+            doc = get_doc(d)
+            woccs.append(WOcc(d, p, doc[p - 1] if p > 0 else None, doc[p:]))
+            max_tail = max(max_tail, len(doc) - p)
+        wcands.append(WCandidate(list(c.tokens), c.support, woccs))
 
-    for cand in candidates:
-        # Skip iff ALL occurrence START positions already covered (":633-640").
-        if all(o[1] in processed[o[0]] for o in cand.occs):
-            continue
-
-        # Greedy right-expansion (":642-673").
-        while True:
-            next_word_occs: dict[str, list[tuple[int, int]]] = defaultdict(list)
-            plen = len(cand.tokens)
-            for d, p in cand.occs:
-                doc = get_doc(d)
-                np = p + plen
-                if np < len(doc):
-                    next_word_occs[doc[np]].append((d, p))
-
-            best_word, max_support, best_occs = None, 0, None
-            # Deterministic tie-break: max support, then smallest token.
-            for word in sorted(next_word_occs):
-                olist = next_word_occs[word]
-                uniq = len({d for d, _ in olist})
-                if uniq >= min_docs and uniq > max_support:
-                    max_support, best_word, best_occs = uniq, word, olist
-            if best_word is None:
-                break
-            cand.tokens.append(best_word)
-            cand.occs = best_occs
-            cand.support = max_support
-
-        # Backward-closure check (":675-695"): if every occurrence is preceded
-        # by the same token, the phrase is a proper suffix of a longer frequent
-        # phrase -> drop WITHOUT marking positions.
-        if cand.occs:
-            d0, p0 = cand.occs[0]
-            if p0 > 0:
-                prev = get_doc(d0)[p0 - 1]
-                if all(p > 0 and get_doc(d)[p - 1] == prev for d, p in cand.occs):
-                    continue
-
-        # Mark covered positions (":697-702").
-        plen = len(cand.tokens)
-        for d, p in cand.occs:
-            dlen = len(get_doc(d))
-            processed[d].update(range(p, min(p + plen, dlen)))
-
-        if len(cand.tokens) >= min_l:  # ":703-705"
-            final.append(cand)
-
-    return final
+    out = expand_windowed(wcands, min_docs, min_l, window=max_tail + 1)
+    return [
+        Phrase(w.tokens, w.support, [(o.doc_id, o.pos) for o in w.occs])
+        for w in out
+    ]
 
 
 def _closed_mine(

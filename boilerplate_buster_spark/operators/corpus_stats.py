@@ -1,0 +1,72 @@
+"""Corpus-level statistics operators (SURVEY.md section 2.3).
+
+All pure DataFrame/Catalyst - partial aggregation, spill, and distinct
+rewriting come from HashAggregateExec for free (replacing the reference's
+125-LoC external merge sort, bloom_gram_miner.cpp:353-589, and its counting
+Bloom filter, ":284-337").
+
+Skew note (100 TB posture): `countDistinct(doc_id)` is planned by Catalyst as
+a two-level aggregate - partial dedup keyed on (gram, doc_id), which is
+uniformly distributed even for head grams that occur in every document, then a
+partially-aggregated count per gram.  That IS the "salted phrase keys" scheme
+of BASELINE.json's north rule, derived by the optimizer; verified via
+.explain("formatted") in tests/test_plans.py.  Explicit salting remains
+necessary only for collect-style aggregations (occurrence gathering,
+operators/bloomspan.py caps those instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from boilerplate_buster_spark.functions.ngrams import explode_ngrams
+
+
+def word_doc_freq(
+    docs: DataFrame, doc_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Per-word DISTINCT-document frequency (A4; corpus_miner.cpp:485-488 does
+    this with a last-doc-id dedup trick - here array_distinct inside the doc
+    makes the explode emit each (word, doc) once, so a plain count suffices:
+    map-side combine, no distinct aggregation needed)."""
+    return (
+        docs.select(F.explode(F.array_distinct(tokens_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def ngram_doc_freq(
+    docs: DataFrame, n: int, doc_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Per-n-gram distinct-document frequency: (gram, df).
+
+    Intra-doc repetitions count once (A3 semantics; fixture test1/doc_04).
+    Dedup before the shuffle: array_distinct over the doc's own gram list
+    collapses repeats map-side, so the exchange carries (gram, doc) pairs at
+    most once per doc and the final agg is a plain count."""
+    per_doc = docs.select(
+        F.col(doc_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(slice(sequence(1, greatest(size({tokens_col}) - {n} + 1, 1)), "
+                    f"1, greatest(size({tokens_col}) - {n} + 1, 0)), "
+                    f"i -> array_join(slice({tokens_col}, i, {n}), ' '))"
+                )
+            )
+        ).alias("gram"),
+    )
+    return per_doc.groupBy("gram").agg(F.count("*").alias("df"))
+
+
+def frequent_ngrams(docs: DataFrame, n: int, min_docs: int, **kw) -> DataFrame:
+    """Grams with df >= min_docs (the candidate threshold, ":562")."""
+    return ngram_doc_freq(docs, n, **kw).filter(F.col("df") >= min_docs)
+
+
+def seed_occurrences(
+    docs: DataFrame, n: int, doc_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """All n-gram occurrences (doc_id, pos, gram) - the seed stream (A1)."""
+    return explode_ngrams(docs, n, doc_col, tokens_col)

@@ -1,0 +1,51 @@
+"""SparkSession builder with the engine's scale-hygiene defaults.
+
+Design notes (100 TB posture, SURVEY.md section 4):
+  - AQE on: runtime shuffle-partition coalescing + skew-join splitting cover
+    the head-phrase skew that the reference handles with nothing (it is
+    single-node); explicit salting is still applied where AQE can't see it
+    (collect-style aggregations, operators/bloomspan.py).
+  - shuffle.partitions scales with local cores here; on a real cluster this
+    is a submit-time setting (2-3x total executor cores) and AQE coalesces.
+  - Arrow enabled for the few pandas-UDF stages (page parse, multimodal);
+    everything else stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "boilerplate-buster-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] -> N; local[*]/cluster -> cores
+        try:
+            shuffle_partitions = int(master.split("[")[1].rstrip("]*")) if "[" in master else cpus
+        except ValueError:
+            shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
