@@ -1,0 +1,135 @@
+"""Two-pass main-content extraction over Common-Crawl-style pages
+(the north-rule pipeline; BASELINE.json north_star).
+
+  pass 1 (corpus-global):  pages -> text representation -> tokenize ->
+                           BloomSpan mining -> boilerplate phrase table
+  pass 2 (per-page map):   broadcast phrase index -> Arrow-batched strip ->
+                           (url, extracted_text, removed_spans)
+
+Scale notes:
+  * Pass 2 is a pure map - NO shuffle; parallelism is input-partition bound.
+    `repartition_by_url` adds an explicit repartition(xxhash64(url)) when the
+    source partitioning is skewed (north rule), otherwise the scan
+    partitioning is reused untouched.
+  * The phrase table is corpus-statistics-bounded (templates, not rows) and is
+    broadcast once per executor; the per-row kernel (core/extract.py) is
+    invoked inside Arrow record batches via mapInPandas - the only Python on
+    the hot path, batch-vectorized per the input_hint contract.
+  * HTML parse (pass 0) is likewise Arrow-batched; pages with html=NULL fall
+    back to the pre-extracted `text` column (input_hint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from boilerplate_buster_spark.core.extract import index_phrases, strip_boilerplate
+from boilerplate_buster_spark.core.htmlparse import html_to_text
+from boilerplate_buster_spark.functions.tokenizer import tokens
+from boilerplate_buster_spark.operators import bloomspan
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("extracted_text", T.StringType(), False),
+        T.StructField(
+            "removed_spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("start", T.IntegerType(), False),
+                        T.StructField("end", T.IntegerType(), False),
+                        T.StructField("phrase", T.StringType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def with_text_repr(pages: DataFrame) -> DataFrame:
+    """pages + text_repr: parsed html blocks, else the `text` column.
+
+    The html parse is a pandas-UDF (Arrow batches); rows with html IS NULL
+    never enter Python (coalesce short-circuits on the JVM side).
+    """
+
+    @F.pandas_udf(T.StringType())
+    def parse_html(html: pd.Series) -> pd.Series:
+        return html.map(lambda b: html_to_text(b) if b is not None else None)
+
+    return pages.withColumn(
+        "text_repr",
+        F.when(F.col("html").isNotNull(), parse_html(F.col("html"))).otherwise(
+            F.col("text")
+        ),
+    )
+
+
+def mine_boilerplate(
+    spark: SparkSession,
+    pages: DataFrame,
+    min_docs: int,
+    ngrams: int,
+    min_l: int | None = None,
+    **mine_kw,
+) -> list[str]:
+    """Pass 1: corpus-global boilerplate phrase list (small, driver-side)."""
+    docs = with_text_repr(pages).select(
+        F.col("url").alias("doc_id"), tokens("text_repr").alias("tokens")
+    )
+    phrases = bloomspan.mine(
+        spark, docs, min_docs=min_docs, ngrams=ngrams, min_l=min_l, **mine_kw
+    )
+    return [p.text for p in phrases]
+
+
+def strip_pass(pages: DataFrame, phrases: list[str]) -> DataFrame:
+    """Pass 2: Arrow-batched boilerplate strip; returns EXTRACTED_SCHEMA rows.
+
+    `phrases` rides the closure -> task broadcast; the by-length index is
+    built once per Python worker."""
+    by_len = index_phrases(phrases)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = [
+                html_to_text(h) if h is not None else t
+                for h, t in zip(pdf["html"], pdf["text"])
+            ]
+            out_text, out_spans = [], []
+            for txt in texts:
+                ext, spans = strip_boilerplate(txt or "", by_len)
+                out_text.append(ext)
+                out_spans.append(
+                    [{"start": s, "end": e, "phrase": p} for s, e, p in spans]
+                )
+            yield pd.DataFrame(
+                {"url": pdf["url"], "extracted_text": out_text, "removed_spans": out_spans}
+            )
+
+    return pages.select("url", "html", "text").mapInPandas(run, EXTRACTED_SCHEMA)
+
+
+def extract_main_content(
+    spark: SparkSession,
+    pages: DataFrame,
+    min_docs: int,
+    ngrams: int = 4,
+    min_l: int | None = None,
+    repartition_by_url: bool = False,
+    **mine_kw,
+) -> tuple[DataFrame, list[str]]:
+    """Full two-pass pipeline -> (extracted DataFrame, mined phrase list)."""
+    phrases = mine_boilerplate(spark, pages, min_docs, ngrams, min_l, **mine_kw)
+    if repartition_by_url:
+        pages = pages.repartition(F.xxhash64("url"))
+    return strip_pass(pages, phrases), phrases
