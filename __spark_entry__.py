@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   - flagship BloomSpan mining query on sf0.001.
+queries()      - one entry per implemented operator (SURVEY.md section 2 +
+                 the training-data-pipeline operators).
+oracle_sql()   - DuckDB twins; every hash/float formula is built from the
+                 SAME constants as the Spark operators (portable 60-bit md5
+                 hash, identical rounding), so value-hashes match bit-exact.
+Non-SQL-expressible entries (mining, extraction, LSH-approximate ANN,
+multimodal plumbing) intentionally have no oracle - the driver records the
+weaker rows-only check for them.
 """
 
 from __future__ import annotations
@@ -12,27 +16,426 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from boilerplate_buster_spark.operators import ann, dedup, text_stats
+from boilerplate_buster_spark.operators.text_stats import STOPWORDS, _LANG_ORDER
+
+# ----------------------------------------------------------------- helpers
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table with tokens (driver text is space-separated tokens)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "tokens", F.split("text", " ")
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").first()
+    return list(row["embedding"])
+
+
+def _dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50 docs + exact copies at doc_id+100000: guarantees true near-dup pairs
+    so the LSH/Jaccard queries exercise non-empty joins."""
+    base = _docs(spark, sf_dir).filter(F.col("doc_id") < 50).select("doc_id", "text", "tokens")
+    clone = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    return base.unionByName(clone)
+
+
+# DuckDB dialect of the portable 60-bit hash (Spark twin: text_stats.h60)
+def _dh60(x: str) -> str:
+    return f"(('0x'||substr(md5({x}),1,15))::BIGINT)"
+
+
+_FP_MOD = 1 << 40
+
+# DuckDB shingle list (3-gram, distinct), from a token list column `t`
+_D_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)), "
+    "i -> array_to_string(t[i:i+2], ' ')))"
+)
+
+
+def _d_ratio(words: list[str]) -> str:
+    lit = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"(CAST(len(list_filter(t, x -> x IN ({lit}))) AS DOUBLE) / greatest(len(t), 1))"
+    )
+
+
+def _d_langid_case() -> str:
+    ratios = {l: _d_ratio(w) for l, w in STOPWORDS.items()}
+    case = "CASE "
+    for l in _LANG_ORDER:
+        others = " AND ".join(f"{ratios[l]} >= {ratios[o]}" for o in _LANG_ORDER if o != l)
+        case += f"WHEN {others} THEN '{l}' "
+    case += "ELSE 'und' END"
+    best = ", ".join(ratios[l] for l in _LANG_ORDER)
+    return case, f"round(greatest({best}), 4)"
+
+
+def _d_minhash_sig_sql(source_cte: str, k: int = dedup.DEFAULT_K) -> str:
+    parts = []
+    for j in range(k):
+        salted = _dh60(f"x||'#{j}'")
+        parts.append(f"list_min(list_transform(s, x -> {salted})) AS mh_{j}")
+    mh = ", ".join(parts)
+    return (
+        f"{source_cte}, "
+        f"sh AS (SELECT doc_id, {_D_SHINGLES} AS s FROM toks WHERE len(t) >= 3), "
+        f"sig AS (SELECT doc_id, {mh} FROM sh)"
+    )
+
+
+def _d_bands_select(k: int = dedup.DEFAULT_K, bands: int = dedup.DEFAULT_BANDS) -> str:
+    r = k // bands
+    selects = []
+    for b in range(bands):
+        cols = ", ".join(f"CAST(mh_{b * r + i} AS VARCHAR)" for i in range(r))
+        selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+_D_DOCS_TOKS = "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"
+_D_UNI = (
+    "base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50), "
+    "uni AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id + 100000, text FROM base), "
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM uni)"
+)
+
+# DuckDB cosine in explicit double math, mirroring Spark's left-fold order
+def _d_cos(a: str, b: str) -> str:
+    def dot(x, y):
+        return (
+            f"list_sum(list_transform(generate_series(1, len({x})), "
+            f"i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def _d_simhash_bits() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > len(hs) "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+# ------------------------------------------------------------------ entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BloomSpan maximal-frequent-phrase mining over sf0.001
+    documents (the reference's headline query, SURVEY.md section 2.5)."""
+    from boilerplate_buster_spark.operators import bloomspan
 
+    docs = _docs(spark, "/root/testdata/sf0.001").select("doc_id", "tokens")
+    return bloomspan.mine_df(spark, docs, min_docs=10, ngrams=2)
+
+
+# ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- corpus statistics (A4, A1/A3, P5; SURVEY.md section 2.3) ---
+    def word_df(spark, sf):
+        from boilerplate_buster_spark.operators.corpus_stats import word_doc_freq
 
+        return (
+            word_doc_freq(_docs(spark, sf))
+            .orderBy(F.desc("df"), "word")
+            .limit(100)
+        )
+
+    def ngram_df(spark, sf):
+        from boilerplate_buster_spark.operators.corpus_stats import frequent_ngrams
+
+        return (
+            frequent_ngrams(_docs(spark, sf), n=3, min_docs=5)
+            .orderBy(F.desc("df"), "gram")
+            .limit(200)
+        )
+
+    def seed_occurrences(spark, sf):
+        from boilerplate_buster_spark.operators.corpus_stats import seed_occurrences
+
+        return seed_occurrences(_docs(spark, sf).filter(F.col("doc_id") < 20), n=3)
+
+    # --- text analysis -----------------------------------------------
+    def token_stats(spark, sf):
+        return text_stats.token_stats(_docs(spark, sf).filter(F.col("doc_id") < 100))
+
+    def language_id(spark, sf):
+        return text_stats.language_id(_docs(spark, sf).filter(F.col("doc_id") < 100))
+
+    def quality_score(spark, sf):
+        return text_stats.quality_score(_docs(spark, sf).filter(F.col("doc_id") < 100))
+
+    def fingerprint(spark, sf):
+        return text_stats.fingerprint(_docs(spark, sf).filter(F.col("doc_id") < 100))
+
+    # --- dedup ---------------------------------------------------------
+    def dedup_exact(spark, sf):
+        return dedup.exact_dedup_groups(_docs(spark, sf))
+
+    def minhash_bands(spark, sf):
+        return dedup.minhash_bands(_docs(spark, sf).filter(F.col("doc_id") < 50))
+
+    def lsh_pairs(spark, sf):
+        return dedup.lsh_candidate_pairs(_dedup_union(spark, sf))
+
+    def jaccard_pairs(spark, sf):
+        return dedup.jaccard_verified_pairs(_dedup_union(spark, sf), threshold=0.8)
+
+    def simhash(spark, sf):
+        return dedup.simhash16(_docs(spark, sf).filter(F.col("doc_id") < 100))
+
+    # --- embeddings ------------------------------------------------------
+    def ann_topk(spark, sf):
+        return ann.cosine_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
+
+    def embedding_neardup(spark, sf):
+        return ann.embedding_neardup_pairs(_emb(spark, sf), threshold=0.35, max_id=200)
+
+    # --- general relational coverage ------------------------------------
+    def pricing_summary(spark, sf):
+        li = _tbl(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.count("*").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    def top_customers(spark, sf):
+        o = _tbl(spark, sf, "orders")
+        c = _tbl(spark, sf, "customer")
+        return (
+            o.groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "revenue", "n_orders")
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20)
+        )
+
+    def events_hourly(spark, sf):
+        e = _tbl(spark, sf, "events")
+        return (
+            e.groupBy(
+                "event_type",
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+
+    # --- non-SQL-expressible (rows-only checks) --------------------------
+    def bloomspan_documents(spark, sf):
+        from boilerplate_buster_spark.operators import bloomspan
+
+        docs = _docs(spark, sf).select("doc_id", "tokens")
+        return bloomspan.mine_df(spark, docs, min_docs=10, ngrams=2)
+
+    def extract_pages(spark, sf):
+        from boilerplate_buster_spark.operators.extraction import extract_main_content
+        from boilerplate_buster_spark.sources import pages as pages_src
+
+        pages = pages_src.generate_pages_df(spark, 300, seed=42)
+        ext, _ = extract_main_content(spark, pages, min_docs=30, ngrams=3)
+        return ext.select("url", "extracted_text")
+
+    def ann_lsh(spark, sf):
+        return ann.ann_lsh_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
+
+    def multimodal_features(spark, sf):
+        from boilerplate_buster_spark.operators import multimodal
+
+        media = multimodal.documents_as_media(
+            _docs(spark, sf).filter(F.col("doc_id") < 100)
+        )
+        return multimodal.extract_features(media)
+
+    q.update(
+        word_df=word_df,
+        ngram_df=ngram_df,
+        seed_occurrences=seed_occurrences,
+        token_stats=token_stats,
+        language_id=language_id,
+        quality_score=quality_score,
+        fingerprint=fingerprint,
+        dedup_exact=dedup_exact,
+        minhash_bands=minhash_bands,
+        lsh_pairs=lsh_pairs,
+        jaccard_pairs=jaccard_pairs,
+        simhash=simhash,
+        ann_topk=ann_topk,
+        embedding_neardup=embedding_neardup,
+        pricing_summary=pricing_summary,
+        top_customers=top_customers,
+        events_hourly=events_hourly,
+        bloomspan_documents=bloomspan_documents,
+        extract_pages=extract_pages,
+        ann_lsh=ann_lsh,
+        multimodal_features=multimodal_features,
+    )
+    return q
+
+
+# ------------------------------------------------------------- oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langid_case, langid_best = _d_langid_case()
+    en_words = ", ".join("{0}{1}{0}".format(chr(39), w) for w in STOPWORDS["en"])
+
+    return {
+        "word_df": f"""
+            WITH {_D_DOCS_TOKS},
+            w AS (SELECT DISTINCT doc_id, unnest(t) AS word FROM toks)
+            SELECT word, count(*) AS df FROM w GROUP BY word
+            ORDER BY df DESC, word LIMIT 100
+        """,
+        "ngram_df": f"""
+            WITH {_D_DOCS_TOKS},
+            g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+                  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+            d AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+            SELECT gram, df FROM d WHERE df >= 5 ORDER BY df DESC, gram LIMIT 200
+        """,
+        "seed_occurrences": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 20)
+            SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+2], ' ') AS gram
+            FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        """,
+        "token_stats": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 100)
+            SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique,
+                   round(CAST(length(array_to_string(t, '')) AS DOUBLE)
+                         / greatest(len(t), 1), 4) AS avg_token_len
+            FROM toks
+        """,
+        "language_id": f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 100)
+            SELECT doc_id, {langid_case} AS lang_pred, {langid_best} AS lang_score
+            FROM toks
+        """,
+        "quality_score": f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 100)
+            SELECT doc_id,
+                   (400000 * len(list_filter(t, x -> x IN ({en_words})))
+                    + 300000 * len(list_distinct(t))) // greatest(len(t), 1)
+                   + 3000 * least(len(t), 100) AS quality_e6
+            FROM toks
+        """,
+        "fingerprint": f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 100)
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(t, x -> {_dh60('x')} % {_FP_MOD})),
+                     (acc, h) -> (acc * 31 + h) % {_FP_MOD}) AS fp
+            FROM toks
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM documents GROUP BY fp
+        """,
+        "minhash_bands": f"""
+            WITH {_d_minhash_sig_sql("toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50)")}
+            {_d_bands_select()}
+        """,
+        "lsh_pairs": f"""
+            WITH {_d_minhash_sig_sql(_D_UNI)},
+            bands AS ({_d_bands_select()})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id < b.doc_id
+        """,
+        "jaccard_pairs": f"""
+            WITH {_d_minhash_sig_sql(_D_UNI)},
+            bands AS ({_d_bands_select()}),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                     WHERE a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                         / greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1), 4) AS jaccard
+            FROM cand
+            JOIN sh sa ON sa.doc_id = cand.doc_a
+            JOIN sh sb ON sb.doc_id = cand.doc_b
+            WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1) >= 0.8
+        """,
+        "simhash": f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 100),
+            h AS (SELECT doc_id, list_transform(t, x -> {_dh60('x')}) AS hs FROM toks)
+            SELECT doc_id, {_d_simhash_bits()} AS simhash FROM h
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round({_d_cos('embedding', 'qv')}, 4) AS cos
+            FROM embeddings, q
+            ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "embedding_neardup": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_d_cos('a.embedding', 'b.embedding')}, 4) AS cos
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND round({_d_cos('a.embedding', 'b.embedding')}, 4) >= 0.35
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            WITH r AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue,
+                              count(*) AS n_orders
+                       FROM orders GROUP BY o_custkey)
+            SELECT c_custkey, c_name, revenue, n_orders
+            FROM r JOIN customer ON o_custkey = c_custkey
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,112 @@
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     BBS_BENCH_PAGES    (override synthetic page-corpus size; default 4x the
+                         documents row count of the chosen sf).
+
+The page-extraction query also reports pages_per_sec - the north metric
+(BASELINE.json): pages extracted per second with the full two-pass
+mine+broadcast+strip pipeline."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from boilerplate_buster_spark.session import get_spark
+    from boilerplate_buster_spark.operators import ann, bloomspan, dedup, text_stats
+    from boilerplate_buster_spark.operators.corpus_stats import frequent_ngrams, word_doc_freq
+    from boilerplate_buster_spark.operators.extraction import extract_main_content
+    from boilerplate_buster_spark.sources import pages as pages_src
+
+    spark = get_spark(
+        "bbs-bench", master=f"local[{CPUS}]", shuffle_partitions=max(2 * CPUS, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "tokens", F.split("text", " ")
+    )
+    n_docs = docs.count()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # setup (untimed): synthetic page corpus, materialized once
+    n_pages = int(os.environ.get("BBS_BENCH_PAGES", 4 * n_docs))
+    pages_path = f"/tmp/bbs_bench_pages_{n_pages}.parquet"
+    if not os.path.exists(pages_path):
+        pages_src.generate_pages_df(spark, n_pages, seed=42, partitions=4 * CPUS).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    pages_tok = pages.select(
+        F.col("url").alias("doc_id"), F.split("text", " ").alias("tokens")
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    q_vec_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    q_vec = list(q_vec_row["embedding"])
+
+    bench("extract_pages", lambda: extract_main_content(
+        spark, pages, min_docs=max(10, n_pages // 20), ngrams=3
+    )[0].agg(F.sum(F.length("extracted_text"))).collect())
+    extras["pages_per_sec"] = round(n_pages / timings["extract_pages"], 1)
+    extras["n_pages"] = n_pages
+
+    bench("mine_documents", lambda: bloomspan.mine_df(
+        spark, docs.select("doc_id", "tokens"), min_docs=max(5, n_docs // 100), ngrams=3
+    ).count())
+    bench("word_df", lambda: word_doc_freq(docs).count())
+    bench("ngram_df", lambda: frequent_ngrams(docs, 3, 5).count())
+    bench("minhash_lsh_pages", lambda: dedup.lsh_candidate_pairs(pages_tok, hash_fn="xxhash64").count())
+    bench("simhash_pages", lambda: dedup.simhash16(pages_tok).agg(
+        F.countDistinct("simhash")
+    ).collect())
+    bench("token_quality_stats", lambda: text_stats.token_stats(docs).join(
+        text_stats.quality_score(docs), "doc_id"
+    ).agg(F.avg("quality_e6"), F.avg("n_tokens")).collect())
+    bench("ann_topk", lambda: ann.cosine_topk(emb, q_vec, k=10).collect())
+    bench("embedding_neardup_lsh", lambda: ann.lsh_bucketed_neardup_pairs(
+        emb, threshold=0.3, planes=6, dim=len(q_vec)
+    ).count())
+    bench("pricing_summary", lambda: spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
+        .collect())
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "total_headline_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extras,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Deduplication operators for web-scale training-data pipelines:
+
+  * exact dedup        - md5-fingerprint hash-groupBy (one shuffle on the
+                         fingerprint; survivors = min doc per group)
+  * MinHash + LSH      - shingle -> K salted-md5 minima -> band buckets ->
+                         bucket self-join for candidate pairs (the classic
+                         scale path: candidates ~ true-duplicate pairs, never
+                         all-pairs)
+  * n-gram Jaccard     - exact verification on LSH candidates only
+  * SimHash (16-bit)   - per-token hash bit-majority signature
+
+Every hash is the portable 60-bit md5 (operators/text_stats.h60), so each of
+these has a bit-exact DuckDB oracle in __spark_entry__.py.
+
+Scale notes: minhash/simhash signatures are computed per-row inside
+whole-stage codegen (transform/filter/aggregate over the token array - no
+shuffle, no Python).  The only shuffles are the fingerprint/bucket groupBys,
+whose keys are uniform by construction.  The band self-join broadcasts
+nothing and relies on AQE skew splitting when a bucket explodes (pathological
+all-identical corpora)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from boilerplate_buster_spark.operators.text_stats import h60
+
+DEFAULT_K = 12  # minhash functions
+DEFAULT_BANDS = 4  # -> rows-per-band = K/BANDS = 3
+
+
+def exact_dedup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(fp, n_docs, keep_id): md5-exact duplicate groups; survivor = min id."""
+    return (
+        docs.select(F.col(id_col), F.md5(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def shingles_expr(tokens_col: str, n: int) -> str:
+    """n-gram shingle strings (distinct per doc), Spark SQL dialect."""
+    t = tokens_col
+    cnt = f"greatest(size({t}) - {n} + 1, 0)"
+    return (
+        f"array_distinct(transform(slice(sequence(1, greatest(size({t}) - {n} + 1, 1)), 1, {cnt}), "
+        f"i -> array_join(slice({t}, i, {n}), ' ')))"
+    )
+
+
+def minhash_signature(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_shingle: int = 3,
+    k: int = DEFAULT_K,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """(doc_id, mh_0 .. mh_{k-1}): k independent minhash values per doc.
+
+    hash_fn='portable' (default): H(shingle || '#j') with the 60-bit md5 -
+    bit-identical in DuckDB, used by the oracle-checked queries.
+    hash_fn='xxhash64': native seeded xxhash64(shingle, j) - ~10x cheaper,
+    the production path (no cross-engine oracle)."""
+    sh = shingles_expr(tokens_col, n_shingle)
+    cols = [F.col(id_col)]
+    for j in range(k):
+        if hash_fn == "xxhash64":
+            hashed = f"xxhash64(s, {j})"
+        else:
+            hashed = h60(f"concat(s, '#{j}')")
+        cols.append(
+            F.expr(f"array_min(transform({sh}, s -> {hashed}))").alias(f"mh_{j}")
+        )
+    return docs.select(*cols).filter(F.col("mh_0").isNotNull())
+
+
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_shingle: int = 3,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """(doc_id, band, bucket): LSH band buckets; bucket = md5 of the band's
+    minhash values."""
+    sig = minhash_signature(docs, id_col, tokens_col, n_shingle, k, hash_fn)
+    r = k // bands
+    parts = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{b * r + i}" for i in range(r))
+        parts.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.expr(f"md5(concat_ws(',', {cols}))").alias("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_shingle: int = 3,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: same bucket in >= 1 band."""
+    b = minhash_bands(docs, id_col, tokens_col, n_shingle, k, bands, hash_fn)
+    left = b.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    right = b.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_shingle: int = 3,
+    threshold: float = 0.5,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """LSH candidates verified with EXACT shingle-set Jaccard >= threshold.
+    The expensive set comparison runs only on candidate pairs."""
+    cand = lsh_candidate_pairs(docs, id_col, tokens_col, n_shingle, k, bands, hash_fn)
+    sh = docs.select(
+        F.col(id_col), F.expr(shingles_expr(tokens_col, n_shingle)).alias("sh")
+    )
+    out = (
+        cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "round(cast(size(array_intersect(sh_a, sh_b)) AS double) "
+                "/ greatest(size(array_union(sh_a, sh_b)), 1), 4)"
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash16(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash - bit b set iff the majority of token
+    hashes have bit b set (strict majority; tie -> 0)."""
+    hs = f"transform({tokens_col}, x -> {h60('x')})"
+    bit_terms = " + ".join(
+        f"IF(2 * size(filter(hs, h -> (shiftright(h, {b}) & 1) = 1)) > size(hs), {1 << b}, 0)"
+        for b in range(16)
+    )
+    return docs.select(
+        F.col(id_col), F.expr(hs).alias("hs")
+    ).select(F.col(id_col), F.expr(f"cast({bit_terms} AS bigint)").alias("simhash"))

@@ -1,0 +1,101 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, n-gram-heuristic language ID, rolling-hash
+document fingerprinting.  All pure Catalyst expressions (JVM-side); every one
+has a DuckDB-oracle twin in __spark_entry__.py.
+
+Cross-engine determinism trick used throughout this package: the portable
+60-bit hash  H(x) = int(md5(x)[:15 hex], 16)  - identical in Spark
+(conv(substr(md5(x),1,15),16,10)) and DuckDB (('0x'||substr(md5(x),1,15))::BIGINT),
+always positive (< 2^60), so oracle value-hashes match bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the portable 60-bit md5 hash, Spark dialect
+def h60(expr: str) -> str:
+    return f"cast(conv(substr(md5({expr}), 1, 15), 16, 10) AS bigint)"
+
+
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "a", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "que", "y", "en", "un", "ser", "se", "no", "los"],
+    "fr": ["le", "la", "et", "un", "que", "pour", "dans", "ce", "une", "sur"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我", "他", "这"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # deterministic tie priority
+
+_FP_MOD = 1 << 40  # rolling-hash modulus: acc*31 + h stays far below 2^63
+
+
+def _ratio(tokens: str, words: list[str]) -> str:
+    lit = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"(cast(size(filter({tokens}, x -> x IN ({lit}))) AS double) "
+        f"/ greatest(size({tokens}), 1))"
+    )
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
+    """(doc_id, n_tokens, n_unique, avg_token_len) - token counting op."""
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"size({tokens_col})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({tokens_col}))").alias("n_unique"),
+        F.expr(
+            f"round(cast(length(array_join({tokens_col}, '')) AS double) "
+            f"/ greatest(size({tokens_col}), 1), 4)"
+        ).alias("avg_token_len"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
+    """Stopword-hit-rate language ID (n-gram heuristic): argmax over per-lang
+    stopword ratios, deterministic tie order en>de>es>fr>zh."""
+    ratios = {l: _ratio(tokens_col, w) for l, w in STOPWORDS.items()}
+    best = " , ".join(ratios[l] for l in _LANG_ORDER)
+    case = "CASE "
+    for l in _LANG_ORDER:
+        others = " AND ".join(
+            f"{ratios[l]} >= {ratios[o]}" for o in _LANG_ORDER if o != l
+        )
+        case += f"WHEN {others} THEN '{l}' "
+    case += "ELSE 'und' END"
+    return docs.select(
+        F.col(id_col),
+        F.expr(case).alias("lang_pred"),
+        F.expr(f"round(greatest({best}), 4)").alias("lang_score"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
+    """Composite quality in MILLIONTHS (exact integer arithmetic):
+      quality_e6 = floor((400000*n_stopwords + 300000*n_unique) / n_tokens)
+                   + 3000 * min(n_tokens, 100)
+    i.e. 0.4*en-stopword-ratio + 0.3*unique-ratio + 0.3*min(n/100, 1), scaled
+    by 1e6.  Integer math because double `round()` semantics differ between
+    Spark (shortest-decimal HALF_UP) and other engines at .5 boundaries."""
+    t = tokens_col
+    lit = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return docs.select(
+        F.col(id_col),
+        F.expr(
+            f"(400000 * size(filter({t}, x -> x IN ({lit})))"
+            f" + 300000 * size(array_distinct({t}))) DIV greatest(size({t}), 1)"
+            f" + 3000 * least(size({t}), 100)"
+        ).alias("quality_e6"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (mod 2^40):
+    fp = fold(tokens, 0, (acc, t) -> (acc*31 + H(t) % 2^40) % 2^40)."""
+    return docs.select(
+        F.col(id_col),
+        F.expr(
+            f"aggregate(transform({tokens_col}, x -> pmod({h60('x')}, {_FP_MOD})), "
+            f"cast(0 AS bigint), (acc, h) -> pmod(acc * 31 + h, {_FP_MOD}))"
+        ).alias("fp"),
+    )

@@ -78,3 +78,31 @@ def test_spark_matches_pyref_randomized(spark):
             for r in bloomspan.mine_df(spark, df, min_docs=3, ngrams=2).collect()
         }
         assert got == want, f"seed={seed}"
+
+
+def test_driver_and_distributed_strategies_equal(spark):
+    """Both execution strategies must produce identical phrase sets."""
+    import random
+
+    from boilerplate_buster_spark.operators.bloomspan import mine
+
+    for corpus, (md, n) in {"test1": (3, 3), "test-supersimple": (2, 2)}.items():
+        df = corpus_df(spark, corpus)
+        a = {(p.text, p.support, len(p.tokens))
+             for p in mine(spark, df, min_docs=md, ngrams=n, strategy="driver")}
+        b = {(p.text, p.support, len(p.tokens))
+             for p in mine(spark, df, min_docs=md, ngrams=n, strategy="distributed")}
+        assert a == b, corpus
+
+    rng = random.Random(99)
+    vocab = [f"t{j}" for j in range(12)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 35)))
+             for _ in range(25)]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    ).select("doc_id", tokens("text").alias("tokens"))
+    a = {(p.text, p.support, len(p.tokens))
+         for p in mine(spark, df, min_docs=3, ngrams=2, strategy="driver")}
+    b = {(p.text, p.support, len(p.tokens))
+         for p in mine(spark, df, min_docs=3, ngrams=2, strategy="distributed")}
+    assert a == b
