@@ -1,0 +1,117 @@
+"""Two-cluster-size scaling evidence (BASELINE.md protocol): the north rule's
+">= 0.8 throughput scaling efficiency between N and 4N executors" cannot use a
+real cluster in this sandbox, so we run the SAME extraction job on the SAME
+materialized input at local[8] (N) and local[32] (4N) and report
+pages/sec at both plus efficiency = (throughput_32 / throughput_8) / 4.
+
+Each run is a fresh subprocess (own JVM - no warm-cache contamination beyond
+the OS page cache, which both runs share equally since the input is
+materialized parquet).
+
+Usage: python tools/scaling_bench.py [n_pages]   (default 60000)
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+RUN_SNIPPET = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from boilerplate_buster_spark.session import get_spark
+from boilerplate_buster_spark.operators.extraction import extract_main_content
+
+cpus = int(sys.argv[1]); n_pages = int(sys.argv[2]); path = sys.argv[3]
+spark = get_spark(f"bbs-scale-{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=2 * cpus)
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet(path)
+t0 = time.perf_counter()
+ext, phrases = extract_main_content(spark, pages, min_docs=max(10, n_pages // 20), ngrams=3)
+n_out = ext.agg(F.sum(F.length("extracted_text")), F.count("*")).collect()[0]
+wall = time.perf_counter() - t0
+print(json.dumps({{"cpus": cpus, "wall_s": round(wall, 2),
+                   "pages_per_sec": round(n_pages / wall, 1),
+                   "rows": n_out[1], "sum_chars": int(n_out[0]),
+                   "n_phrases": len(phrases)}}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+    path = f"/tmp/bbs_scale_pages_{n_pages}.parquet"
+    if not os.path.exists(path):
+        sys.path.insert(0, str(REPO))
+        from boilerplate_buster_spark.session import get_spark
+        from boilerplate_buster_spark.sources import pages as pages_src
+
+        spark = get_spark("bbs-scale-gen", master="local[32]", shuffle_partitions=64)
+        spark.sparkContext.setLogLevel("ERROR")
+        pages_src.generate_pages_df(spark, n_pages, seed=42, partitions=128).write.mode(
+            "overwrite"
+        ).parquet(path)
+        spark.stop()
+
+    snippet = RUN_SNIPPET.format(repo=str(REPO))
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, "-c", snippet, str(cpus), str(n_pages), path],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line)
+
+    # identical outputs across parallelism levels = determinism evidence
+    same = (
+        results[8]["sum_chars"] == results[32]["sum_chars"]
+        and results[8]["rows"] == results[32]["rows"]
+        and results[8]["n_phrases"] == results[32]["n_phrases"]
+    )
+    eff = round(results[32]["pages_per_sec"] / results[8]["pages_per_sec"] / 4, 3)
+    summary = {
+        "n_pages": n_pages,
+        "pages_per_sec_8": results[8]["pages_per_sec"],
+        "pages_per_sec_32": results[32]["pages_per_sec"],
+        "scaling_efficiency": eff,
+        "outputs_identical": same,
+    }
+    print(json.dumps(summary))
+
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+Protocol (BASELINE.md): same extraction job (full two-pass BloomSpan mine +
+broadcast + Arrow strip, `extract_main_content`), same materialized synthetic
+page corpus ({n_pages} pages, seeded expression generator), run at
+`local[8]` (N cores) and `local[32]` (4N cores), separate JVMs,
+`spark.sql.shuffle.partitions` = 2x cores.
+
+| run | cores | input pages | wall time (s) | pages/sec | scaling efficiency |
+|---|---|---|---|---|---|
+| A | local[8] | {n_pages} | {results[8]['wall_s']} | {results[8]['pages_per_sec']} | — |
+| B | local[32] | {n_pages} | {results[32]['wall_s']} | {results[32]['pages_per_sec']} | {eff} (target >= 0.8) |
+
+Outputs identical across parallelism levels (row count, total extracted
+chars, mined phrase count): **{same}** — content is a pure function of the
+input, independent of partitioning.
+
+North metric context (BASELINE.json): pages/sec extracted with 100%
+byte-identical text (verified by pytest goldens at small scale) and scaling
+efficiency >= 0.8 between N and 4N.
+""")
+
+
+if __name__ == "__main__":
+    main()
