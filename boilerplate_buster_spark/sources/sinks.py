@@ -1,0 +1,79 @@
+"""Result sinks (S7/S8 in SURVEY.md section 2.1).
+
+  * results CSV: `phrase,freq,length,example_files` with <= 2 example files,
+    example_files pipe-joined (corpus_miner.cpp:529-561).  Deviation: the
+    canonical sink sorts rows and examples (the reference emits hash-set
+    order - nondeterministic, SURVEY.md section 5).
+  * SPMF exchange format: writer `tok -1 tok -1 ... -2` per doc and reader of
+    `#SUP:` result lines (corpus_miner.cpp:563-614) - the bridge the
+    reference uses to benchmark against SPMF's Java miners."""
+
+from __future__ import annotations
+
+import csv
+import io
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def results_csv(df: DataFrame, path: str | None = None) -> str:
+    """Canonical results CSV from a (phrase, freq, length, example_docs)
+    DataFrame (bloomspan.RESULT_SCHEMA).  Returns the CSV text; writes it to
+    `path` when given (single driver-side file - result sets are tiny
+    relative to the corpus, matching the reference's single-file sink)."""
+    rows = df.select(
+        "phrase", "freq", "length", F.array_join("example_docs", "|").alias("ex")
+    ).collect()
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\n")
+    w.writerow(["phrase", "freq", "length", "example_files"])
+    for r in rows:
+        w.writerow([r["phrase"], r["freq"], r["length"], r["ex"]])
+    text = buf.getvalue()
+    if path:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(text)
+    return text
+
+
+def export_spmf(docs: DataFrame, path: str, tokens_col: str = "tokens") -> None:
+    """SPMF sequence-file writer: items are token ids (first-seen order is
+    irrelevant to SPMF - we use a deterministic sorted dictionary), `-1`
+    itemset separator, `-2` sequence terminator (corpus_miner.cpp:563-579)."""
+    vocab = {
+        r["w"]: i + 1
+        for i, r in enumerate(
+            docs.select(F.explode(tokens_col).alias("w")).distinct().orderBy("w").collect()
+        )
+    }
+    lines = []
+    for r in docs.select(tokens_col).collect():
+        toks = r[0] or []
+        lines.append(" ".join(f"{vocab[t]} -1" for t in toks) + " -2")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(path + ".dict", "w", encoding="utf-8") as f:
+        for w, i in vocab.items():
+            f.write(f"{i}\t{w}\n")
+
+
+def import_spmf(spark: SparkSession, path: str, dict_path: str | None = None) -> DataFrame:
+    """Parse SPMF output lines `<ids...> -1 ... #SUP: n` back into
+    (phrase, freq, length) (corpus_miner.cpp:581-614)."""
+    id_to_word = {}
+    if dict_path:
+        with open(dict_path, encoding="utf-8") as f:
+            for line in f:
+                i, w = line.rstrip("\n").split("\t")
+                id_to_word[i] = w
+    rows = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if "#SUP:" not in line:
+                continue
+            seq, sup = line.split("#SUP:")
+            items = [t for t in seq.split() if t not in ("-1", "-2")]
+            words = [id_to_word.get(t, t) for t in items]
+            rows.append((" ".join(words), int(sup.strip()), len(words)))
+    return spark.createDataFrame(rows, "phrase string, freq long, length int")
