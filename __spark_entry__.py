@@ -253,6 +253,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    # --- post-processing (T3 phrase-tree parent linking) -----------------
+    def phrase_parents(spark, sf):
+        from boilerplate_buster_spark.operators.corpus_stats import frequent_ngrams
+        from boilerplate_buster_spark.operators.phrase_tree import link_parents
+
+        docs = _docs(spark, sf)
+        phrases = (
+            frequent_ngrams(docs, 2, 5).select("gram")
+            .unionAll(frequent_ngrams(docs, 3, 5).select("gram"))
+            .distinct()
+        )
+        out = link_parents(phrases, "gram")
+        return out.select("phrase", F.coalesce("parent", F.lit("")).alias("parent"))
+
     # --- non-SQL-expressible (rows-only checks) --------------------------
     def bloomspan_documents(spark, sf):
         from boilerplate_buster_spark.operators import bloomspan
@@ -297,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pricing_summary=pricing_summary,
         top_customers=top_customers,
         events_hourly=events_hourly,
+        phrase_parents=phrase_parents,
         bloomspan_documents=bloomspan_documents,
         extract_pages=extract_pages,
         ann_lsh=ann_lsh,
@@ -413,6 +428,37 @@ def oracle_sql() -> dict[str, str]:
             FROM e a, e b
             WHERE a.vec_id < b.vec_id
               AND round({_d_cos('a.embedding', 'b.embedding')}, 4) >= 0.35
+        """,
+        "phrase_parents": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            g2 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+                   FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+            g3 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+                   FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+            p AS (
+              SELECT gram FROM (SELECT gram, count(*) AS df FROM g2 GROUP BY gram) WHERE df >= 5
+              UNION
+              SELECT gram FROM (SELECT gram, count(*) AS df FROM g3 GROUP BY gram) WHERE df >= 5
+            ),
+            c AS (
+              SELECT p.gram AS child, u.d AS drop_n, k.kind AS kind,
+                     CASE WHEN k.kind = 0
+                          THEN array_to_string((string_split(p.gram, ' '))[u.d + 1:], ' ')
+                          ELSE array_to_string((string_split(p.gram, ' '))[:len(string_split(p.gram, ' ')) - u.d], ' ')
+                     END AS cand
+              FROM p,
+                   unnest(generate_series(1, greatest(len(string_split(p.gram, ' ')) - 2, 0))) AS u(d),
+                   (SELECT 0 AS kind UNION ALL SELECT 1) k
+            ),
+            hits AS (SELECT c.* FROM c JOIN p pp ON pp.gram = c.cand),
+            best AS (
+              SELECT child, cand,
+                     row_number() OVER (PARTITION BY child ORDER BY drop_n, kind, cand) AS rn
+              FROM hits
+            )
+            SELECT p.gram AS phrase, coalesce(b.cand, '') AS parent
+            FROM p LEFT JOIN (SELECT child, cand FROM best WHERE rn = 1) b
+                   ON b.child = p.gram
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
