@@ -1,0 +1,71 @@
+"""Structured Streaming variants (the reference is batch-only - SURVEY.md
+section 2.8; these extend the engine to continuous ingestion, the natural
+production mode for a crawl pipeline).
+
+  * stream_strip: the extraction second pass as a stateless streaming map -
+    a FROZEN phrase table (mined from a reference batch / previous snapshot)
+    broadcast into the same Arrow-batched kernel.  Phrase mining itself is
+    corpus-global (two full passes) and stays batch; streams re-mine per
+    checkpoint snapshot.
+  * stream_ngram_doc_freq: incremental per-gram document-frequency
+    aggregation; streaming disallows exact countDistinct, so the streaming
+    path uses approx_count_distinct (HLL) - the batch engine remains exact,
+    this powers live monitoring (same trade the reference makes with its
+    counting Bloom filter, bloom_gram_miner.cpp:284-337).
+  * stream_event_rates: watermarked tumbling-window aggregation over the
+    events table shape (late data handling demo).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from boilerplate_buster_spark.functions.ngrams import ngram_structs
+from boilerplate_buster_spark.functions.tokenizer import tokens
+from boilerplate_buster_spark.operators.extraction import strip_pass
+
+
+def stream_strip(pages_stream: DataFrame, phrases: list[str]) -> DataFrame:
+    """Extraction pass 2 over a stream: stateless mapInPandas, unchanged
+    kernel (works on streaming DataFrames as-is)."""
+    return strip_pass(pages_stream, phrases)
+
+
+def stream_ngram_doc_freq(
+    docs_stream: DataFrame,
+    n: int,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """(gram, df_approx) continuously updated (update output mode)."""
+    toks = docs_stream.select(
+        F.col(doc_col), tokens(text_col).alias("tokens")
+    )
+    grams = toks.select(
+        F.col(doc_col),
+        F.explode(ngram_structs("tokens", n)).alias("g"),
+    ).select(doc_col, F.col("g.gram").alias("gram"))
+    return grams.groupBy("gram").agg(
+        F.approx_count_distinct(doc_col).alias("df_approx")
+    )
+
+
+def stream_event_rates(
+    events_stream: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (late rows beyond
+    the watermark are dropped - Structured Streaming's late-data contract)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
