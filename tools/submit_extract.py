@@ -1,0 +1,69 @@
+"""spark-submit entry point for the checkpointed extraction pipeline.
+
+Cluster usage (north rule: `spark-submit --py-files` on multi-executor
+clusters at N and 4N executors):
+
+    cd /root/repo && zip -qr /tmp/bbs.zip boilerplate_buster_spark
+    spark-submit --py-files /tmp/bbs.zip \\
+        --num-executors $N --executor-cores 4 --executor-memory 8g \\
+        tools/submit_extract.py \\
+        --input  <pages parquet/iceberg path> \\
+        --checkpoint <checkpoint dir> \\
+        --min-docs 1000 --ngrams 4
+
+Local smoke:  python tools/submit_extract.py --demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="pages table path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--checkpoint", required=False, default="/tmp/bbs_ckpt")
+    ap.add_argument("--min-docs", type=int, default=1000)
+    ap.add_argument("--ngrams", type=int, default=4)
+    ap.add_argument("--repartition-by-url", action="store_true")
+    ap.add_argument("--demo", action="store_true", help="generate 2000 synthetic pages")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from boilerplate_buster_spark.plans.pipeline import run_extraction_pipeline
+
+    # under spark-submit the session/master comes from the submit conf;
+    # standalone falls back to the local builder
+    spark = SparkSession.builder.appName("bbs-extract").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.demo:
+        from boilerplate_buster_spark.sources.pages import generate_pages_df
+
+        pages = generate_pages_df(spark, 2000, seed=42)
+        args.min_docs = 100
+        args.ngrams = 3
+    else:
+        pages = spark.read.parquet(args.input)
+
+    t0 = time.perf_counter()
+    summary = run_extraction_pipeline(
+        spark,
+        pages,
+        args.checkpoint,
+        min_docs=args.min_docs,
+        ngrams=args.ngrams,
+        repartition_by_url=args.repartition_by_url,
+    )
+    summary["wall_s"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
