@@ -78,9 +78,12 @@ def gather_windows(
     doc_col: str,
     tokens_col: str,
     max_occs_per_gram: int | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
     """Per-occurrence windows for every candidate gram:
-    (gram, support, doc_id, pos, prev, window).
+    (gram, support, doc_id, pos, prev, window) - or, with hashed=True, the
+    compact distributed-rounds layout
+    (cid, doc_id, pos, prev_h, window_h, chain).
 
     Candidate set is broadcast (small); the docs join is a linear shuffle on
     doc_col.  prev = token before the occurrence (backward-closure input,
@@ -99,6 +102,30 @@ def gather_windows(
             .filter(F.col("_rk") <= max_occs_per_gram)
             .drop("_rk")
         )
+    chain_expr = (
+        # rolling prefix-hash chain: chain[i] identifies window[0..i) -
+        # O(1) prefix comparisons in the expansion rounds (O(W) to build)
+        f"aggregate(slice({tokens_col}, pos + 1, {window}), "
+        f"array(cast(0 AS bigint)), "
+        f"(acc, x) -> array_append(acc, xxhash64(element_at(acc, -1), x)), "
+        f"acc -> slice(acc, 2, {window}))"
+    )
+    if hashed:
+        # distributed-rounds payload: NO token strings - per-token word
+        # hashes + the rolling chain; ~3x lighter than string windows, and
+        # the round aggregates compare longs instead of strings.
+        return occ.join(docs, doc_col).select(
+            "cid",
+            F.col(doc_col).cast("string").alias("doc_id"),
+            "pos",
+            F.when(
+                F.col("pos") > 0, F.expr(f"xxhash64(element_at({tokens_col}, pos))")
+            ).alias("prev_h"),
+            F.expr(
+                f"transform(slice({tokens_col}, pos + 1, {window}), x -> xxhash64(x))"
+            ).alias("window_h"),
+            F.expr(chain_expr).alias("chain"),
+        )
     return occ.join(docs, doc_col).select(
         "gram",
         "support",
@@ -107,14 +134,6 @@ def gather_windows(
         # pos is 0-based; element_at is 1-based, so index `pos` IS pos-1.
         F.when(F.col("pos") > 0, F.expr(f"element_at({tokens_col}, pos)")).alias("prev"),
         F.expr(f"slice({tokens_col}, pos + 1, {window})").alias("window"),
-        # rolling prefix-hash chain: chain[i] identifies window[0..i) -
-        # O(1) prefix comparisons in the expansion rounds (O(W) to build)
-        F.expr(
-            f"aggregate(slice({tokens_col}, pos + 1, {window}), "
-            f"array(cast(0 AS bigint)), "
-            f"(acc, x) -> array_append(acc, xxhash64(element_at(acc, -1), x)), "
-            f"acc -> slice(acc, 2, {window}))"
-        ).alias("chain"),
     )
 
 
@@ -150,19 +169,43 @@ def mine(
     # cache it serialized - spills to disk when it outgrows executor memory
     docs = docs.select(doc_col, tokens_col).persist(StorageLevel.MEMORY_AND_DISK)
     cands = candidate_grams(docs, ngrams, min_docs, doc_col, tokens_col)
-    # cands is reused for the gather join - cache the (tiny) candidate table.
-    cands = cands.cache()
+    # one tiny collect serves strategy choice, candidate ids, seed supports
+    # and the rolling seed hash (the chain value of the gram itself)
+    cand_rows = (
+        cands.withColumn(
+            "h0",
+            F.expr(
+                "aggregate(split(gram, ' '), cast(0 AS bigint), (acc, x) -> xxhash64(acc, x))"
+            ),
+        )
+        .withColumn("cid", F.expr("row_number() OVER (ORDER BY gram)"))
+        .collect()
+    )
+    if not cand_rows:
+        docs.unpersist()
+        return []
+    cands = spark.createDataFrame(
+        [(r["cid"], r["gram"], r["support"]) for r in cand_rows],
+        "cid int, gram string, support long",
+    ).cache()
     if strategy == "auto":
-        total_occs = cands.agg(F.sum("n_occs")).first()[0] or 0
+        total_occs = sum(r["n_occs"] for r in cand_rows)
         strategy = "driver" if total_occs < auto_threshold else "distributed"
     try:
         while True:
-            gathered = gather_windows(
-                docs, cands, ngrams, window, doc_col, tokens_col, max_occs_per_gram
-            )
             try:
                 if strategy == "distributed":
-                    return _mine_distributed(spark, gathered, min_docs, min_l, window)
+                    gathered = gather_windows(
+                        docs, cands, ngrams, window, doc_col, tokens_col,
+                        max_occs_per_gram, hashed=True,
+                    )
+                    return _mine_distributed(
+                        spark, gathered, cand_rows, docs, min_docs, min_l, window,
+                        doc_col, tokens_col,
+                    )
+                gathered = gather_windows(
+                    docs, cands, ngrams, window, doc_col, tokens_col, max_occs_per_gram
+                )
                 return _mine_driver(gathered, min_docs, min_l, window)
             except WindowExhausted:
                 window *= 2
@@ -193,71 +236,76 @@ def _mine_driver(
 def _mine_distributed(
     spark: SparkSession,
     gathered: DataFrame,
+    cand_rows: list,
+    docs: DataFrame,
     min_docs: int,
     min_l: int,
     window: int,
+    doc_col: str,
+    tokens_col: str,
 ) -> list[WCandidate]:
     """Distributed greedy expansion + vectorized driver-side mask selection.
 
     Expansion of a candidate never depends on the occupancy bitmask (the mask
     only gates skip-before/mark-after, bloom_gram_miner.cpp:633-640,697-702),
     so all candidates' greedy walks run together as per-depth ROUNDS over the
-    cluster-resident occurrence table:
+    cluster-resident occurrence table (compact layout: candidate id, doc,
+    pos, per-token word hashes, rolling prefix-hash chain - no strings):
 
-      chain[i] = xxhash64(window[0..i])          (precomputed once per occ)
-      round d: alive occ = chain[plen] == current path hash of its gram
-               groupBy(gram, window[plen]).agg(countDistinct(doc))
-               winner per gram = max support (>= min_docs), tie min token
+      chain[i] = xxhash64-fold of window[0..i)      (precomputed per occ)
+      round d: alive occ = chain[plen] == current path hash of its candidate
+               groupBy(cid, chain[plen+1]).agg(countDistinct(doc))
+               winner = max support (>= min_docs), tie min token string
 
-    Each round is one scan of the persisted table with an O(1) chain-hash
-    filter plus a TINY aggregate (grams x next-token) - thresholding applies
-    before the next depth exactly like the reference, so noise paths never
-    create aggregation state (a single-shot "emit every depth" trie was
-    measured 3-6x slower here: its group cardinality is the full noise-path
-    space).  Lineage stays constant; nothing is materialized per round.
+    Each round is one scan of the persisted table with an O(1) chain filter
+    plus a TINY long-typed aggregate - thresholding applies before the next
+    depth exactly like the reference, so noise paths never become
+    aggregation state.  Winner token STRINGS are resolved through the
+    frequent-word dictionary (any winner follows the prefix in >= min_docs
+    docs, hence its word-df >= min_docs).  Lineage stays constant; nothing
+    is materialized per round.
 
-    Hash note: prefix paths are compared by xxhash64 chain values; a
-    collision (~2^-64 per pair) could merge two prefixes - guarded by the
+    Hash note: prefixes are compared by xxhash64 chain values; a collision
+    (~2^-64 per pair) could merge two prefixes - guarded by the
     driver/distributed equivalence tests.
 
     Backward closure (":675-695") is a distributed aggregate over final
-    occurrences.  The driver then receives (gram, doc_id, pos, is_final)
-    tuples - no token arrays, no prev strings - and replays the sequential
-    score-ordered selection with numpy-vectorized mask bookkeeping.
+    occurrences.  The driver then receives (cid, doc_id, pos, is_final)
+    tuples - no token arrays - and replays the sequential score-ordered
+    selection with numpy-vectorized mask bookkeeping.
     """
     import numpy as np
-    import pandas as pd
+
+    from boilerplate_buster_spark.operators.corpus_stats import word_doc_freq
 
     gathered = gathered.persist()
 
-    # per-gram init: seed support + the chain hash of the gram itself
-    init = (
-        gathered.groupBy("gram")
-        .agg(
-            F.first("support").alias("support"),
-            F.first(F.expr("element_at(chain, size(split(gram, ' ')))")).alias("h"),
-        )
+    # frequent-word dictionary: word-hash -> word (winners are always here)
+    word_by_hash = {
+        r["h"]: r["word"]
+        for r in word_doc_freq(docs, doc_col, tokens_col)
+        .filter(F.col("df") >= min_docs)
+        .select("word", F.xxhash64("word").alias("h"))
         .collect()
-    )
+    }
+
     state = {
-        r["gram"]: {
+        r["cid"]: {
+            "gram": r["gram"],
             "tokens": r["gram"].split(" "),
             "support": r["support"],
             "seed_support": r["support"],
-            "h": r["h"],
+            "h": r["h0"],
             "alive": True,
         }
-        for r in init
+        for r in cand_rows
     }
-    if not state:
-        gathered.unpersist()
-        return []
 
     # ---- greedy rounds ----
     while True:
         alive = [
-            (g, len(st["tokens"]), st["h"])
-            for g, st in state.items()
+            (cid, len(st["tokens"]), st["h"])
+            for cid, st in state.items()
             if st["alive"]
         ]
         if not alive:
@@ -265,98 +313,107 @@ def _mine_distributed(
         if any(ln >= window for _, ln, _ in alive):
             gathered.unpersist()
             raise WindowExhausted(f"phrase reached window W={window}")
-        cur_df = spark.createDataFrame(alive, ["gram", "plen", "cur_h"])
+        cur_df = spark.createDataFrame(alive, "cid int, plen int, cur_h long")
         counts = (
-            gathered.join(F.broadcast(cur_df), "gram")
+            gathered.join(F.broadcast(cur_df), "cid")
             .filter(
-                (F.expr("size(window)") > F.col("plen"))
-                & (F.expr("try_element_at(chain, cast(plen AS int))") == F.col("cur_h"))
+                (F.expr("size(window_h)") > F.col("plen"))
+                & (F.expr("try_element_at(chain, plen)") == F.col("cur_h"))
             )
             .select(
-                "gram",
+                "cid",
                 "doc_id",
-                F.expr("element_at(window, cast(plen + 1 AS int))").alias("next_tok"),
-                F.expr("try_element_at(chain, cast(plen + 1 AS int))").alias("next_h"),
+                F.expr("element_at(chain, plen + 1)").alias("next_h"),
+                F.expr("element_at(window_h, plen + 1)").alias("word_h"),
             )
-            .groupBy("gram", "next_tok", "next_h")
-            .agg(F.countDistinct("doc_id").alias("sup"))
+            .groupBy("cid", "next_h")
+            .agg(
+                F.countDistinct("doc_id").alias("sup"),
+                F.first("word_h").alias("word_h"),
+            )
             .filter(F.col("sup") >= min_docs)
             .collect()
         )
-        by_gram: dict[str, list] = defaultdict(list)
+        by_cid: dict[int, list] = defaultdict(list)
         for r in counts:
-            by_gram[r["gram"]].append((r["next_tok"], r["sup"], r["next_h"]))
+            tok = word_by_hash[r["word_h"]]  # winner words are frequent words
+            by_cid[r["cid"]].append((tok, r["sup"], r["next_h"]))
         any_won = False
-        for g, ln, _ in alive:
-            options = by_gram.get(g)
+        for cid, _, _ in alive:
+            options = by_cid.get(cid)
             if not options:
-                state[g]["alive"] = False
+                state[cid]["alive"] = False
                 continue
-            # winner: max unique-doc support, tie -> smallest token
+            # winner: max unique-doc support, tie -> smallest token string
             best_sup = max(o[1] for o in options)
             tok, sup, nh = min(o for o in options if o[1] == best_sup)
-            state[g]["tokens"].append(tok)
-            state[g]["support"] = sup
-            state[g]["h"] = nh
+            st = state[cid]
+            st["tokens"].append(tok)
+            st["support"] = sup
+            st["h"] = nh
             any_won = True
         if not any_won:
             break
 
     # ---- distributed backward-closure verdicts over FINAL occurrences ----
     fin_df = spark.createDataFrame(
-        [(g, len(st["tokens"]), st["h"]) for g, st in state.items()],
-        ["gram", "flen", "fin_h"],
+        [(cid, len(st["tokens"]), st["h"]) for cid, st in state.items()],
+        "cid int, flen int, fin_h long",
     )
-    flagged = gathered.join(F.broadcast(fin_df), "gram").withColumn(
-        "is_final", F.expr("try_element_at(chain, cast(flen AS int))") == F.col("fin_h")
+    flagged = gathered.join(F.broadcast(fin_df), "cid").withColumn(
+        "is_final", F.expr("try_element_at(chain, flen)") == F.col("fin_h")
     )
     closure = {
-        r["gram"]: (r["n_pos0"], r["n_prev"])
+        r["cid"]: (r["n_pos0"], r["n_prev"])
         for r in flagged.filter("is_final")
-        .groupBy("gram")
+        .groupBy("cid")
         .agg(
             F.sum(F.expr("IF(pos = 0, 1, 0)")).alias("n_pos0"),
-            F.countDistinct("prev").alias("n_prev"),
+            F.countDistinct("prev_h").alias("n_prev"),
         )
         .collect()
     }
 
-    pdf = flagged.select("gram", "doc_id", "pos", "is_final").toPandas()
+    pdf = flagged.select("cid", "doc_id", "pos", "is_final").toPandas()
     gathered.unpersist()
 
     # ---- sequential selection (reference stage F), numpy-vectorized ----
     # flat position key: (doc code << 32) | pos  - one global int64 space
+    import pandas as pd
+
     codes, _ = pd.factorize(pdf["doc_id"])
     flat = (codes.astype(np.int64) << 32) | pdf["pos"].to_numpy(np.int64)
-    grams_arr = pdf["gram"].to_numpy()
+    cid_arr = pdf["cid"].to_numpy(np.int64)
     isfin_arr = pdf["is_final"].to_numpy(bool)
 
     order = sorted(
         state.items(),
         key=lambda kv: (
-            -kv[1]["seed_support"] * len(kv[0].split(" ")),
+            -kv[1]["seed_support"] * len(kv[1]["gram"].split(" ")),
             -kv[1]["seed_support"],
-            kv[0].split(" "),
+            kv[1]["gram"].split(" "),
         ),
     )
-    # group row indices per gram once
-    idx_by_gram: dict[str, np.ndarray] = {}
-    sort_idx = np.argsort(grams_arr, kind="stable")
-    sorted_grams = grams_arr[sort_idx]
-    bounds = np.searchsorted(sorted_grams, [g for g, _ in order])
-    for (g, _), lo in zip(order, bounds):
-        hi = np.searchsorted(sorted_grams, g, side="right")
-        idx_by_gram[g] = sort_idx[lo:hi]
+    # group row indices per candidate once (int sort)
+    sort_idx = np.argsort(cid_arr, kind="stable")
+    sorted_cids = cid_arr[sort_idx]
+    idx_by_cid: dict[int, np.ndarray] = {}
+    for cid, _ in order:
+        lo = np.searchsorted(sorted_cids, cid, side="left")
+        hi = np.searchsorted(sorted_cids, cid, side="right")
+        idx_by_cid[cid] = sort_idx[lo:hi]
 
     covered = np.empty(0, dtype=np.int64)  # sorted unique flat keys
+    doc_ids = pdf["doc_id"].to_numpy()
+    pos_arr = pdf["pos"].to_numpy()
     out: list[WCandidate] = []
-    for g, st in order:
-        rows = idx_by_gram[g]
+    for cid, st in order:
+        rows = idx_by_cid[cid]
         starts = flat[rows]
         # skip iff ALL seed START positions already covered (":633-640")
         if covered.size and np.isin(starts, covered, assume_unique=False).all():
             continue
-        n_pos0, n_prev = closure.get(g, (0, 0))
+        n_pos0, n_prev = closure.get(cid, (0, 0))
         fin_rows = rows[isfin_arr[rows]]
         if fin_rows.size and n_pos0 == 0 and n_prev == 1:
             continue  # backward closure: drop, don't mark
@@ -365,9 +422,7 @@ def _mine_distributed(
         marks = (fin_flat[:, None] + np.arange(plen, dtype=np.int64)).ravel()
         covered = np.union1d(covered, marks)
         if plen >= min_l:
-            occs = sorted(
-                zip(pdf["doc_id"].to_numpy()[fin_rows], pdf["pos"].to_numpy()[fin_rows])
-            )
+            occs = sorted(zip(doc_ids[fin_rows], pos_arr[fin_rows]))
             out.append(
                 WCandidate(
                     st["tokens"],
