@@ -52,20 +52,62 @@ RESULT_SCHEMA = T.StructType(
 )
 
 
+def _quote_set(values: list[str]) -> str:
+    return ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+
+
 def candidate_grams(
-    docs: DataFrame, n: int, min_docs: int, doc_col: str, tokens_col: str
+    docs: DataFrame,
+    n: int,
+    min_docs: int,
+    doc_col: str,
+    tokens_col: str,
+    word_gate_max: int = 2048,
 ) -> DataFrame:
-    """(gram, support): n-grams in >= min_docs distinct docs (stages A-D).
+    """(gram, support): n-grams in >= min_docs DISTINCT docs (stages A-D).
     Exact replacement of Bloom pass + word-DF gate + external merge
     (bloom_gram_miner.cpp:284-589) - those are approximations/spill machinery
-    around exactly this aggregate."""
-    seeds = explode_ngrams(docs, n, doc_col, tokens_col)
+    around exactly this aggregate.
+
+    Two cardinality killers applied BEFORE the shuffle (both exactness-
+    preserving):
+      * per-doc array_distinct on the gram list (intra-doc repeats collapse
+        map-side -> the agg is a plain count, no distinct rewrite/Expand);
+      * the reference's word-DF gate (P3, bloom_gram_miner.cpp:414-421):
+        every token of a qualifying gram is itself in >= min_docs docs, so
+        grams touching any rare word are dropped at the scan.  Applied as a
+        literal IN-set when the frequent-word set is small (<= word_gate_max,
+        the common case for boilerplate thresholds); skipped otherwise (a
+        bloom_filter_agg gate is the scale-up path).
+    """
+    from boilerplate_buster_spark.operators.corpus_stats import word_doc_freq
+
+    t = tokens_col
+    fw = (
+        word_doc_freq(docs, doc_col, tokens_col)
+        .filter(F.col("df") >= min_docs)
+        .limit(word_gate_max + 1)
+        .collect()
+    )
+    pos_seq = (
+        f"slice(sequence(1, greatest(size({t}) - {n} + 1, 1)), "
+        f"1, greatest(size({t}) - {n} + 1, 0))"
+    )
+    if len(fw) <= word_gate_max:
+        lits = _quote_set([r["word"] for r in fw])
+        if not lits:
+            lits = "''"
+        pos_seq = f"filter({pos_seq}, i -> forall(slice({t}, i, {n}), x -> x IN ({lits})))"
+    per_doc = docs.select(
+        F.explode(
+            F.expr(
+                f"array_distinct(transform({pos_seq}, i -> array_join(slice({t}, i, {n}), ' ')))"
+            )
+        ).alias("gram")
+    )
     return (
-        seeds.groupBy("gram")
-        .agg(
-            F.countDistinct(doc_col).alias("support"),
-            F.count("*").alias("n_occs"),
-        )
+        per_doc.groupBy("gram")
+        .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= min_docs)
     )
 
@@ -85,12 +127,35 @@ def gather_windows(
     compact distributed-rounds layout
     (cid, doc_id, pos, prev_h, window_h, chain).
 
-    Candidate set is broadcast (small); the docs join is a linear shuffle on
-    doc_col.  prev = token before the occurrence (backward-closure input,
-    ":675-695"); window = W tokens from the occurrence start (expansion input).
+    ZERO shuffles on the main path: the candidate set is corpus-statistics
+    small (post-threshold boilerplate templates), so occurrence discovery is
+    a literal IN-set filter INSIDE the doc scan - one codegen pass over the
+    cached corpus, windows sliced in place, then a broadcast map-side join
+    attaches cid/support.  A candidate set above `inscan_max` falls back to
+    the explode + broadcast-join + docs-join plan (two shuffles).
+
+    prev = token before the occurrence (backward-closure input, ":675-695");
+    window = W tokens from the occurrence start (expansion input).
     """
-    seeds = explode_ngrams(docs, n, doc_col, tokens_col)
-    occ = seeds.join(F.broadcast(cands), "gram")
+    t = tokens_col
+    cand_grams = [r["gram"] for r in cands.select("gram").collect()]
+    inscan_max = 8192
+    if cand_grams and len(cand_grams) <= inscan_max:
+        lits = _quote_set(cand_grams)
+        pos_expr = (
+            f"filter(slice(sequence(1, greatest(size({t}) - {n} + 1, 1)), "
+            f"1, greatest(size({t}) - {n} + 1, 0)), "
+            f"i -> array_join(slice({t}, i, {n}), ' ') IN ({lits}))"
+        )
+        occ = (
+            docs.select(F.col(doc_col), F.col(t), F.explode(F.expr(pos_expr)).alias("ipos"))
+            .withColumn("pos", F.expr("ipos - 1"))
+            .withColumn("gram", F.expr(f"array_join(slice({t}, ipos, {n}), ' ')"))
+        )
+        occ = occ.join(F.broadcast(cands), "gram")
+    else:
+        seeds = explode_ngrams(docs, n, doc_col, tokens_col)
+        occ = seeds.join(F.broadcast(cands), "gram").join(docs, doc_col)
     if max_occs_per_gram is not None:
         # Deterministic pseudo-random rank; keeps exact `support` from the
         # aggregate while bounding driver-bound postings per gram.
@@ -105,7 +170,7 @@ def gather_windows(
     chain_expr = (
         # rolling prefix-hash chain: chain[i] identifies window[0..i) -
         # O(1) prefix comparisons in the expansion rounds (O(W) to build)
-        f"aggregate(slice({tokens_col}, pos + 1, {window}), "
+        f"aggregate(slice({t}, pos + 1, {window}), "
         f"array(cast(0 AS bigint)), "
         f"(acc, x) -> array_append(acc, xxhash64(element_at(acc, -1), x)), "
         f"acc -> slice(acc, 2, {window}))"
@@ -114,26 +179,26 @@ def gather_windows(
         # distributed-rounds payload: NO token strings - per-token word
         # hashes + the rolling chain; ~3x lighter than string windows, and
         # the round aggregates compare longs instead of strings.
-        return occ.join(docs, doc_col).select(
+        return occ.select(
             "cid",
             F.col(doc_col).cast("string").alias("doc_id"),
             "pos",
             F.when(
-                F.col("pos") > 0, F.expr(f"xxhash64(element_at({tokens_col}, pos))")
+                F.col("pos") > 0, F.expr(f"xxhash64(element_at({t}, pos))")
             ).alias("prev_h"),
             F.expr(
-                f"transform(slice({tokens_col}, pos + 1, {window}), x -> xxhash64(x))"
+                f"transform(slice({t}, pos + 1, {window}), x -> xxhash64(x))"
             ).alias("window_h"),
             F.expr(chain_expr).alias("chain"),
         )
-    return occ.join(docs, doc_col).select(
+    return occ.select(
         "gram",
         "support",
         F.col(doc_col).cast("string").alias("doc_id"),
         "pos",
         # pos is 0-based; element_at is 1-based, so index `pos` IS pos-1.
-        F.when(F.col("pos") > 0, F.expr(f"element_at({tokens_col}, pos)")).alias("prev"),
-        F.expr(f"slice({tokens_col}, pos + 1, {window})").alias("window"),
+        F.when(F.col("pos") > 0, F.expr(f"element_at({t}, pos)")).alias("prev"),
+        F.expr(f"slice({t}, pos + 1, {window})").alias("window"),
     )
 
 
@@ -189,7 +254,9 @@ def mine(
         "cid int, gram string, support long",
     ).cache()
     if strategy == "auto":
-        total_occs = sum(r["n_occs"] for r in cand_rows)
+        # support (distinct docs) lower-bounds occurrences; good enough to
+        # pick the execution strategy
+        total_occs = sum(r["support"] for r in cand_rows)
         strategy = "driver" if total_occs < auto_threshold else "distributed"
     try:
         while True:

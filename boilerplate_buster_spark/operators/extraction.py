@@ -66,12 +66,16 @@ def with_text_repr(pages: DataFrame) -> DataFrame:
     def parse_html(html: pd.Series) -> pd.Series:
         return html.map(lambda b: html_to_text(b) if b is not None else None)
 
-    return pages.withColumn(
-        "text_repr",
-        F.when(F.col("html").isNotNull(), parse_html(F.col("html"))).otherwise(
-            F.col("text")
-        ),
+    # Spark does NOT short-circuit UDFs inside when(): a single withColumn
+    # would push every row through Python even when html IS NULL.  Split the
+    # frame instead - the null branch never leaves the JVM.
+    with_html = pages.filter(F.col("html").isNotNull()).withColumn(
+        "text_repr", parse_html(F.col("html"))
     )
+    text_only = pages.filter(F.col("html").isNull()).withColumn(
+        "text_repr", F.col("text")
+    )
+    return with_html.unionByName(text_only)
 
 
 def mine_boilerplate(

@@ -46,14 +46,18 @@ def test_ngram_df_dedups_before_shuffle(spark):
     assert plan.count("HashAggregate") >= 2
 
 
-def test_candidate_grams_two_level_distinct(spark):
+def test_candidate_grams_dedup_and_gate_before_shuffle(spark):
     plan = explain_str(
         candidate_grams(toy_docs(spark), 2, 1, "doc_id", "tokens"), mode="simple"
     )
-    # countDistinct is planned as partial dedup keyed on (gram, doc_id) -
-    # uniformly distributed even for head grams (== salted phrase keys)
-    assert plan.count("HashAggregate") >= 3
-    assert "count(distinct" in plan or "count(doc_id" in plan
+    # distinct-doc support WITHOUT a distinct-aggregate rewrite: per-doc
+    # array_distinct collapses repeats map-side, the agg is a plain count
+    # with partial aggregation before the exchange
+    assert "array_distinct" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "count(1)" in plan
+    # the reference's word-DF gate (P3) runs inside the scan
+    assert "forall" in plan
 
 
 def test_parquet_pushdown_and_pruning(spark):
