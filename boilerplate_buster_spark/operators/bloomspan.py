@@ -56,6 +56,19 @@ def _quote_set(values: list[str]) -> str:
     return ", ".join("'" + v.replace("'", "''") + "'" for v in values)
 
 
+def _gramhash_sql(hs_ref: str, i: str, n: int) -> str:
+    """Order-sensitive combine of n consecutive 64-bit token hashes
+    (xor of per-position rotations) - used for in-scan candidate membership;
+    collisions only ADD occurrence rows, removed by the exact gram-string
+    join right after."""
+    terms = []
+    for k in range(n):
+        e = f"element_at({hs_ref}, {i} + {k})"
+        sh = (k * 21) % 61
+        terms.append(e if sh == 0 else f"shiftleft({e}, {sh})")
+    return " ^ ".join(terms)
+
+
 def candidate_grams(
     docs: DataFrame,
     n: int,
@@ -86,6 +99,7 @@ def candidate_grams(
     fw = (
         word_doc_freq(docs, doc_col, tokens_col)
         .filter(F.col("df") >= min_docs)
+        .select("word", F.xxhash64("word").alias("h"))
         .limit(word_gate_max + 1)
         .collect()
     )
@@ -93,12 +107,21 @@ def candidate_grams(
         f"slice(sequence(1, greatest(size({t}) - {n} + 1, 1)), "
         f"1, greatest(size({t}) - {n} + 1, 0))"
     )
+    src_df = docs
     if len(fw) <= word_gate_max:
-        lits = _quote_set([r["word"] for r in fw])
-        if not lits:
-            lits = "''"
-        pos_seq = f"filter({pos_seq}, i -> forall(slice({t}, i, {n}), x -> x IN ({lits})))"
-    per_doc = docs.select(
+        # membership on 64-bit token hashes, computed ONCE per token -
+        # literal IN-lists are linear scans in codegen, so comparing longs
+        # (not strings) and testing each token once (not once per gram)
+        # keeps the gate ~free.  Hash false positives only ADD grams; the
+        # exact threshold below keeps the result exact.
+        hset = ", ".join(str(r["h"]) for r in fw) or "0"
+        src_df = docs.select(
+            F.col(t),
+            F.expr(f"transform({t}, x -> xxhash64(x) IN ({hset}))").alias("_ok"),
+        )
+        conj = " AND ".join(f"element_at(_ok, i + {k})" for k in range(n))
+        pos_seq = f"filter({pos_seq}, i -> {conj})"
+    per_doc = src_df.select(
         F.explode(
             F.expr(
                 f"array_distinct(transform({pos_seq}, i -> array_join(slice({t}, i, {n}), ' ')))"
@@ -138,24 +161,37 @@ def gather_windows(
     window = W tokens from the occurrence start (expansion input).
     """
     t = tokens_col
-    cand_grams = [r["gram"] for r in cands.select("gram").collect()]
-    inscan_max = 8192
-    if cand_grams and len(cand_grams) <= inscan_max:
-        lits = _quote_set(cand_grams)
-        pos_expr = (
-            f"filter(slice(sequence(1, greatest(size({t}) - {n} + 1, 1)), "
-            f"1, greatest(size({t}) - {n} + 1, 0)), "
-            f"i -> array_join(slice({t}, i, {n}), ' ') IN ({lits}))"
+    # occurrence discovery: per-token hashes computed once per doc, then a
+    # long-typed shift-xor gram hash tested against the candidate hash set
+    # INSIDE the scan (string IN-lists are linear scans in codegen; long
+    # compares are ~free).  Hash false positives are removed by the exact
+    # gram-string broadcast join right after.
+    gh = _gramhash_sql("_hs", "i", n)
+    cand_hashes = [
+        r["gh"]
+        for r in cands.select(
+            F.expr(
+                "transform(split(gram, ' '), x -> xxhash64(x))"
+            ).alias("_hs")
+        ).select(F.expr(_gramhash_sql("_hs", "1", n)).alias("gh")).collect()
+    ]
+    hset = ", ".join(str(h) for h in cand_hashes) or "0"
+    pos_expr = (
+        f"filter(slice(sequence(1, greatest(size({t}) - {n} + 1, 1)), "
+        f"1, greatest(size({t}) - {n} + 1, 0)), "
+        f"i -> ({gh}) IN ({hset}))"
+    )
+    occ = (
+        docs.select(
+            F.col(doc_col),
+            F.col(t),
+            F.expr(f"transform({t}, x -> xxhash64(x))").alias("_hs"),
         )
-        occ = (
-            docs.select(F.col(doc_col), F.col(t), F.explode(F.expr(pos_expr)).alias("ipos"))
-            .withColumn("pos", F.expr("ipos - 1"))
-            .withColumn("gram", F.expr(f"array_join(slice({t}, ipos, {n}), ' ')"))
-        )
-        occ = occ.join(F.broadcast(cands), "gram")
-    else:
-        seeds = explode_ngrams(docs, n, doc_col, tokens_col)
-        occ = seeds.join(F.broadcast(cands), "gram").join(docs, doc_col)
+        .select(doc_col, t, "_hs", F.explode(F.expr(pos_expr)).alias("ipos"))
+        .withColumn("pos", F.expr("ipos - 1"))
+        .withColumn("gram", F.expr(f"array_join(slice({t}, ipos, {n}), ' ')"))
+        .join(F.broadcast(cands), "gram")  # exact: drops hash false positives
+    )
     if max_occs_per_gram is not None:
         # Deterministic pseudo-random rank; keeps exact `support` from the
         # aggregate while bounding driver-bound postings per gram.
@@ -167,30 +203,34 @@ def gather_windows(
             .filter(F.col("_rk") <= max_occs_per_gram)
             .drop("_rk")
         )
-    chain_expr = (
-        # rolling prefix-hash chain: chain[i] identifies window[0..i) -
-        # O(1) prefix comparisons in the expansion rounds (O(W) to build)
-        f"aggregate(slice({t}, pos + 1, {window}), "
-        f"array(cast(0 AS bigint)), "
-        f"(acc, x) -> array_append(acc, xxhash64(element_at(acc, -1), x)), "
-        f"acc -> slice(acc, 2, {window}))"
-    )
     if hashed:
-        # distributed-rounds payload: NO token strings - per-token word
-        # hashes + the rolling chain; ~3x lighter than string windows, and
-        # the round aggregates compare longs instead of strings.
-        return occ.select(
-            "cid",
-            F.col(doc_col).cast("string").alias("doc_id"),
-            "pos",
-            F.when(
-                F.col("pos") > 0, F.expr(f"xxhash64(element_at({t}, pos))")
-            ).alias("prev_h"),
-            F.expr(
-                f"transform(slice({t}, pos + 1, {window}), x -> xxhash64(x))"
-            ).alias("window_h"),
-            F.expr(chain_expr).alias("chain"),
+        # distributed-rounds payload: FLAT BIGINT COLUMNS, no arrays and no
+        # strings - c<i> = rolling prefix hash of window[0..i) (fold of the
+        # per-token hashes), w<i> = hash of window token i.  Every expansion
+        # round reads exactly THREE long columns from the columnar cache
+        # (c_plen, c_plen+1, w_plen+1): perfect column pruning, which array
+        # columns cannot give (measured ~8x slower to re-read).
+        chain_arr = (
+            f"aggregate(slice(_hs, ipos, {window}), "
+            f"array(cast(0 AS bigint)), "
+            f"(acc, h) -> array_append(acc, xxhash64(element_at(acc, -1), h)), "
+            f"acc -> slice(acc, 2, {window}))"
         )
+        cols = [
+            F.col("cid"),
+            F.col(doc_col).cast("string").alias("doc_id"),
+            F.col("pos"),
+            F.when(F.col("pos") > 0, F.expr("element_at(_hs, pos)")).alias("prev_h"),
+            F.expr(chain_arr).alias("_chain"),
+        ]
+        flat = [
+            F.col("cid"), F.col("doc_id"), F.col("pos"), F.col("prev_h"),
+        ]
+        for i in range(1, window + 1):
+            flat.append(F.expr(f"try_element_at(_chain, {i})").alias(f"c{i}"))
+        for i in range(1, window + 1):
+            flat.append(F.expr(f"try_element_at(_hs, ipos + {i} - 1)").alias(f"w{i}"))
+        return occ.select(*cols, F.col("_hs"), F.col("ipos")).select(*flat)
     return occ.select(
         "gram",
         "support",
@@ -241,7 +281,7 @@ def mine(
         cands.withColumn(
             "h0",
             F.expr(
-                "aggregate(split(gram, ' '), cast(0 AS bigint), (acc, x) -> xxhash64(acc, x))"
+                "aggregate(transform(split(gram, ' '), x -> xxhash64(x)), cast(0 AS bigint), (acc, h) -> xxhash64(acc, h))"
             ),
         )
         .withColumn("cid", F.expr("row_number() OVER (ORDER BY gram)"))
@@ -315,32 +355,32 @@ def _mine_distributed(
     Expansion of a candidate never depends on the occupancy bitmask (the mask
     only gates skip-before/mark-after, bloom_gram_miner.cpp:633-640,697-702),
     so all candidates' greedy walks run together as per-depth ROUNDS over the
-    cluster-resident occurrence table (compact layout: candidate id, doc,
-    pos, per-token word hashes, rolling prefix-hash chain - no strings):
+    cluster-resident occurrence table.  The table layout is FLAT BIGINT
+    columns (c<i> = rolling prefix hash of window[0..i), w<i> = token hash at
+    window position i) and - because every alive candidate extends by exactly
+    one token per round - the prefix length is GLOBAL per round, so round r
+    reads exactly three long columns (c_plen, c_plen+1, w_plen+1):
 
-      chain[i] = xxhash64-fold of window[0..i)      (precomputed per occ)
-      round d: alive occ = chain[plen] == current path hash of its candidate
-               groupBy(cid, chain[plen+1]).agg(countDistinct(doc))
-               winner = max support (>= min_docs), tie min token string
+      round: alive occ = c_plen == current path hash of its candidate
+             groupBy(cid, c_plen+1).agg(countDistinct(doc), first(w_plen+1))
+             winner = max support (>= min_docs), tie min token string
 
-    Each round is one scan of the persisted table with an O(1) chain filter
-    plus a TINY long-typed aggregate - thresholding applies before the next
-    depth exactly like the reference, so noise paths never become
-    aggregation state.  Winner token STRINGS are resolved through the
-    frequent-word dictionary (any winner follows the prefix in >= min_docs
-    docs, hence its word-df >= min_docs).  Lineage stays constant; nothing
-    is materialized per round.
+    Thresholding applies before the next depth exactly like the reference,
+    so noise paths never become aggregation state.  Winner token STRINGS are
+    resolved through the frequent-word dictionary (a winner follows the
+    prefix in >= min_docs docs, hence its word-df >= min_docs).
 
-    Hash note: prefixes are compared by xxhash64 chain values; a collision
+    Hash note: prefixes are compared by 64-bit chain values; a collision
     (~2^-64 per pair) could merge two prefixes - guarded by the
     driver/distributed equivalence tests.
 
     Backward closure (":675-695") is a distributed aggregate over final
     occurrences.  The driver then receives (cid, doc_id, pos, is_final)
-    tuples - no token arrays - and replays the sequential score-ordered
-    selection with numpy-vectorized mask bookkeeping.
+    tuples and replays the sequential score-ordered selection with
+    interval-based numpy mask bookkeeping.
     """
     import numpy as np
+    import pandas as pd
 
     from boilerplate_buster_spark.operators.corpus_stats import word_doc_freq
 
@@ -366,36 +406,29 @@ def _mine_distributed(
         }
         for r in cand_rows
     }
+    n = len(cand_rows[0]["gram"].split(" "))
 
-    # ---- greedy rounds ----
+    # ---- greedy rounds (plen is global: every alive candidate has extended
+    # exactly once per round) ----
+    plen = n
     while True:
-        alive = [
-            (cid, len(st["tokens"]), st["h"])
-            for cid, st in state.items()
-            if st["alive"]
-        ]
+        alive = [(cid, st["h"]) for cid, st in state.items() if st["alive"]]
         if not alive:
             break
-        if any(ln >= window for _, ln, _ in alive):
+        if plen >= window:
             gathered.unpersist()
             raise WindowExhausted(f"phrase reached window W={window}")
-        cur_df = spark.createDataFrame(alive, "cid int, plen int, cur_h long")
+        cur_df = spark.createDataFrame(alive, "cid int, cur_h long")
         counts = (
             gathered.join(F.broadcast(cur_df), "cid")
             .filter(
-                (F.expr("size(window_h)") > F.col("plen"))
-                & (F.expr("try_element_at(chain, plen)") == F.col("cur_h"))
+                (F.col(f"c{plen}") == F.col("cur_h"))
+                & F.col(f"c{plen + 1}").isNotNull()
             )
-            .select(
-                "cid",
-                "doc_id",
-                F.expr("element_at(chain, plen + 1)").alias("next_h"),
-                F.expr("element_at(window_h, plen + 1)").alias("word_h"),
-            )
-            .groupBy("cid", "next_h")
+            .groupBy("cid", F.col(f"c{plen + 1}").alias("next_h"))
             .agg(
                 F.countDistinct("doc_id").alias("sup"),
-                F.first("word_h").alias("word_h"),
+                F.first(F.col(f"w{plen + 1}")).alias("word_h"),
             )
             .filter(F.col("sup") >= min_docs)
             .collect()
@@ -405,7 +438,7 @@ def _mine_distributed(
             tok = word_by_hash[r["word_h"]]  # winner words are frequent words
             by_cid[r["cid"]].append((tok, r["sup"], r["next_h"]))
         any_won = False
-        for cid, _, _ in alive:
+        for cid, _ in alive:
             options = by_cid.get(cid)
             if not options:
                 state[cid]["alive"] = False
@@ -420,14 +453,16 @@ def _mine_distributed(
             any_won = True
         if not any_won:
             break
+        plen += 1
 
     # ---- distributed backward-closure verdicts over FINAL occurrences ----
     fin_df = spark.createDataFrame(
         [(cid, len(st["tokens"]), st["h"]) for cid, st in state.items()],
         "cid int, flen int, fin_h long",
     )
+    carr = "array(" + ", ".join(f"c{i}" for i in range(1, window + 1)) + ")"
     flagged = gathered.join(F.broadcast(fin_df), "cid").withColumn(
-        "is_final", F.expr("try_element_at(chain, flen)") == F.col("fin_h")
+        "is_final", F.expr(f"try_element_at({carr}, flen)") == F.col("fin_h")
     )
     closure = {
         r["cid"]: (r["n_pos0"], r["n_prev"])
@@ -443,10 +478,9 @@ def _mine_distributed(
     pdf = flagged.select("cid", "doc_id", "pos", "is_final").toPandas()
     gathered.unpersist()
 
-    # ---- sequential selection (reference stage F), numpy-vectorized ----
-    # flat position key: (doc code << 32) | pos  - one global int64 space
-    import pandas as pd
-
+    # ---- sequential selection (reference stage F), numpy-vectorized with
+    # INTERVAL bookkeeping (marks are contiguous ranges; storing intervals
+    # instead of positions keeps memory/sorts ~plen times smaller) ----
     codes, _ = pd.factorize(pdf["doc_id"])
     flat = (codes.astype(np.int64) << 32) | pdf["pos"].to_numpy(np.int64)
     cid_arr = pdf["cid"].to_numpy(np.int64)
@@ -460,7 +494,6 @@ def _mine_distributed(
             kv[1]["gram"].split(" "),
         ),
     )
-    # group row indices per candidate once (int sort)
     sort_idx = np.argsort(cid_arr, kind="stable")
     sorted_cids = cid_arr[sort_idx]
     idx_by_cid: dict[int, np.ndarray] = {}
@@ -469,7 +502,35 @@ def _mine_distributed(
         hi = np.searchsorted(sorted_cids, cid, side="right")
         idx_by_cid[cid] = sort_idx[lo:hi]
 
-    covered = np.empty(0, dtype=np.int64)  # sorted unique flat keys
+    # covered-interval chunks: each chunk keeps (starts sorted, RAW ends in
+    # start order, cummax of ends).  A point p is covered by a chunk iff the
+    # last interval starting <= p has cummax end > p (cummax makes the single
+    # lookup correct for overlapping intervals).  Chunks merge from their RAW
+    # ends when they pile up (cummax'd ends must never be merged as if raw -
+    # they inherit earlier intervals' reach).
+    chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+
+    def covered(points: np.ndarray) -> np.ndarray:
+        m = np.zeros(len(points), dtype=bool)
+        for s, _, cume in chunks:
+            idx = np.searchsorted(s, points, side="right") - 1
+            ok = idx >= 0
+            m |= ok & (cume[np.clip(idx, 0, None)] > points)
+        return m
+
+    def add_intervals(starts: np.ndarray, length: int) -> None:
+        o = np.argsort(starts, kind="stable")
+        s = starts[o]
+        raw_e = s + length
+        chunks.append((s, raw_e, np.maximum.accumulate(raw_e)))
+        if len(chunks) > 8:  # amortized merge
+            alls = np.concatenate([c[0] for c in chunks])
+            alle = np.concatenate([c[1] for c in chunks])
+            o2 = np.argsort(alls, kind="stable")
+            s2, e2 = alls[o2], alle[o2]
+            chunks.clear()
+            chunks.append((s2, e2, np.maximum.accumulate(e2)))
+
     doc_ids = pdf["doc_id"].to_numpy()
     pos_arr = pdf["pos"].to_numpy()
     out: list[WCandidate] = []
@@ -477,16 +538,15 @@ def _mine_distributed(
         rows = idx_by_cid[cid]
         starts = flat[rows]
         # skip iff ALL seed START positions already covered (":633-640")
-        if covered.size and np.isin(starts, covered, assume_unique=False).all():
+        if chunks and covered(starts).all():
             continue
         n_pos0, n_prev = closure.get(cid, (0, 0))
         fin_rows = rows[isfin_arr[rows]]
         if fin_rows.size and n_pos0 == 0 and n_prev == 1:
             continue  # backward closure: drop, don't mark
         plen = len(st["tokens"])
-        fin_flat = flat[fin_rows]
-        marks = (fin_flat[:, None] + np.arange(plen, dtype=np.int64)).ravel()
-        covered = np.union1d(covered, marks)
+        if fin_rows.size:
+            add_intervals(flat[fin_rows], plen)
         if plen >= min_l:
             occs = sorted(zip(doc_ids[fin_rows], pos_arr[fin_rows]))
             out.append(
