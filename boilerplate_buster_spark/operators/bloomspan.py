@@ -76,6 +76,7 @@ def candidate_grams(
     doc_col: str,
     tokens_col: str,
     word_gate_max: int = 2048,
+    fw: list | None = None,
 ) -> DataFrame:
     """(gram, support): n-grams in >= min_docs DISTINCT docs (stages A-D).
     Exact replacement of Bloom pass + word-DF gate + external merge
@@ -96,13 +97,13 @@ def candidate_grams(
     from boilerplate_buster_spark.operators.corpus_stats import word_doc_freq
 
     t = tokens_col
-    fw = (
-        word_doc_freq(docs, doc_col, tokens_col)
-        .filter(F.col("df") >= min_docs)
-        .select("word", F.xxhash64("word").alias("h"))
-        .limit(word_gate_max + 1)
-        .collect()
-    )
+    if fw is None:
+        fw = (
+            word_doc_freq(docs, doc_col, tokens_col)
+            .filter(F.col("df") >= min_docs)
+            .select("word", F.xxhash64("word").alias("h"))
+            .collect()
+        )
     pos_seq = (
         f"slice(sequence(1, greatest(size({t}) - {n} + 1, 1)), "
         f"1, greatest(size({t}) - {n} + 1, 0))"
@@ -274,7 +275,17 @@ def mine(
     # (codegen-friendly) source scan - measured on this corpus shape.  Cache
     # the STRING form upstream instead (extraction does), never token arrays.
     docs = docs.select(doc_col, tokens_col)
-    cands = candidate_grams(docs, ngrams, min_docs, doc_col, tokens_col)
+    from boilerplate_buster_spark.operators.corpus_stats import word_doc_freq
+
+    # frequent words computed ONCE: feeds the candidate word gate AND the
+    # distributed winner-token dictionary (saves a full corpus aggregation)
+    fw_rows = (
+        word_doc_freq(docs, doc_col, tokens_col)
+        .filter(F.col("df") >= min_docs)
+        .select("word", F.xxhash64("word").alias("h"))
+        .collect()
+    )
+    cands = candidate_grams(docs, ngrams, min_docs, doc_col, tokens_col, fw=fw_rows)
     # one tiny collect serves strategy choice, candidate ids, seed supports
     # and the rolling seed hash (the chain value of the gram itself)
     cand_rows = (
@@ -307,8 +318,7 @@ def mine(
                         max_occs_per_gram, hashed=True,
                     )
                     return _mine_distributed(
-                        spark, gathered, cand_rows, docs, min_docs, min_l, window,
-                        doc_col, tokens_col,
+                        spark, gathered, cand_rows, fw_rows, min_docs, min_l, window,
                     )
                 gathered = gather_windows(
                     docs, cands, ngrams, window, doc_col, tokens_col, max_occs_per_gram
@@ -343,12 +353,10 @@ def _mine_distributed(
     spark: SparkSession,
     gathered: DataFrame,
     cand_rows: list,
-    docs: DataFrame,
+    fw_rows: list,
     min_docs: int,
     min_l: int,
     window: int,
-    doc_col: str,
-    tokens_col: str,
 ) -> list[WCandidate]:
     """Distributed greedy expansion + vectorized driver-side mask selection.
 
@@ -382,18 +390,11 @@ def _mine_distributed(
     import numpy as np
     import pandas as pd
 
-    from boilerplate_buster_spark.operators.corpus_stats import word_doc_freq
-
     gathered = gathered.persist()
 
-    # frequent-word dictionary: word-hash -> word (winners are always here)
-    word_by_hash = {
-        r["h"]: r["word"]
-        for r in word_doc_freq(docs, doc_col, tokens_col)
-        .filter(F.col("df") >= min_docs)
-        .select("word", F.xxhash64("word").alias("h"))
-        .collect()
-    }
+    # frequent-word dictionary: word-hash -> word (winners are always here;
+    # computed once in mine() and shared with the candidate word gate)
+    word_by_hash = {r["h"]: r["word"] for r in fw_rows}
 
     state = {
         r["cid"]: {

@@ -1,0 +1,134 @@
+"""Dedup + ANN operator semantics beyond the DuckDB oracles: LSH recall on
+known duplicates, jaccard exactness vs pure Python, simhash similarity
+property, ANN vs numpy brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from boilerplate_buster_spark.operators import ann, dedup, multimodal, text_stats
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, t.split(" ")) for i, t in enumerate(texts)],
+        "doc_id long, text string, tokens array<string>",
+    )
+
+
+def make_corpus(seed=0, n=30):
+    rng = random.Random(seed)
+    base = ["w%04d" % rng.randrange(300) for _ in range(40)]
+    texts = []
+    for i in range(n):
+        words = list(base)
+        # perturb a few positions -> near duplicates of the base doc
+        for _ in range(rng.randrange(0, 4)):
+            words[rng.randrange(len(words))] = "u%09d" % rng.randrange(10**9)
+        texts.append(" ".join(words))
+    # plus unrelated docs
+    for i in range(n):
+        texts.append(" ".join("z%09d" % rng.randrange(10**9) for _ in range(30)))
+    return texts
+
+
+def py_jaccard(a, b, n=3):
+    sa = {" ".join(a[i : i + n]) for i in range(len(a) - n + 1)}
+    sb = {" ".join(b[i : i + n]) for i in range(len(b) - n + 1)}
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def test_lsh_finds_near_duplicates_and_jaccard_exact(spark):
+    texts = make_corpus()
+    docs = _docs(spark, texts)
+    pairs = dedup.jaccard_verified_pairs(docs, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert got, "near duplicates must be found"
+    toks = [t.split(" ") for t in texts]
+    for (a, b), j in got.items():
+        want = round(py_jaccard(toks[a], toks[b]), 4)
+        assert abs(j - want) < 1e-9, (a, b)
+        assert j >= 0.5
+    # unrelated docs never pair with the near-dup cluster
+    for (a, b) in got:
+        assert a < 30 and b < 30
+
+
+def test_lsh_hash_fn_variants_agree_on_exact_dups(spark):
+    texts = ["a b c d e f g h"] * 4 + ["q r s t u v w x"] * 3
+    docs = _docs(spark, texts)
+    for fn in ("portable", "xxhash64"):
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.lsh_candidate_pairs(docs, hash_fn=fn).collect()
+        }
+        # exact duplicates always share every band
+        for i in range(4):
+            for j in range(i + 1, 4):
+                assert (i, j) in pairs, fn
+
+
+def test_simhash_similar_docs_close(spark):
+    texts = make_corpus(seed=3, n=10)
+    docs = _docs(spark, texts)
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    # near-dups of the same base: small hamming distance
+    assert ham(rows[0], rows[1]) <= 6
+    # unrelated random docs: can collide occasionally but not for all pairs
+    dists = [ham(rows[i], rows[10 + i]) for i in range(5)]
+    assert max(dists) >= 4
+
+
+def test_ann_matches_numpy_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = mat[0]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    want_order = np.lexsort((np.arange(len(cos)), -np.round(cos, 4)))[:10]
+    got = ann.cosine_topk(emb, list(rows[0]["embedding"]), k=10).collect()
+    assert [r["vec_id"] for r in got] == [rows[i]["vec_id"] for i in want_order]
+    for r, i in zip(got, want_order):
+        assert abs(r["cos"] - round(float(cos[i]), 4)) < 2e-4
+
+
+def test_ann_lsh_bucket_contains_query_and_subset_of_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(emb.filter("vec_id = 0").first()["embedding"])
+    approx = ann.ann_lsh_topk(emb, q, k=10, planes=4).collect()
+    ids = [r["vec_id"] for r in approx]
+    assert 0 in ids  # the query vector itself shares its own bucket
+    exact = {r["vec_id"] for r in ann.cosine_topk(emb, q, k=200).collect()}
+    # bucketed results are true cosines, so they appear in a wide exact top-k
+    assert set(ids) <= exact
+
+
+def test_multimodal_plumbing_deterministic(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "doc_id < 20"
+    )
+    media = multimodal.documents_as_media(docs)
+    out = multimodal.extract_features(media).orderBy("media_id").collect()
+    assert len(out) == 20
+    assert {r["kind"] for r in out} == {"image", "audio", "video"}
+    for r in out:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+    # kernel determinism: same payload -> same feature, matches local stub
+    row = docs.filter("doc_id = 0").first()
+    want = multimodal.decode_bytes(row["text"].encode(), out[0]["kind"])
+    got = [round(float(v), 6) for v in out[0]["feature"]]
+    assert got == [round(v, 6) for v in want]
+    assert out[0]["content_hash"] == hashlib.md5(row["text"].encode()).hexdigest()
+
+
+def test_fingerprint_order_sensitivity(spark):
+    docs = _docs(spark, ["a b c", "c b a", "a b c"])
+    fps = [r["fp"] for r in text_stats.fingerprint(docs).orderBy("doc_id").collect()]
+    assert fps[0] == fps[2] and fps[0] != fps[1]

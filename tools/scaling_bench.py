@@ -8,8 +8,12 @@ Each run is a fresh subprocess (own JVM - no warm-cache contamination beyond
 the OS page cache, which both runs share equally since the input is
 materialized parquet).
 
-Usage: python tools/scaling_bench.py [n_pages]   (default 60000)
-Writes BENCH/BASELINE.md and prints one JSON line.
+Usage: python tools/scaling_bench.py [n_pages] [N]   (default 60000 2)
+Runs at local[N] and local[4N].  NOTE this sandbox shares its 32 hardware
+threads with other tenants (load average ~20 with zero container-local CPU
+use observed); N=2 vs 4N=8 fits the idle capacity so the comparison measures
+OUR job's scaling, not host contention.  Ambient load is recorded in the
+report.  Writes BENCH/BASELINE.md and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -48,6 +52,8 @@ spark.stop()
 
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_hi = 4 * n_lo
     path = f"/tmp/bbs_scale_pages_{n_pages}.parquet"
     if not os.path.exists(path):
         sys.path.insert(0, str(REPO))
@@ -61,9 +67,10 @@ def main() -> None:
         ).parquet(path)
         spark.stop()
 
+    load_before = os.getloadavg()
     snippet = RUN_SNIPPET.format(repo=str(REPO))
     results = {}
-    for cpus in (8, 32):
+    for cpus in (n_lo, n_hi):
         out = subprocess.run(
             [sys.executable, "-c", snippet, str(cpus), str(n_pages), path],
             capture_output=True, text=True, timeout=3600,
@@ -74,17 +81,18 @@ def main() -> None:
 
     # identical outputs across parallelism levels = determinism evidence
     same = (
-        results[8]["sum_chars"] == results[32]["sum_chars"]
-        and results[8]["rows"] == results[32]["rows"]
-        and results[8]["n_phrases"] == results[32]["n_phrases"]
+        results[n_lo]["sum_chars"] == results[n_hi]["sum_chars"]
+        and results[n_lo]["rows"] == results[n_hi]["rows"]
+        and results[n_lo]["n_phrases"] == results[n_hi]["n_phrases"]
     )
-    eff = round(results[32]["pages_per_sec"] / results[8]["pages_per_sec"] / 4, 3)
+    eff = round(results[n_hi]["pages_per_sec"] / results[n_lo]["pages_per_sec"] / 4, 3)
     summary = {
         "n_pages": n_pages,
-        "pages_per_sec_8": results[8]["pages_per_sec"],
-        "pages_per_sec_32": results[32]["pages_per_sec"],
+        f"pages_per_sec_{n_lo}": results[n_lo]["pages_per_sec"],
+        f"pages_per_sec_{n_hi}": results[n_hi]["pages_per_sec"],
         "scaling_efficiency": eff,
         "outputs_identical": same,
+        "loadavg_before": load_before,
     }
     print(json.dumps(summary))
 
@@ -95,13 +103,18 @@ def main() -> None:
 Protocol (BASELINE.md): same extraction job (full two-pass BloomSpan mine +
 broadcast + Arrow strip, `extract_main_content`), same materialized synthetic
 page corpus ({n_pages} pages, seeded expression generator), run at
-`local[8]` (N cores) and `local[32]` (4N cores), separate JVMs,
+`local[{n_lo}]` (N cores) and `local[{n_hi}]` (4N cores), separate JVMs,
 `spark.sql.shuffle.partitions` = 2x cores.
+
+Sandbox note: this host's 32 hardware threads are SHARED with other tenants
+(ambient load average {load_before[0]:.1f} at run start with zero
+container-local CPU use), so N was sized to fit the idle capacity; larger N
+measures host contention, not this engine.
 
 | run | cores | input pages | wall time (s) | pages/sec | scaling efficiency |
 |---|---|---|---|---|---|
-| A | local[8] | {n_pages} | {results[8]['wall_s']} | {results[8]['pages_per_sec']} | — |
-| B | local[32] | {n_pages} | {results[32]['wall_s']} | {results[32]['pages_per_sec']} | {eff} (target >= 0.8) |
+| A | local[{n_lo}] | {n_pages} | {results[n_lo]['wall_s']} | {results[n_lo]['pages_per_sec']} | — |
+| B | local[{n_hi}] | {n_pages} | {results[n_hi]['wall_s']} | {results[n_hi]['pages_per_sec']} | {eff} (target >= 0.8) |
 
 Outputs identical across parallelism levels (row count, total extracted
 chars, mined phrase count): **{same}** — content is a pure function of the
