@@ -274,6 +274,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf).select("doc_id", "tokens")
         return bloomspan.mine_df(spark, docs, min_docs=10, ngrams=2)
 
+    def bide_phrases(spark, sf):
+        from boilerplate_buster_spark.operators.closed_patterns import (
+            closed_contiguous_patterns,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200).select("tokens")
+        return closed_contiguous_patterns(spark, docs, min_sup=20, min_l=2, max_len=8)
+
     def extract_pages(spark, sf):
         from boilerplate_buster_spark.operators.extraction import extract_main_content
         from boilerplate_buster_spark.sources import pages as pages_src
@@ -313,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_hourly=events_hourly,
         phrase_parents=phrase_parents,
         bloomspan_documents=bloomspan_documents,
+        bide_phrases=bide_phrases,
         extract_pages=extract_pages,
         ann_lsh=ann_lsh,
         multimodal_features=multimodal_features,

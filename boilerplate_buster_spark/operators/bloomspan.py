@@ -3,27 +3,28 @@
 Pipeline (SURVEY.md section 7; reference: corpus-miner/_ours/bloom_gram_miner.cpp):
 
   docs(doc_id, tokens)
-    -> seed stream: explode n-gram occurrences              [codegen, no Python]
-    -> candidate grams: groupBy(gram).countDistinct(doc)    [shuffle #1; Catalyst
-       plans the distinct as partial dedup on (gram, doc) - uniformly
-       distributed keys even for head grams == the north rule's salted keys]
-    -> threshold df >= min_docs                             [corpus-statistics
-       bounded: boilerplate TEMPLATES, not corpus rows]
-    -> occurrence gather: seeds |X| broadcast(candidates),
-       then join docs on doc_id to slice per-occurrence
-       windows slice(tokens, pos+1, W) + prev token         [shuffle #2, linear]
-    -> driver kernel: score-ordered greedy expansion +
-       occupancy bitmask + backward closure (core/expand.py)
+    -> frequent words: one distinct-doc word aggregate       [shuffle #1;
+       feeds the reference's word-DF gate AND winner-token resolution]
+    -> candidate grams: word-gated per-doc-distinct n-gram
+       counts, threshold support >= min_docs                 [shuffle #2;
+       post-threshold set is corpus-statistics bounded: boilerplate
+       TEMPLATES, not corpus rows]
+    -> occurrence gather: in-scan hash IN-set filter over the
+       corpus, flat BIGINT prefix-hash/token-hash columns     [NO shuffle]
+    -> greedy expansion: per-depth rounds, one 3-column
+       cached scan + a tiny aggregate each                    [distributed]
+    -> sequential selection: score order + occupancy bitmask
+       + backward closure on (cid, doc, pos) integer tuples   [driver, numpy]
 
-The driver step is the reference's inherently sequential stage F
-(":595-706").  What reaches the driver is NOT the corpus: it is one row per
-occurrence OF A SURVIVING CANDIDATE, each carrying a W-token window.  At web
-scale the occurrence lists of head phrases grow with the corpus, so
-``max_occs_per_gram`` caps the gathered postings per gram (deterministic
-xxhash64 sampling) while the EXACT df keeps coming from shuffle #1; the cap
-trades off bitmask fidelity only (phrase set/df stay exact for phrases whose
-expansion path is support-dominated) and is off by default for the
-byte-identical test posture.
+The selection step is the reference's inherently sequential stage F
+(":595-706").  What reaches the driver is NOT the corpus: one integer row
+per occurrence OF A SURVIVING CANDIDATE.  At web scale the occurrence lists
+of head phrases grow with the corpus, so ``max_occs_per_gram`` caps the
+gathered postings per gram (deterministic xxhash64 sampling) while the EXACT
+df keeps coming from the candidate aggregate; the cap trades off bitmask
+fidelity only and is off by default for the byte-identical test posture.
+Small corpora skip all of this: strategy='driver' collects string windows
+and runs the exact kernel (core/expand.py) directly.
 """
 
 from __future__ import annotations
@@ -176,23 +177,43 @@ def gather_windows(
             ).alias("_hs")
         ).select(F.expr(_gramhash_sql("_hs", "1", n)).alias("gh")).collect()
     ]
-    hset = ", ".join(str(h) for h in cand_hashes) or "0"
-    pos_expr = (
-        f"filter(slice(sequence(1, greatest(size({t}) - {n} + 1, 1)), "
-        f"1, greatest(size({t}) - {n} + 1, 0)), "
-        f"i -> ({gh}) IN ({hset}))"
-    )
-    occ = (
-        docs.select(
-            F.col(doc_col),
-            F.col(t),
-            F.expr(f"transform({t}, x -> xxhash64(x))").alias("_hs"),
+    inscan_max = 65536
+    if len(cand_hashes) <= inscan_max:
+        hset = ", ".join(str(h) for h in cand_hashes) or "0"
+        pos_expr = (
+            f"filter(slice(sequence(1, greatest(size({t}) - {n} + 1, 1)), "
+            f"1, greatest(size({t}) - {n} + 1, 0)), "
+            f"i -> ({gh}) IN ({hset}))"
         )
-        .select(doc_col, t, "_hs", F.explode(F.expr(pos_expr)).alias("ipos"))
-        .withColumn("pos", F.expr("ipos - 1"))
-        .withColumn("gram", F.expr(f"array_join(slice({t}, ipos, {n}), ' ')"))
-        .join(F.broadcast(cands), "gram")  # exact: drops hash false positives
-    )
+        occ = (
+            docs.select(
+                F.col(doc_col),
+                F.col(t),
+                F.expr(f"transform({t}, x -> xxhash64(x))").alias("_hs"),
+            )
+            .select(doc_col, t, "_hs", F.explode(F.expr(pos_expr)).alias("ipos"))
+            .withColumn("pos", F.expr("ipos - 1"))
+            .withColumn("gram", F.expr(f"array_join(slice({t}, ipos, {n}), ' ')"))
+            .join(F.broadcast(cands), "gram")  # exact: drops hash false positives
+        )
+    else:
+        # huge candidate set (plan-size limit for the literal IN-set):
+        # enumerate all positions and shuffle-join on gram (AQE handles skew)
+        all_pos = (
+            f"slice(sequence(1, greatest(size({t}) - {n} + 1, 1)), "
+            f"1, greatest(size({t}) - {n} + 1, 0))"
+        )
+        occ = (
+            docs.select(
+                F.col(doc_col),
+                F.col(t),
+                F.expr(f"transform({t}, x -> xxhash64(x))").alias("_hs"),
+            )
+            .select(doc_col, t, "_hs", F.explode(F.expr(all_pos)).alias("ipos"))
+            .withColumn("pos", F.expr("ipos - 1"))
+            .withColumn("gram", F.expr(f"array_join(slice({t}, ipos, {n}), ' ')"))
+            .join(cands, "gram")
+        )
     if max_occs_per_gram is not None:
         # Deterministic pseudo-random rank; keeps exact `support` from the
         # aggregate while bounding driver-bound postings per gram.
