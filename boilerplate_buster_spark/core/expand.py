@@ -44,6 +44,9 @@ class WCandidate:
     tokens: list[str]
     support: int
     occs: list[WOcc] = field(default_factory=list)
+    # canonical example doc ids (<= 2, sorted); populated by the distributed
+    # miner where occs carry doc HASHES rather than identities
+    examples: list | None = None
 
     @property
     def text(self) -> str:

@@ -240,13 +240,19 @@ def gather_windows(
         )
         cols = [
             F.col("cid"),
+            # 64-bit doc hash: the selection only needs doc IDENTITY for
+            # mask keys and distinct counts; real ids stay cluster-side
+            # (example docs come from a dedicated tiny aggregate) and the
+            # driver transfer is pure int64 - far cheaper than strings
+            F.xxhash64(F.col(doc_col)).alias("doc_h"),
             F.col(doc_col).cast("string").alias("doc_id"),
             F.col("pos"),
             F.when(F.col("pos") > 0, F.expr("element_at(_hs, pos)")).alias("prev_h"),
             F.expr(chain_arr).alias("_chain"),
         ]
         flat = [
-            F.col("cid"), F.col("doc_id"), F.col("pos"), F.col("prev_h"),
+            F.col("cid"), F.col("doc_h"), F.col("doc_id"), F.col("pos"),
+            F.col("prev_h"),
         ]
         for i in range(1, window + 1):
             flat.append(F.expr(f"try_element_at(_chain, {i})").alias(f"c{i}"))
@@ -449,7 +455,7 @@ def _mine_distributed(
             )
             .groupBy("cid", F.col(f"c{plen + 1}").alias("next_h"))
             .agg(
-                F.countDistinct("doc_id").alias("sup"),
+                F.countDistinct("doc_h").alias("sup"),
                 F.first(F.col(f"w{plen + 1}")).alias("word_h"),
             )
             .filter(F.col("sup") >= min_docs)
@@ -497,13 +503,33 @@ def _mine_distributed(
         .collect()
     }
 
-    pdf = flagged.select("cid", "doc_id", "pos", "is_final").toPandas()
+    # canonical example docs (first 2 sorted) per candidate: one tiny
+    # distributed job over the persisted table - REAL doc ids never cross to
+    # the driver in bulk
+    from pyspark.sql import Window as _W
+
+    ex_rows = (
+        flagged.filter("is_final")
+        .select("cid", "doc_id")
+        .distinct()
+        .withColumn(
+            "rn", F.row_number().over(_W.partitionBy("cid").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") <= 2)
+        .collect()
+    )
+    examples: dict[int, list[str]] = defaultdict(list)
+    for r in sorted(ex_rows, key=lambda r: (r["cid"], r["doc_id"])):
+        examples[r["cid"]].append(r["doc_id"])
+
+    # int64-only transfer: (cid, doc hash, pos, is_final)
+    pdf = flagged.select("cid", "doc_h", "pos", "is_final").toPandas()
     gathered.unpersist()
 
     # ---- sequential selection (reference stage F), numpy-vectorized with
     # INTERVAL bookkeeping (marks are contiguous ranges; storing intervals
     # instead of positions keeps memory/sorts ~plen times smaller) ----
-    codes, _ = pd.factorize(pdf["doc_id"])
+    codes, _ = pd.factorize(pdf["doc_h"])
     flat = (codes.astype(np.int64) << 32) | pdf["pos"].to_numpy(np.int64)
     cid_arr = pdf["cid"].to_numpy(np.int64)
     isfin_arr = pdf["is_final"].to_numpy(bool)
@@ -553,8 +579,6 @@ def _mine_distributed(
             chunks.clear()
             chunks.append((s2, e2, np.maximum.accumulate(e2)))
 
-    doc_ids = pdf["doc_id"].to_numpy()
-    pos_arr = pdf["pos"].to_numpy()
     out: list[WCandidate] = []
     for cid, st in order:
         rows = idx_by_cid[cid]
@@ -570,12 +594,12 @@ def _mine_distributed(
         if fin_rows.size:
             add_intervals(flat[fin_rows], plen)
         if plen >= min_l:
-            occs = sorted(zip(doc_ids[fin_rows], pos_arr[fin_rows]))
             out.append(
                 WCandidate(
                     st["tokens"],
                     st["support"],
-                    [WOcc(d, int(p), None, []) for d, p in occs],
+                    occs=[],
+                    examples=examples.get(cid, []),
                 )
             )
     return out
@@ -587,8 +611,11 @@ def phrases_to_df(spark: SparkSession, phrases: list[WCandidate]) -> DataFrame:
     set (deviation: reference uses hash-set order)."""
     data = []
     for p in phrases:
-        docs_in = sorted({str(o.doc_id) for o in p.occs})
-        data.append((p.text, p.support, len(p.tokens), docs_in[:2]))
+        if p.examples is not None:
+            ex = list(p.examples)[:2]
+        else:
+            ex = sorted({str(o.doc_id) for o in p.occs})[:2]
+        data.append((p.text, p.support, len(p.tokens), ex))
     data.sort(key=lambda r: (-r[1] * r[2], -r[1], r[0]))
     return spark.createDataFrame(data, RESULT_SCHEMA)
 
