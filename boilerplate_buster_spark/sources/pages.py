@@ -129,7 +129,12 @@ def pages_df_local(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFra
 
 
 def generate_pages_df(
-    spark: SparkSession, n_pages: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_pages: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    filler_min: int = 3,
+    filler_max: int = 7,
 ) -> DataFrame:
     """Expression-only deterministic page corpus of arbitrary size.
 
@@ -143,7 +148,9 @@ def generate_pages_df(
     def h(slot: int) -> str:  # deterministic per (id, slot)
         return f"xxhash64(id, {slot}, {seed})"
 
-    def filler(slot: int, max_words: int = 7, min_words: int = 3) -> str:
+    def filler(slot: int, max_words: int | None = None, min_words: int | None = None) -> str:
+        max_words = filler_max if max_words is None else max_words
+        min_words = filler_min if min_words is None else min_words
         n_words = f"({min_words} + pmod({h(slot)}, {max_words - min_words + 1}))"
         return (
             f"array_join(transform(sequence(1, {n_words}), "

@@ -54,7 +54,9 @@ def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
     n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_hi = 4 * n_lo
-    path = f"/tmp/bbs_scale_pages_{n_pages}.parquet"
+    fmin = int(os.environ.get("BBS_FILLER_MIN", 3))
+    fmax = int(os.environ.get("BBS_FILLER_MAX", 7))
+    path = f"/tmp/bbs_scale_pages_{n_pages}_f{fmin}_{fmax}.parquet"
     if not os.path.exists(path):
         sys.path.insert(0, str(REPO))
         from boilerplate_buster_spark.session import get_spark
@@ -62,9 +64,12 @@ def main() -> None:
 
         spark = get_spark("bbs-scale-gen", master="local[32]", shuffle_partitions=64)
         spark.sparkContext.setLogLevel("ERROR")
-        pages_src.generate_pages_df(spark, n_pages, seed=42, partitions=128).write.mode(
-            "overwrite"
-        ).parquet(path)
+        fmin = int(os.environ.get("BBS_FILLER_MIN", 3))
+        fmax = int(os.environ.get("BBS_FILLER_MAX", 7))
+        pages_src.generate_pages_df(
+            spark, n_pages, seed=42, partitions=128,
+            filler_min=fmin, filler_max=fmax,
+        ).write.mode("overwrite").parquet(path)
         spark.stop()
 
     load_before = os.getloadavg()
