@@ -417,12 +417,28 @@ def _mine_distributed(
     import numpy as np
     import pandas as pd
 
+    import os
+    import time
+
+    _dbg = os.environ.get("BBS_MINE_DEBUG") == "1"
+    _t0 = time.perf_counter()
+
+    def _mark(label):
+        nonlocal _t0
+        if _dbg:
+            now = time.perf_counter()
+            print(f"[mine-debug] {label}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
+
     gathered = gathered.persist()
+    gathered.count()
+    _mark("gather materialize")
 
     # frequent-word dictionary: word-hash -> word (winners are always here;
     # computed once in mine() and shared with the candidate word gate)
     word_by_hash = {r["h"]: r["word"] for r in fw_rows}
 
+    _mark("frequent-word dict")
     state = {
         r["cid"]: {
             "gram": r["gram"],
@@ -482,6 +498,7 @@ def _mine_distributed(
         if not any_won:
             break
         plen += 1
+    _mark("expansion rounds")
 
     # ---- distributed backward-closure verdicts over FINAL occurrences ----
     fin_df = spark.createDataFrame(
@@ -523,8 +540,10 @@ def _mine_distributed(
         examples[r["cid"]].append(r["doc_id"])
 
     # int64-only transfer: (cid, doc hash, pos, is_final)
+    _mark("closure + examples")
     pdf = flagged.select("cid", "doc_h", "pos", "is_final").toPandas()
     gathered.unpersist()
+    _mark(f"toPandas ({len(pdf)} rows)")
 
     # ---- sequential selection (reference stage F), numpy-vectorized with
     # INTERVAL bookkeeping (marks are contiguous ranges; storing intervals
@@ -602,6 +621,7 @@ def _mine_distributed(
                     examples=examples.get(cid, []),
                 )
             )
+    _mark("selection")
     return out
 
 
