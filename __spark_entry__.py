@@ -6,9 +6,9 @@ queries()      - one entry per implemented operator (SURVEY.md section 2 +
 oracle_sql()   - DuckDB twins; every hash/float formula is built from the
                  SAME constants as the Spark operators (portable 60-bit md5
                  hash, identical rounding), so value-hashes match bit-exact.
-Non-SQL-expressible entries (mining, extraction, LSH-approximate ANN,
-multimodal plumbing) intentionally have no oracle - the driver records the
-weaker rows-only check for them.
+Non-SQL-expressible entries (BloomSpan greedy mining, extraction) have no
+oracle - the driver records the weaker rows-only check for them; their exact
+semantics are pinned by pytest goldens against the reference binary instead.
 """
 
 from __future__ import annotations
@@ -123,6 +123,25 @@ def _d_cos(a: str, b: str) -> str:
         )
 
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+_EMB_DIM = 64  # driver testdata embedding dimension (identical at every sf)
+
+
+def _d_hyperplane_bucket(vec: str, planes: int = 6, dim: int = _EMB_DIM) -> str:
+    """DuckDB twin of ann.hyperplane_bucket_expr: bit p = sign of <v, plane_p>,
+    plane_p[i] = +/-1 from the parity of the portable 60-bit md5 of 'p:i'.
+    h60 is non-negative (60-bit), so DuckDB % matches Spark pmod."""
+    terms = []
+    for p in range(planes):
+        seed = f"'{p}'||':'||i"
+        sgn = f"(CASE WHEN {_dh60(seed)} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+        dot = (
+            f"list_sum(list_transform(generate_series(0, {dim - 1}), "
+            f"i -> {vec}[i + 1]::DOUBLE * {sgn}))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
 def _d_simhash_bits() -> str:
@@ -272,7 +291,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from boilerplate_buster_spark.operators import bloomspan
 
         docs = _docs(spark, sf).select("doc_id", "tokens")
-        return bloomspan.mine_df(spark, docs, min_docs=10, ngrams=2)
+        out = bloomspan.mine_df(spark, docs, min_docs=10, ngrams=2)
+        # contract surface must be scalar columns (the driver canonicalizer
+        # sorts/hashes values; lists are unhashable) -> join example docs
+        return out.select(
+            "phrase", "freq", "length",
+            F.array_join("example_docs", "|").alias("example_docs"),
+        )
 
     def bide_phrases(spark, sf):
         from boilerplate_buster_spark.operators.closed_patterns import (
@@ -299,7 +324,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = multimodal.documents_as_media(
             _docs(spark, sf).filter(F.col("doc_id") < 100)
         )
-        return multimodal.extract_features(media)
+        feats = multimodal.extract_features(media)
+        # scalar contract surface: feature floats are digest_byte/255.0, so
+        # round(v*255) recovers the exact byte -> portable integer string
+        return feats.select(
+            "media_id", "kind", "n_bytes", "content_hash",
+            F.expr(
+                "array_join(transform(feature, v -> cast(round(v * 255) AS int)), '|')"
+            ).alias("feature_bytes"),
+        )
 
     q.update(
         word_df=word_df,
@@ -492,5 +525,65 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # closed contiguous patterns (BIDE+/CloSpan, occurrence-count support):
+        # g closed at length k iff freq(g) >= min_sup AND no frequent
+        # (k+1)-gram extending g as prefix OR suffix has EQUAL freq.
+        # Mirrors operators/closed_patterns.py (min_sup=20, min_l=2, max_len=8
+        # -> levels 2..8 checked against levels 3..9).
+        "bide_phrases": """
+            WITH toks AS (SELECT string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 200),
+            g AS (
+              SELECT k, array_to_string(t[i:i+k-1], ' ') AS gram
+              FROM toks,
+                   unnest(generate_series(2, 9)) AS ks(k),
+                   unnest(generate_series(1, greatest(len(t) - k + 1, 0))) AS u(i)
+            ),
+            counts AS (
+              SELECT k, gram, count(*) AS freq FROM g GROUP BY k, gram
+              HAVING count(*) >= 20
+            ),
+            ext AS (SELECT k, string_split(gram, ' ') AS gt, freq
+                    FROM counts WHERE k >= 3),
+            kills AS (
+              SELECT k - 1 AS k, array_to_string(gt[1:k-1], ' ') AS gram, freq FROM ext
+              UNION
+              SELECT k - 1 AS k, array_to_string(gt[2:k], ' ') AS gram, freq FROM ext
+            )
+            SELECT c.gram AS phrase, c.freq AS freq, CAST(c.k AS INT) AS length
+            FROM counts c
+            WHERE c.k BETWEEN 2 AND 8
+              AND NOT EXISTS (SELECT 1 FROM kills kk
+                              WHERE kk.k = c.k AND kk.gram = c.gram
+                                AND kk.freq = c.freq)
+        """,
+        "ann_lsh": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            qb AS (SELECT {_d_hyperplane_bucket('qv')} AS qbucket FROM q),
+            b AS (SELECT vec_id, embedding,
+                         {_d_hyperplane_bucket('embedding')} AS bucket
+                  FROM embeddings)
+            SELECT vec_id, round({_d_cos('embedding', 'qv')}, 4) AS cos
+            FROM b, q, qb
+            WHERE bucket = qbucket
+            ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        # multimodal stub decoder is deterministic sha256 -> SQL-expressible:
+        # feature byte i = digest byte i of sha256(kind || payload)
+        "multimodal_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+                     text
+              FROM documents WHERE doc_id < 100
+            )
+            SELECT media_id, kind,
+                   strlen(text) AS n_bytes,
+                   md5(text) AS content_hash,
+                   array_to_string(list_transform(generate_series(1, 8),
+                     i -> ('0x' || substr(sha256(kind || text), 2*i - 1, 2))::INT),
+                     '|') AS feature_bytes
+            FROM m
         """,
     }

@@ -56,8 +56,10 @@ def test_candidate_grams_dedup_and_gate_before_shuffle(spark):
     assert "array_distinct" in plan
     assert plan.count("HashAggregate") >= 2
     assert "partial_count" in plan or "count(1)" in plan
-    # the reference's word-DF gate (P3) runs inside the scan
-    assert "forall" in plan
+    # the reference's word-DF gate (P3) runs inside the scan: per-token
+    # xxhash64 membership materialized once as the _ok boolean array
+    assert "xxhash64" in plan
+    assert "_ok" in plan
 
 
 def test_parquet_pushdown_and_pruning(spark):

@@ -29,17 +29,22 @@ def main() -> None:
                     choices=["bloomspan", "bide", "clospan"])
     ap.add_argument("--n", type=int, default=10, help="min docs / min support")
     ap.add_argument("--ngrams", type=int, default=4)
-    ap.add_argument("--min-l", type=int, default=None)
+    # reference spelling is --min_l (main.cpp:51); accept both
+    ap.add_argument("--min-l", "--min_l", dest="min_l", type=int, default=None)
     ap.add_argument("--mask", default=None)
     ap.add_argument("--sampling", type=float, default=None)
     ap.add_argument("--csv-delimiter", default=",")
     ap.add_argument("--output", default="results_max.csv")
     ap.add_argument("--threads", type=int, default=None)
-    # accepted-but-ignored reference flags (Spark manages memory/caching)
+    # accepted-but-ignored reference flags (Spark manages memory/caching; the
+    # SPMF exchange format is served by sources/sinks.py, not a java bridge)
     ap.add_argument("--mem", type=int, default=None)
     ap.add_argument("--in-mem", action="store_true")
     ap.add_argument("--preload", action="store_true")
     ap.add_argument("--cache", type=int, default=None)
+    ap.add_argument("--spmf", action="store_true")
+    ap.add_argument("--spmf-params", default=None)
+    ap.add_argument("--spmf-jar-location", default=None)
     args = ap.parse_args()
 
     from boilerplate_buster_spark.functions.tokenizer import tokens
