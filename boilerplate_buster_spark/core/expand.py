@@ -65,13 +65,15 @@ def expand_windowed(
     min_l: int,
     *,
     window: int,
+    stats: dict | None = None,
 ) -> list[WCandidate]:
     """Score-ordered greedy expansion + occupancy bitmask + backward closure.
 
     Deterministic deviations from the reference's unstable ties are documented
     in core/pyref.py.  ``window`` is W, the gathered slice length; expansion
     reaching W raises :class:`WindowExhausted` (phrase might continue beyond
-    the gathered slice).
+    the gathered slice).  ``stats`` (optional dict) receives the selection
+    counters of the M5 mining-statistics table.
     """
     candidates = sorted(
         candidates,
@@ -80,10 +82,12 @@ def expand_windowed(
 
     processed: dict[int | str, set[int]] = defaultdict(set)
     final: list[WCandidate] = []
+    n_skipped = n_closed = 0
 
     for cand in candidates:
         # Skip iff ALL occurrence START positions already covered (":633-640").
         if all(o.pos in processed[o.doc_id] for o in cand.occs):
+            n_skipped += 1
             continue
 
         # Greedy right-expansion (":642-673").
@@ -115,6 +119,7 @@ def expand_windowed(
         if cand.occs:
             prev0 = cand.occs[0].prev
             if prev0 is not None and all(o.prev == prev0 for o in cand.occs):
+                n_closed += 1
                 continue
 
         plen = len(cand.tokens)
@@ -124,4 +129,8 @@ def expand_windowed(
         if plen >= min_l:  # ":703-705"
             final.append(cand)
 
+    if stats is not None:
+        stats.update(
+            selection_skipped_covered=n_skipped, selection_dropped_closure=n_closed
+        )
     return final

@@ -208,6 +208,71 @@ def clospan_mine(docs, min_docs, min_l=1, **_):
     return _closed_mine(docs, min_docs, min_l, clospan_early_exit=True)
 
 
+def prefixspan_mine(
+    docs: list[list[str]],
+    min_docs: int,
+    min_l: int = 1,
+    mode: str = "closed",
+) -> list[Phrase]:
+    """LCM-seq contiguous PrefixSpan with ALL/CLOSED/MAXIMAL output modes
+    (reference: prefixspan/corpus_miner.h:18 MiningMode, decision logic at
+    prefixspan/corpus_miner.cpp:128-142; the shipped binary hardcodes
+    MODE_CLOSED at corpus_miner.cpp:212).
+
+    Semantics replicated exactly, including the reference's quirks:
+      * support = UNIQUE-DOC count (occ_delivery, corpus_miner.cpp:69-93);
+      * projections whose match ends at the LAST token of a doc are dropped
+        from the projected database (corpus_miner.cpp:170-177), so a pattern
+        whose every occurrence ends a document is never emitted (the child
+        call guarding output is skipped when next_db is empty, ":180-182");
+      * ALL: every frequent prefix; CLOSED: no frequent extension with EQUAL
+        support; MAXIMAL: no frequent extension at all (":134-141").
+    Support counting itself is unaffected by the end-of-doc drop: the count
+    for prefix+token is taken BEFORE the drop.
+    """
+    mode = mode.lower()
+    if mode not in ("all", "closed", "maximal"):
+        raise ValueError(f"unknown mode {mode!r}")
+    results: list[Phrase] = []
+    initial_db = [
+        (d, p) for d, doc in enumerate(docs) if doc for p in range(len(doc))
+    ]
+    initial_support = len({d for d, _ in initial_db})
+    # stack entries: (prefix, projected db [(doc, next-pos)], support)
+    stack = [([], initial_db, initial_support)]
+    while stack:
+        prefix, db, cur_sup = stack.pop()
+        item_docs: dict[str, set[int]] = defaultdict(set)
+        by_token: dict[str, list[tuple[int, int]]] = defaultdict(list)
+        for d, p in db:
+            doc = docs[d]
+            if p < len(doc):
+                tok = doc[p]
+                item_docs[tok].add(d)
+                by_token[tok].append((d, p))
+        has_freq_ext = any(len(s) >= min_docs for s in item_docs.values())
+        has_equal_sup_ext = any(
+            len(s) >= min_docs and len(s) == cur_sup for s in item_docs.values()
+        )
+        if len(prefix) >= min_l and (
+            mode == "all"
+            or (mode == "maximal" and not has_freq_ext)
+            or (mode == "closed" and not has_equal_sup_ext)
+        ):
+            results.append(
+                Phrase(list(prefix), cur_sup, [(d, p - len(prefix)) for d, p in db])
+            )
+        for tok in sorted(item_docs):
+            sup = len(item_docs[tok])
+            if sup >= min_docs:
+                next_db = [
+                    (d, p + 1) for d, p in by_token[tok] if p + 1 < len(docs[d])
+                ]
+                if next_db:
+                    stack.append((prefix + [tok], next_db, sup))
+    return results
+
+
 def canonical_rows(
     phrases: list[Phrase], doc_names: list[str] | None = None
 ) -> list[tuple[str, int, int, tuple[str, ...]]]:

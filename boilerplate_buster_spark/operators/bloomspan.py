@@ -11,20 +11,21 @@ Pipeline (SURVEY.md section 7; reference: corpus-miner/_ours/bloom_gram_miner.cp
        TEMPLATES, not corpus rows]
     -> occurrence gather: in-scan hash IN-set filter over the
        corpus, flat BIGINT prefix-hash/token-hash columns     [NO shuffle]
-    -> greedy expansion: per-depth rounds, one 3-column
-       cached scan + a tiny aggregate each                    [distributed]
+    -> greedy expansion: ONE path-tree edge aggregation over
+       all depths, HAVING sup >= min_docs before collect      [one shuffle]
     -> sequential selection: score order + occupancy bitmask
        + backward closure on (cid, doc, pos) integer tuples   [driver, numpy]
 
 The selection step is the reference's inherently sequential stage F
-(":595-706").  What reaches the driver is NOT the corpus: one integer row
-per occurrence OF A SURVIVING CANDIDATE.  At web scale the occurrence lists
-of head phrases grow with the corpus, so ``max_occs_per_gram`` caps the
-gathered postings per gram (deterministic xxhash64 sampling) while the EXACT
-df keeps coming from the candidate aggregate; the cap trades off bitmask
-fidelity only and is off by default for the byte-identical test posture.
-Small corpora skip all of this: strategy='driver' collects string windows
-and runs the exact kernel (core/expand.py) directly.
+(":595-706").  What reaches the driver is NOT the corpus: the frequent edge
+table (bounded by boilerplate path structure) plus one integer row per
+occurrence OF A SURVIVING CANDIDATE.  At web scale the occurrence lists of
+head phrases grow with the corpus, so ``max_occs_per_gram`` (default "auto"
+-> AUTO_MAX_OCCS on the distributed path) caps the gathered postings per
+gram (deterministic xxhash64 sampling) while the EXACT df keeps coming from
+the candidate aggregate; the cap trades off bitmask fidelity only.  Small
+corpora skip all of this: strategy='driver' collects string windows and runs
+the exact kernel (core/expand.py) directly.
 """
 
 from __future__ import annotations
@@ -70,6 +71,56 @@ def _gramhash_sql(hs_ref: str, i: str, n: int) -> str:
     return " ^ ".join(terms)
 
 
+BITMAP_BITS_DEFAULT = 1 << 22  # 4 Mbit -> 64 KiB packed; fpr ~ vocab/bits per probe
+
+
+def packed_word_bitmap(
+    spark: SparkSession, fw_df: DataFrame, bits: int = BITMAP_BITS_DEFAULT
+) -> DataFrame:
+    """Scale path of the reference's P3 word-DF gate
+    (bloom_gram_miner.cpp:414-421): a 2-probe Bloom bitmap over the frequent
+    words, packed driver-side into a single array<bigint> row and broadcast.
+
+    Spark's internal bloom_filter_agg is NOT in the public function registry
+    (UNRESOLVED_ROUTINE on 4.1), so the filter is built from public ops: the
+    cluster aggregates the DISTINCT bit positions (bounded by `bits`, NEVER by
+    vocabulary size - the driver-memory cliff of a full word collect is what
+    this replaces), the driver packs them into bits//64 longs.  False
+    positives only ADD candidate grams; the exact support threshold keeps the
+    mined set exact."""
+    import numpy as np
+
+    pos = (
+        fw_df.select(
+            F.explode(
+                F.expr(f"array(pmod(xxhash64(word), {bits}), pmod(xxhash64(word, 7), {bits}))")
+            ).alias("bit")
+        )
+        .distinct()
+        .collect()
+    )
+    packed = np.zeros(bits // 64, dtype=np.uint64)
+    for r in pos:
+        b = r["bit"]
+        packed[b >> 6] |= np.uint64(1) << np.uint64(b & 63)
+    vals = [int(v) for v in packed.view(np.int64)]
+    return spark.createDataFrame([(vals,)], "bf array<bigint>")
+
+
+def _bitmap_probe(x: str, bits: int = BITMAP_BITS_DEFAULT) -> str:
+    """SQL predicate: token `x` passes both bitmap probes (bf column in scope).
+    shiftright on bigint is arithmetic, which still lands the target bit at
+    position 0 before the & 1 mask - bit 63 included."""
+    tests = []
+    for probe in ("xxhash64(x)", "xxhash64(x, 7)"):
+        h = f"pmod({probe}, {bits})"
+        tests.append(
+            f"((shiftright(element_at(bf, cast(shiftright({h}, 6) AS int) + 1), "
+            f"cast({h} & 63 AS int)) & 1) = 1)"
+        )
+    return " AND ".join(tests)
+
+
 def candidate_grams(
     docs: DataFrame,
     n: int,
@@ -78,6 +129,8 @@ def candidate_grams(
     tokens_col: str,
     word_gate_max: int = 2048,
     fw: list | None = None,
+    bitmap_df: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(gram, support): n-grams in >= min_docs DISTINCT docs (stages A-D).
     Exact replacement of Bloom pass + word-DF gate + external merge
@@ -90,15 +143,19 @@ def candidate_grams(
         map-side -> the agg is a plain count, no distinct rewrite/Expand);
       * the reference's word-DF gate (P3, bloom_gram_miner.cpp:414-421):
         every token of a qualifying gram is itself in >= min_docs docs, so
-        grams touching any rare word are dropped at the scan.  Applied as a
-        literal IN-set when the frequent-word set is small (<= word_gate_max,
-        the common case for boilerplate thresholds); skipped otherwise (a
-        bloom_filter_agg gate is the scale-up path).
+        grams touching any rare word are dropped at the scan.  Small
+        frequent-word sets (<= word_gate_max) gate via a literal hash IN-set;
+        larger vocabularies gate via the broadcast packed bitmap
+        (`bitmap_df`, see packed_word_bitmap) - no unbounded driver collect.
+
+    `stats` (optional dict) receives the M5 mining-statistics counters
+    seeds_total / seeds_accepted / seeds_rejected / pct_reduction
+    (bloom_gram_miner.cpp:447-454) at the cost of one extra aggregate job.
     """
     from boilerplate_buster_spark.operators.corpus_stats import word_doc_freq
 
     t = tokens_col
-    if fw is None:
+    if fw is None and bitmap_df is None:
         fw = (
             word_doc_freq(docs, doc_col, tokens_col)
             .filter(F.col("df") >= min_docs)
@@ -109,8 +166,14 @@ def candidate_grams(
         f"slice(sequence(1, greatest(size({t}) - {n} + 1, 1)), "
         f"1, greatest(size({t}) - {n} + 1, 0))"
     )
-    src_df = docs
-    if len(fw) <= word_gate_max:
+    src_df = None
+    if bitmap_df is not None:
+        # bitmap probes per TOKEN (not per gram position), broadcast 1-row bf
+        src_df = docs.crossJoin(F.broadcast(bitmap_df)).select(
+            F.col(t),
+            F.expr(f"transform({t}, x -> {_bitmap_probe('x')})").alias("_ok"),
+        )
+    elif len(fw) <= word_gate_max:
         # membership on 64-bit token hashes, computed ONCE per token -
         # literal IN-lists are linear scans in codegen, so comparing longs
         # (not strings) and testing each token once (not once per gram)
@@ -121,8 +184,11 @@ def candidate_grams(
             F.col(t),
             F.expr(f"transform({t}, x -> xxhash64(x) IN ({hset}))").alias("_ok"),
         )
+    if src_df is not None:
         conj = " AND ".join(f"element_at(_ok, i + {k})" for k in range(n))
         pos_seq = f"filter({pos_seq}, i -> {conj})"
+    else:
+        src_df = docs
     per_doc = src_df.select(
         F.explode(
             F.expr(
@@ -130,11 +196,20 @@ def candidate_grams(
             )
         ).alias("gram")
     )
-    return (
-        per_doc.groupBy("gram")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= min_docs)
-    )
+    grouped = per_doc.groupBy("gram").agg(F.count("*").alias("support"))
+    if stats is not None:
+        row = grouped.agg(
+            F.count("*").alias("total"),
+            F.sum(F.expr(f"IF(support >= {min_docs}, 1, 0)")).alias("acc"),
+        ).first()
+        total, acc = row["total"], int(row["acc"] or 0)
+        stats.update(
+            seeds_total=total,
+            seeds_accepted=acc,
+            seeds_rejected=total - acc,
+            pct_reduction=round(100.0 * (total - acc) / total, 2) if total else 0.0,
+        )
+    return grouped.filter(F.col("support") >= min_docs)
 
 
 def gather_windows(
@@ -270,6 +345,17 @@ def gather_windows(
     )
 
 
+#: distributed-strategy default for max_occs_per_gram ("auto"): bounds the
+#: per-gram postings gathered/transferred while the EXACT support keeps
+#: coming from the candidate aggregate.  Only bitmask/closure fidelity of
+#: beyond-cap occurrences is traded; at web scale head phrases have
+#: occurrence counts proportional to the corpus, so an uncapped gather is a
+#: driver-transfer cliff.  Pass None explicitly for the byte-identical
+#: posture (the pytest goldens and driver/distributed equivalence tests run
+#: far below the cap, where "auto" is exact anyway).
+AUTO_MAX_OCCS = 100_000
+
+
 def mine(
     spark: SparkSession,
     docs: DataFrame,
@@ -279,21 +365,33 @@ def mine(
     doc_col: str = "doc_id",
     tokens_col: str = "tokens",
     window: int = 16,
-    max_occs_per_gram: int | None = None,
+    max_occs_per_gram: int | None | str = "auto",
     strategy: str = "auto",
     auto_threshold: int = 150_000,
+    word_gate_max: int = 2048,
+    stats: dict | None = None,
 ) -> list[WCandidate]:
     """Run the full miner; returns the final phrase list (driver-side, small).
 
-    strategy='distributed': greedy expansion runs as iterative DataFrame
-    rounds - occurrence windows never leave the cluster; only integer
-    (gram, doc, pos) tuples reach the driver for the sequential
-    occupancy-mask selection.  strategy='driver': collect the windows and run
-    the whole kernel driver-side (exact same outputs; per-round Spark job
-    overhead dominates on small corpora, giant collect dominates on large
-    ones).  'auto' (default) picks by total candidate-occurrence count
+    strategy='distributed': greedy expansion runs as ONE path-tree edge
+    aggregation over cluster-resident occurrence windows (all depths counted
+    together; sub-threshold edges never leave the cluster), then the driver
+    replays the greedy walk over the frequent edges and the sequential
+    occupancy-mask selection over integer (gram, doc, pos) tuples.
+    strategy='driver': collect the windows and run the whole kernel
+    driver-side (exact same outputs; giant collect dominates on large
+    corpora).  'auto' (default) picks by total candidate-occurrence count
     (< auto_threshold -> driver).  All retry with doubled W if a phrase
-    outgrows the gathered windows."""
+    outgrows the gathered windows.
+
+    The frequent-word set backing the P3 word gate is collected ONLY when it
+    fits word_gate_max (bounded limit-probe, never an unconditional full
+    collect); larger vocabularies gate through the broadcast packed bitmap
+    and resolve winner tokens via a distributed join (see packed_word_bitmap).
+
+    `stats` (optional dict) receives the M5 mining-statistics table
+    (bloom_gram_miner.cpp:447-454,710-718): seed totals, accepted/rejected,
+    %reduction, phrases_total, phrases_6plus, selection counters."""
     if min_l is None:
         min_l = ngrams  # main.cpp:67
 
@@ -305,14 +403,44 @@ def mine(
     from boilerplate_buster_spark.operators.corpus_stats import word_doc_freq
 
     # frequent words computed ONCE: feeds the candidate word gate AND the
-    # distributed winner-token dictionary (saves a full corpus aggregation)
-    fw_rows = (
+    # winner-token resolution.  limit(word_gate_max+1) bounds the collect:
+    # if the probe comes back full, the vocabulary is too big for a literal
+    # IN-set/driver dict and the bitmap + join path takes over.
+    fw_df = (
         word_doc_freq(docs, doc_col, tokens_col)
         .filter(F.col("df") >= min_docs)
         .select("word", F.xxhash64("word").alias("h"))
-        .collect()
     )
-    cands = candidate_grams(docs, ngrams, min_docs, doc_col, tokens_col, fw=fw_rows)
+    probe = fw_df.limit(word_gate_max + 1).collect()
+    fw_cached = None
+    if len(probe) <= word_gate_max:
+        fw_rows = probe
+        word_by_hash = {r["h"]: r["word"] for r in fw_rows}
+
+        def resolve_words(hashes: set) -> dict:
+            return {h: word_by_hash[h] for h in hashes}
+
+        cands = candidate_grams(
+            docs, ngrams, min_docs, doc_col, tokens_col,
+            word_gate_max=word_gate_max, fw=fw_rows, stats=stats,
+        )
+    else:
+        fw_cached = fw_df.persist()
+        bitmap_df = packed_word_bitmap(spark, fw_cached)
+
+        def resolve_words(hashes: set) -> dict:
+            if not hashes:
+                return {}
+            hdf = spark.createDataFrame([(h,) for h in hashes], "h bigint")
+            return {
+                r["h"]: r["word"]
+                for r in fw_cached.join(F.broadcast(hdf), "h").collect()
+            }
+
+        cands = candidate_grams(
+            docs, ngrams, min_docs, doc_col, tokens_col,
+            word_gate_max=word_gate_max, bitmap_df=bitmap_df, stats=stats,
+        )
     # one tiny collect serves strategy choice, candidate ids, seed supports
     # and the rolling seed hash (the chain value of the gram itself)
     cand_rows = (
@@ -325,7 +453,13 @@ def mine(
         .withColumn("cid", F.expr("row_number() OVER (ORDER BY gram)"))
         .collect()
     )
+    if stats is not None:
+        stats.setdefault("candidates_after_merge", len(cand_rows))
     if not cand_rows:
+        if fw_cached is not None:
+            fw_cached.unpersist()
+        if stats is not None:
+            stats.update(phrases_total=0, phrases_6plus=0)
         return []
     cands = spark.createDataFrame(
         [(r["cid"], r["gram"], r["support"]) for r in cand_rows],
@@ -336,6 +470,8 @@ def mine(
         # pick the execution strategy
         total_occs = sum(r["support"] for r in cand_rows)
         strategy = "driver" if total_occs < auto_threshold else "distributed"
+    if max_occs_per_gram == "auto":
+        max_occs_per_gram = AUTO_MAX_OCCS if strategy == "distributed" else None
     try:
         while True:
             try:
@@ -344,21 +480,33 @@ def mine(
                         docs, cands, ngrams, window, doc_col, tokens_col,
                         max_occs_per_gram, hashed=True,
                     )
-                    return _mine_distributed(
-                        spark, gathered, cand_rows, fw_rows, min_docs, min_l, window,
+                    out = _mine_distributed(
+                        spark, gathered, cand_rows, resolve_words,
+                        min_docs, min_l, window, stats=stats,
                     )
-                gathered = gather_windows(
-                    docs, cands, ngrams, window, doc_col, tokens_col, max_occs_per_gram
-                )
-                return _mine_driver(gathered, min_docs, min_l, window)
+                else:
+                    gathered = gather_windows(
+                        docs, cands, ngrams, window, doc_col, tokens_col,
+                        max_occs_per_gram,
+                    )
+                    out = _mine_driver(gathered, min_docs, min_l, window, stats=stats)
+                if stats is not None:
+                    stats.update(
+                        phrases_total=len(out),
+                        phrases_6plus=sum(1 for p in out if len(p.tokens) >= 6),
+                    )
+                return out
             except WindowExhausted:
                 window *= 2
     finally:
         cands.unpersist()
+        if fw_cached is not None:
+            fw_cached.unpersist()
 
 
 def _mine_driver(
-    gathered: DataFrame, min_docs: int, min_l: int, window: int
+    gathered: DataFrame, min_docs: int, min_l: int, window: int,
+    stats: dict | None = None,
 ) -> list[WCandidate]:
     """Collect the windows and run the exact sequential kernel driver-side."""
     rows = gathered.select("gram", "support", "doc_id", "pos", "prev", "window").collect()
@@ -373,47 +521,56 @@ def _mine_driver(
     for gram, lst in occ_sort.items():
         lst.sort(key=lambda x: (x[0], x[1]))  # canonical occ order
         by_gram[gram].occs = [x[2] for x in lst]
-    return expand_windowed(list(by_gram.values()), min_docs, min_l, window=window)
+    return expand_windowed(
+        list(by_gram.values()), min_docs, min_l, window=window, stats=stats
+    )
 
 
 def _mine_distributed(
     spark: SparkSession,
     gathered: DataFrame,
     cand_rows: list,
-    fw_rows: list,
+    resolve_words,
     min_docs: int,
     min_l: int,
     window: int,
+    stats: dict | None = None,
 ) -> list[WCandidate]:
     """Distributed greedy expansion + vectorized driver-side mask selection.
 
     Expansion of a candidate never depends on the occupancy bitmask (the mask
     only gates skip-before/mark-after, bloom_gram_miner.cpp:633-640,697-702),
-    so all candidates' greedy walks run together as per-depth ROUNDS over the
-    cluster-resident occurrence table.  The table layout is FLAT BIGINT
-    columns (c<i> = rolling prefix hash of window[0..i), w<i> = token hash at
-    window position i) and - because every alive candidate extends by exactly
-    one token per round - the prefix length is GLOBAL per round, so round r
-    reads exactly three long columns (c_plen, c_plen+1, w_plen+1):
+    so all candidates' greedy walks are served by ONE path-tree edge
+    aggregation over the cluster-resident occurrence table.  The table layout
+    is FLAT BIGINT columns (c<i> = rolling prefix hash of window[0..i),
+    w<i> = token hash at window position i); `stack` unpivots each occurrence
+    into its (depth, prefix-hash, next-hash, next-word-hash) edges and one
+    two-level aggregate counts DISTINCT docs per edge:
 
-      round: alive occ = c_plen == current path hash of its candidate
-             groupBy(cid, c_plen+1).agg(countDistinct(doc), first(w_plen+1))
-             winner = max support (>= min_docs), tie min token string
+      edges: stack -> groupBy(cid, d, c_{d+1}).agg(countDistinct(doc_h))
+             HAVING sup >= min_docs        <- noise edges die cluster-side
+      walk:  driver follows max-support frequent edges from the seed hash
+             (tie -> smallest winner-token string), zero further jobs
 
-    Thresholding applies before the next depth exactly like the reference,
-    so noise paths never become aggregation state.  Winner token STRINGS are
-    resolved through the frequent-word dictionary (a winner follows the
-    prefix in >= min_docs docs, hence its word-df >= min_docs).
+    Because the prefix hash c_d encodes the ENTIRE path, counting all depths
+    together is exact: edges of different prefixes can never merge (modulo
+    the documented 2^-64 chain-collision caveat, guarded by the
+    driver/distributed equivalence tests).  Sub-threshold edges - the
+    overwhelming majority on noise candidates - are filtered before collect,
+    so driver transfer is bounded by the FREQUENT path structure (boilerplate
+    templates), not the corpus.  This replaces the round-1 per-depth rounds
+    (one Spark job per depth, ~12 jobs of fixed overhead each).
 
-    Hash note: prefixes are compared by 64-bit chain values; a collision
-    (~2^-64 per pair) could merge two prefixes - guarded by the
-    driver/distributed equivalence tests.
+    Winner token STRINGS come from `resolve_words` (in-memory dict when the
+    frequent-word set was small enough to collect; a broadcast-hash join
+    against the cached frequent-word frame otherwise - never an unbounded
+    collect).
 
-    Backward closure (":675-695") is a distributed aggregate over final
-    occurrences.  The driver then receives (cid, doc_id, pos, is_final)
-    tuples and replays the sequential score-ordered selection with
-    interval-based numpy mask bookkeeping.
-    """
+    Backward closure (":675-695") needs no extra cluster job: the driver
+    transfer carries (cid, doc_h, pos, prev_h, is_final) int64 tuples and the
+    n_pos0 / distinct-prev closure counters reduce in pandas before the
+    sequential score-ordered selection with interval-based numpy mask
+    bookkeeping."""
     import numpy as np
     import pandas as pd
 
@@ -434,11 +591,6 @@ def _mine_distributed(
     gathered.count()
     _mark("gather materialize")
 
-    # frequent-word dictionary: word-hash -> word (winners are always here;
-    # computed once in mine() and shared with the candidate word gate)
-    word_by_hash = {r["h"]: r["word"] for r in fw_rows}
-
-    _mark("frequent-word dict")
     state = {
         r["cid"]: {
             "gram": r["gram"],
@@ -446,79 +598,75 @@ def _mine_distributed(
             "support": r["support"],
             "seed_support": r["support"],
             "h": r["h0"],
-            "alive": True,
         }
         for r in cand_rows
     }
     n = len(cand_rows[0]["gram"].split(" "))
 
-    # ---- greedy rounds (plen is global: every alive candidate has extended
-    # exactly once per round) ----
-    plen = n
-    while True:
-        alive = [(cid, st["h"]) for cid, st in state.items() if st["alive"]]
-        if not alive:
-            break
-        if plen >= window:
-            gathered.unpersist()
-            raise WindowExhausted(f"phrase reached window W={window}")
-        cur_df = spark.createDataFrame(alive, "cid int, cur_h long")
-        counts = (
-            gathered.join(F.broadcast(cur_df), "cid")
-            .filter(
-                (F.col(f"c{plen}") == F.col("cur_h"))
-                & F.col(f"c{plen + 1}").isNotNull()
-            )
-            .groupBy("cid", F.col(f"c{plen + 1}").alias("next_h"))
-            .agg(
-                F.countDistinct("doc_h").alias("sup"),
-                F.first(F.col(f"w{plen + 1}")).alias("word_h"),
-            )
-            .filter(F.col("sup") >= min_docs)
-            .collect()
+    # ---- one-shot path-tree edge aggregation over ALL depths ----
+    stack_args = ", ".join(
+        f"{d}, c{d}, c{d + 1}, w{d + 1}" for d in range(n, window)
+    )
+    edge_rows = (
+        gathered.selectExpr(
+            "cid", "doc_h", f"stack({window - n}, {stack_args}) AS (d, cur, nxt, w_h)"
         )
-        by_cid: dict[int, list] = defaultdict(list)
-        for r in counts:
-            tok = word_by_hash[r["word_h"]]  # winner words are frequent words
-            by_cid[r["cid"]].append((tok, r["sup"], r["next_h"]))
-        any_won = False
-        for cid, _ in alive:
-            options = by_cid.get(cid)
-            if not options:
-                state[cid]["alive"] = False
-                continue
-            # winner: max unique-doc support, tie -> smallest token string
-            best_sup = max(o[1] for o in options)
-            tok, sup, nh = min(o for o in options if o[1] == best_sup)
-            st = state[cid]
-            st["tokens"].append(tok)
-            st["support"] = sup
-            st["h"] = nh
-            any_won = True
-        if not any_won:
-            break
-        plen += 1
-    _mark("expansion rounds")
+        .filter("nxt IS NOT NULL")
+        .groupBy("cid", "d", "nxt")
+        .agg(
+            F.countDistinct("doc_h").alias("sup"),
+            F.first("cur").alias("cur"),
+            F.first("w_h").alias("w_h"),
+        )
+        .filter(F.col("sup") >= min_docs)
+        .collect()
+    )
+    _mark(f"edge aggregation ({len(edge_rows)} frequent edges)")
 
-    # ---- distributed backward-closure verdicts over FINAL occurrences ----
+    words = resolve_words({r["w_h"] for r in edge_rows})
+    by_cur: dict[tuple, list] = defaultdict(list)
+    for r in edge_rows:
+        by_cur[(r["cid"], r["d"], r["cur"])].append((r["sup"], r["w_h"], r["nxt"]))
+
+    # ---- greedy walk per candidate over the frequent edges (driver, free) --
+    for cid, st in state.items():
+        plen, h = n, st["h"]
+        while True:
+            options = by_cur.get((cid, plen, h))
+            if not options:
+                break
+            best_sup = max(o[0] for o in options)
+            # winner: max unique-doc support, tie -> smallest token string
+            tok, _, nxt = min(
+                (words[w_h], w_h, o_nxt)
+                for sup, w_h, o_nxt in options
+                if sup == best_sup
+            )
+            st["tokens"].append(tok)
+            st["support"] = best_sup
+            h = nxt
+            plen += 1
+            if plen >= window:
+                gathered.unpersist()
+                raise WindowExhausted(f"phrase reached window W={window}")
+        st["h"] = h
+    _mark("greedy walk")
+
+    # ---- flag FINAL occurrences (per-cid final chain hash); only the c
+    # columns of lengths that actually occur are read from cache ----
     fin_df = spark.createDataFrame(
         [(cid, len(st["tokens"]), st["h"]) for cid, st in state.items()],
         "cid int, flen int, fin_h long",
     )
-    carr = "array(" + ", ".join(f"c{i}" for i in range(1, window + 1)) + ")"
-    flagged = gathered.join(F.broadcast(fin_df), "cid").withColumn(
-        "is_final", F.expr(f"try_element_at({carr}, flen)") == F.col("fin_h")
+    flens = sorted({len(st["tokens"]) for st in state.values()})
+    fin_case = (
+        "CASE flen "
+        + " ".join(f"WHEN {f} THEN (c{f} = fin_h)" for f in flens)
+        + " END"
     )
-    closure = {
-        r["cid"]: (r["n_pos0"], r["n_prev"])
-        for r in flagged.filter("is_final")
-        .groupBy("cid")
-        .agg(
-            F.sum(F.expr("IF(pos = 0, 1, 0)")).alias("n_pos0"),
-            F.countDistinct("prev_h").alias("n_prev"),
-        )
-        .collect()
-    }
+    flagged = gathered.join(F.broadcast(fin_df), "cid").withColumn(
+        "is_final", F.coalesce(F.expr(fin_case), F.lit(False))
+    )
 
     # canonical example docs (first 2 sorted) per candidate: one tiny
     # distributed job over the persisted table - REAL doc ids never cross to
@@ -538,12 +686,22 @@ def _mine_distributed(
     examples: dict[int, list[str]] = defaultdict(list)
     for r in sorted(ex_rows, key=lambda r: (r["cid"], r["doc_id"])):
         examples[r["cid"]].append(r["doc_id"])
+    _mark("examples")
 
-    # int64-only transfer: (cid, doc hash, pos, is_final)
-    _mark("closure + examples")
-    pdf = flagged.select("cid", "doc_h", "pos", "is_final").toPandas()
+    # int64-only transfer: (cid, doc hash, pos, prev hash, is_final)
+    pdf = flagged.select("cid", "doc_h", "pos", "prev_h", "is_final").toPandas()
     gathered.unpersist()
     _mark(f"toPandas ({len(pdf)} rows)")
+
+    # ---- backward-closure counters, reduced driver-side from the transfer --
+    fin_pdf = pdf[pdf["is_final"]]
+    n_pos0_by = fin_pdf[fin_pdf["pos"] == 0].groupby("cid").size()
+    n_prev_by = fin_pdf.groupby("cid")["prev_h"].nunique()  # NaN (pos=0) excluded
+    closure = {
+        cid: (int(n_pos0_by.get(cid, 0)), int(n_prev_by.get(cid, 0)))
+        for cid in state
+    }
+    _mark("closure reduce")
 
     # ---- sequential selection (reference stage F), numpy-vectorized with
     # INTERVAL bookkeeping (marks are contiguous ranges; storing intervals
@@ -599,15 +757,18 @@ def _mine_distributed(
             chunks.append((s2, e2, np.maximum.accumulate(e2)))
 
     out: list[WCandidate] = []
+    n_skipped = n_closed = 0
     for cid, st in order:
         rows = idx_by_cid[cid]
         starts = flat[rows]
         # skip iff ALL seed START positions already covered (":633-640")
         if chunks and covered(starts).all():
+            n_skipped += 1
             continue
         n_pos0, n_prev = closure.get(cid, (0, 0))
         fin_rows = rows[isfin_arr[rows]]
         if fin_rows.size and n_pos0 == 0 and n_prev == 1:
+            n_closed += 1
             continue  # backward closure: drop, don't mark
         plen = len(st["tokens"])
         if fin_rows.size:
@@ -621,6 +782,8 @@ def _mine_distributed(
                     examples=examples.get(cid, []),
                 )
             )
+    if stats is not None:
+        stats.update(selection_skipped_covered=n_skipped, selection_dropped_closure=n_closed)
     _mark("selection")
     return out
 

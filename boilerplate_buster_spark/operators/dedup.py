@@ -14,10 +14,11 @@ these has a bit-exact DuckDB oracle in __spark_entry__.py.
 
 Scale notes: minhash/simhash signatures are computed per-row inside
 whole-stage codegen (transform/filter/aggregate over the token array - no
-shuffle, no Python).  The only shuffles are the fingerprint/bucket groupBys,
-whose keys are uniform by construction.  The band self-join broadcasts
-nothing and relies on AQE skew splitting when a bucket explodes (pathological
-all-identical corpora)."""
+shuffle, no Python), and exactly ONCE (banding is a single projection, pairs
+come from a per-bucket expansion, never a self-join).  The only shuffles are
+the fingerprint/bucket groupBys, whose keys are uniform by construction;
+pathological all-identical buckets are bounded by `max_bucket` (see
+lsh_candidate_pairs)."""
 
 from __future__ import annotations
 
@@ -63,19 +64,28 @@ def minhash_signature(
 
     hash_fn='portable' (default): H(shingle || '#j') with the 60-bit md5 -
     bit-identical in DuckDB, used by the oracle-checked queries.
-    hash_fn='xxhash64': native seeded xxhash64(shingle, j) - ~10x cheaper,
-    the production path (no cross-engine oracle)."""
+    hash_fn='xxhash64': the production path (no cross-engine oracle) - each
+    shingle STRING is hashed exactly once, the k functions are integer
+    re-hashes xxhash64(h, j) of that value (string hashing k times per
+    shingle was the round-1 hot spot).
+
+    Both paths materialize the shingle array in a separate projection so the
+    k min-folds share it (CollapseProject keeps multiply-referenced
+    non-trivial aliases materialized)."""
     sh = shingles_expr(tokens_col, n_shingle)
-    cols = [F.col(id_col)]
-    for j in range(k):
-        if hash_fn == "xxhash64":
-            hashed = f"xxhash64(s, {j})"
-        else:
-            hashed = h60(f"concat(s, '#{j}')")
-        cols.append(
-            F.expr(f"array_min(transform({sh}, s -> {hashed}))").alias(f"mh_{j}")
+    if hash_fn == "xxhash64":
+        pre = docs.select(
+            F.col(id_col), F.expr(f"transform({sh}, s -> xxhash64(s))").alias("_sh")
         )
-    return docs.select(*cols).filter(F.col("mh_0").isNotNull())
+        mins = [f"array_min(transform(_sh, u -> xxhash64(u, {j})))" for j in range(k)]
+    else:
+        pre = docs.select(F.col(id_col), F.expr(sh).alias("_sh"))
+        mins = [
+            "array_min(transform(_sh, s -> " + h60(f"concat(s, '#{j}')") + "))"
+            for j in range(k)
+        ]
+    cols = [F.col(id_col)] + [F.expr(m).alias(f"mh_{j}") for j, m in enumerate(mins)]
+    return pre.select(*cols).filter(F.col("mh_0").isNotNull())
 
 
 def minhash_bands(
@@ -88,23 +98,23 @@ def minhash_bands(
     hash_fn: str = "portable",
 ) -> DataFrame:
     """(doc_id, band, bucket): LSH band buckets; bucket = md5 of the band's
-    minhash values."""
+    minhash values.
+
+    SINGLE PASS over the signature pipeline: one projection emits
+    array(struct(band, bucket)) and explodes it - Catalyst does not CSE
+    across union branches, so the round-1 per-band unionAll re-ran
+    shingling + all k minhash folds once per band (4x compute)."""
     sig = minhash_signature(docs, id_col, tokens_col, n_shingle, k, hash_fn)
     r = k // bands
-    parts = []
-    for b in range(bands):
-        cols = ", ".join(f"mh_{b * r + i}" for i in range(r))
-        parts.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.expr(f"md5(concat_ws(',', {cols}))").alias("bucket"),
-            )
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', md5(concat_ws(',', {cols})))".format(
+            b=b, cols=", ".join(f"mh_{b * r + i}" for i in range(r))
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        for b in range(bands)
+    )
+    return sig.select(
+        F.col(id_col), F.expr(f"explode(array({structs}))").alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def lsh_candidate_pairs(
@@ -115,17 +125,35 @@ def lsh_candidate_pairs(
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
     hash_fn: str = "portable",
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate near-dup pairs: same bucket in >= 1 band."""
+    """(doc_a, doc_b) candidate near-dup pairs: same bucket in >= 1 band.
+
+    One shuffle total: groupBy(band, bucket) -> sorted member set -> in-place
+    pair expansion (x < y within the sorted array) -> distinct.  The round-1
+    bucket SELF-join recomputed the whole signature pipeline on both sides;
+    this shape computes signatures exactly once and never joins.
+
+    `max_bucket` (optional) drops buckets with more members - a pathological
+    all-identical bucket expands quadratically in one row, which no AQE split
+    can save; at crawl scale such buckets mean exact duplicates better served
+    by exact_dedup_groups, and dropping them only loses candidate RECALL."""
     b = minhash_bands(docs, id_col, tokens_col, n_shingle, k, bands, hash_fn)
-    left = b.select(F.col(id_col).alias("doc_a"), "band", "bucket")
-    right = b.select(F.col(id_col).alias("doc_b"), "band", "bucket")
-    return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    grouped = b.groupBy("band", "bucket").agg(
+        F.expr(f"array_sort(collect_set({id_col}))").alias("ids")
     )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    pairs = grouped.filter(F.size("ids") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> named_struct('doc_a', x, 'doc_b', y))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")).distinct()
 
 
 def jaccard_verified_pairs(

@@ -138,8 +138,13 @@ def run_extraction_pipeline(
         docs = with_text_repr(pages).select(
             F.col("url").alias("doc_id"), tokens("text_repr").alias("tokens")
         )
+        # M5 mining-statistics table (bloom_gram_miner.cpp:447-454,710-718):
+        # seed totals + accepted/rejected/%reduction + phrase counts land in
+        # the snapshot manifest alongside the df-count metrics
+        mine_stats: dict = {}
         mined = bloomspan.mine(
-            spark, docs, min_docs=min_docs, ngrams=ngrams, min_l=min_l, **mine_kw
+            spark, docs, min_docs=min_docs, ngrams=ngrams, min_l=min_l,
+            stats=mine_stats, **mine_kw,
         )
         phrases = [p.text for p in mined]
         phrase_tbl = bloomspan.phrases_to_df(spark, mined)
@@ -152,6 +157,7 @@ def run_extraction_pipeline(
                 "min_docs": min_docs,
                 "ngrams": ngrams,
                 "max_phrase_len": max((len(p.split()) for p in phrases), default=0),
+                **mine_stats,
             },
         )
         ran.append("phrases")

@@ -20,10 +20,15 @@ def read_csv_corpus(
 ) -> DataFrame:
     """-> (doc_id='row_<i>', text=fields joined with spaces).
 
-    Row ids follow file order (the reference numbers rows as parsed); Spark's
-    text-file line order within a file is preserved per partition, so ids are
-    assigned via a monotonic id over the original order at small file counts
-    - deterministic for the single-file fixtures the mode exists for."""
+    Row ids are CONTIGUOUS in file order like the reference's row_<i>
+    (corpus_miner.cpp:337): monotonically_increasing_id preserves file order
+    (per-partition ascending, partitions in split order) but is
+    partition-ENCODED, so a global row_number over it renumbers 0..n-1.  The
+    window is unpartitioned - one-reducer sort, fine for the single-file
+    corpora this reference mode exists for; web-scale corpora come in through
+    the pages/text_dir readers whose ids are natural keys, not ordinals."""
+    from pyspark.sql import Window
+
     raw = (
         spark.read.option("header", "false")
         .option("delimiter", delimiter)
@@ -32,8 +37,17 @@ def read_csv_corpus(
         .csv(path)
     )
     cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in raw.columns]
-    docs = raw.select(F.concat_ws(" ", *cols).alias("text")).withColumn(
-        "doc_id", F.concat(F.lit("row_"), F.monotonically_increasing_id().cast("string"))
+    docs = (
+        raw.select(F.concat_ws(" ", *cols).alias("text"))
+        .withColumn("_ord", F.monotonically_increasing_id())
+        .withColumn(
+            "doc_id",
+            F.concat(
+                F.lit("row_"),
+                (F.row_number().over(Window.orderBy("_ord")) - 1).cast("string"),
+            ),
+        )
+        .drop("_ord")
     )
     if sampling is not None:
         docs = docs.sample(fraction=sampling, seed=seed)
