@@ -315,10 +315,8 @@ def gather_windows(
         )
         cols = [
             F.col("cid"),
-            # 64-bit doc hash: the selection only needs doc IDENTITY for
-            # mask keys and distinct counts; real ids stay cluster-side
-            # (example docs come from a dedicated tiny aggregate) and the
-            # driver transfer is pure int64 - far cheaper than strings
+            # 64-bit doc hash: the edge aggregation only needs doc IDENTITY
+            # for distinct counts - comparing/shuffling longs, not id strings
             F.xxhash64(F.col(doc_col)).alias("doc_h"),
             F.col(doc_col).cast("string").alias("doc_id"),
             F.col("pos"),
@@ -566,11 +564,12 @@ def _mine_distributed(
     against the cached frequent-word frame otherwise - never an unbounded
     collect).
 
-    Backward closure (":675-695") needs no extra cluster job: the driver
-    transfer carries (cid, doc_h, pos, prev_h, is_final) int64 tuples and the
-    n_pos0 / distinct-prev closure counters reduce in pandas before the
-    sequential score-ordered selection with interval-based numpy mask
-    bookkeeping."""
+    Backward closure (":675-695") and the canonical example docs need no
+    extra cluster jobs: the single Arrow transfer of per-occurrence
+    (cid, doc_id, pos, prev_h, is_final) tuples - which the sequential
+    selection needs regardless - serves the n_pos0 / distinct-prev closure
+    counters and the min-2 example reduction in pandas, before the
+    score-ordered selection with interval-based numpy mask bookkeeping."""
     import numpy as np
     import pandas as pd
 
@@ -668,32 +667,15 @@ def _mine_distributed(
         "is_final", F.coalesce(F.expr(fin_case), F.lit(False))
     )
 
-    # canonical example docs (first 2 sorted) per candidate: one tiny
-    # distributed job over the persisted table - REAL doc ids never cross to
-    # the driver in bulk
-    from pyspark.sql import Window as _W
-
-    ex_rows = (
-        flagged.filter("is_final")
-        .select("cid", "doc_id")
-        .distinct()
-        .withColumn(
-            "rn", F.row_number().over(_W.partitionBy("cid").orderBy("doc_id"))
-        )
-        .filter(F.col("rn") <= 2)
-        .collect()
-    )
-    examples: dict[int, list[str]] = defaultdict(list)
-    for r in sorted(ex_rows, key=lambda r: (r["cid"], r["doc_id"])):
-        examples[r["cid"]].append(r["doc_id"])
-    _mark("examples")
-
-    # int64-only transfer: (cid, doc hash, pos, prev hash, is_final)
-    pdf = flagged.select("cid", "doc_h", "pos", "prev_h", "is_final").toPandas()
+    # single Arrow transfer: (cid, doc_id, pos, prev hash, is_final) - the
+    # occurrence rows the sequential selection needs anyway also serve the
+    # closure counters AND the canonical example docs, so no further cluster
+    # jobs run after this point
+    pdf = flagged.select("cid", "doc_id", "pos", "prev_h", "is_final").toPandas()
     gathered.unpersist()
     _mark(f"toPandas ({len(pdf)} rows)")
 
-    # ---- backward-closure counters, reduced driver-side from the transfer --
+    # ---- closure counters + example docs, reduced driver-side -------------
     fin_pdf = pdf[pdf["is_final"]]
     n_pos0_by = fin_pdf[fin_pdf["pos"] == 0].groupby("cid").size()
     n_prev_by = fin_pdf.groupby("cid")["prev_h"].nunique()  # NaN (pos=0) excluded
@@ -701,12 +683,17 @@ def _mine_distributed(
         cid: (int(n_pos0_by.get(cid, 0)), int(n_prev_by.get(cid, 0)))
         for cid in state
     }
-    _mark("closure reduce")
+    # canonical examples: first 2 of the sorted unique doc-id set per cid
+    examples: dict[int, list[str]] = {
+        cid: sorted(grp.unique())[:2]
+        for cid, grp in fin_pdf.groupby("cid")["doc_id"]
+    }
+    _mark("closure + examples reduce")
 
     # ---- sequential selection (reference stage F), numpy-vectorized with
     # INTERVAL bookkeeping (marks are contiguous ranges; storing intervals
     # instead of positions keeps memory/sorts ~plen times smaller) ----
-    codes, _ = pd.factorize(pdf["doc_h"])
+    codes, _ = pd.factorize(pdf["doc_id"])
     flat = (codes.astype(np.int64) << 32) | pdf["pos"].to_numpy(np.int64)
     cid_arr = pdf["cid"].to_numpy(np.int64)
     isfin_arr = pdf["is_final"].to_numpy(bool)

@@ -120,3 +120,100 @@ def closed_contiguous_patterns(
 # aliases mirroring the reference's algorithm names
 bide_mine_df = closed_contiguous_patterns
 clospan_mine_df = closed_contiguous_patterns
+
+
+def _doc_gram_counts(
+    docs: DataFrame, k: int, tokens_col: str, id_col: str
+) -> DataFrame:
+    """(gram, df, ext_df): distinct-doc frequency of all k-grams, plus the
+    distinct-doc count of EXTENDABLE occurrences (not at doc end) - the
+    reference PrefixSpan emits a pattern only if its projected database is
+    non-empty (corpus_miner.cpp:170-182), i.e. some occurrence can extend."""
+    t = tokens_col
+    cnt = f"greatest(size({t}) - {k} + 1, 0)"
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(slice(sequence(1, greatest(size({t}) - {k} + 1, 1)), 1, {cnt}), "
+                f"i -> struct(array_join(slice({t}, i, {k}), ' ') AS gram, "
+                f"IF(i + {k} <= size({t}), 1, 0) AS ext)))"
+            )
+        ).alias("ge"),
+    ).select(id_col, "ge.gram", "ge.ext")
+    # per-doc max(ext): the doc counts as extendable if ANY occurrence is
+    per_doc = pairs.groupBy(id_col, "gram").agg(F.max("ext").alias("ext"))
+    return per_doc.groupBy("gram").agg(
+        F.count("*").alias("df"), F.sum("ext").alias("ext_docs")
+    )
+
+
+def prefixspan_patterns(
+    spark: SparkSession,
+    docs: DataFrame,
+    min_docs: int,
+    min_l: int = 1,
+    mode: str = "closed",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    max_len: int = 128,
+) -> DataFrame:
+    """Contiguous PrefixSpan patterns with the reference's ALL/CLOSED/MAXIMAL
+    modes (prefixspan/corpus_miner.h:18, decision at corpus_miner.cpp:128-142)
+    as a level-wise Spark plan; support = DISTINCT-DOC count (occ_delivery,
+    corpus_miner.cpp:69-93), closure checks are FORWARD-only (right
+    extension), and a pattern whose every occurrence ends its document is
+    never emitted (the projected-db drop quirk, ":170-182").  Cross-checked
+    against core/pyref.prefixspan_mine.
+
+    One hash-aggregate per length k (per-doc array_distinct collapses repeats
+    map-side) and one broadcast anti/left join between adjacent levels."""
+    mode = mode.lower()
+    if mode not in ("all", "closed", "maximal"):
+        raise ValueError(f"unknown mode {mode!r}")
+    docs = docs.select(id_col, tokens_col).persist()
+    out_rows: list[tuple[str, int, int]] = []
+
+    cur = (
+        _doc_gram_counts(docs, 1, tokens_col, id_col)
+        .filter(F.col("df") >= min_docs)
+        .persist()
+    )
+    k = 1
+    while k <= max_len:
+        nxt = (
+            _doc_gram_counts(docs, k + 1, tokens_col, id_col)
+            .filter(F.col("df") >= min_docs)
+            .persist()
+        )
+        nxt_n = nxt.count()
+
+        if k >= min_l:
+            emit = cur.filter(F.col("ext_docs") > 0)
+            if mode != "all" and nxt_n > 0:
+                # forward kill: a frequent (k+1)-gram PREFIXED by g
+                kill = nxt.select(
+                    F.expr(
+                        "array_join(slice(split(gram, ' '), 1, size(split(gram, ' ')) - 1), ' ')"
+                    ).alias("kgram"),
+                    F.col("df").alias("ext_df"),
+                )
+                if mode == "maximal":
+                    cond = emit["gram"] == kill["kgram"]
+                else:  # closed: only equal-support extensions kill
+                    cond = (emit["gram"] == kill["kgram"]) & (
+                        emit["df"] == kill["ext_df"]
+                    )
+                emit = emit.join(F.broadcast(kill), cond, "left_anti")
+            out_rows += [(r["gram"], r["df"], k) for r in emit.collect()]
+
+        cur.unpersist()
+        if nxt_n == 0:
+            nxt.unpersist()
+            break
+        cur = nxt
+        k += 1
+
+    docs.unpersist()
+    out_rows.sort(key=lambda r: (-r[1] * r[2], -r[1], r[0]))
+    return spark.createDataFrame(out_rows, CLOSED_SCHEMA)

@@ -83,3 +83,29 @@ def test_reference_test1_corpus():
     files = sorted(pathlib.Path("/root/reference/tests/test1").iterdir())
     docs = [tokenize(decode_page_bytes(f.read_bytes())) for f in files]
     check_corpus(docs, min_docs=3, min_l=3)
+
+
+def test_spark_prefixspan_matches_pyref(spark):
+    from boilerplate_buster_spark.operators.closed_patterns import (
+        prefixspan_patterns,
+    )
+
+    rng = random.Random(13)
+    vocab = ["v%d" % i for i in range(8)]
+    docs = [
+        [rng.choice(vocab) for _ in range(rng.randrange(0, 15))]
+        for _ in range(8)
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, tokens array<string>"
+    )
+    for mode in ("all", "closed", "maximal"):
+        got = {
+            (r["phrase"], r["freq"], r["length"])
+            for r in prefixspan_patterns(spark, df, min_docs=2, min_l=1, mode=mode).collect()
+        }
+        want = {
+            (p.text, p.support, len(p.tokens))
+            for p in pyref.prefixspan_mine(docs, min_docs=2, min_l=1, mode=mode)
+        }
+        assert got == want, mode
