@@ -290,15 +290,19 @@ def gather_windows(
             .join(cands, "gram")
         )
     if max_occs_per_gram is not None:
-        # Deterministic pseudo-random rank; keeps exact `support` from the
-        # aggregate while bounding driver-bound postings per gram.
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("gram").orderBy(F.xxhash64(doc_col, "pos"))
-        occ = (
-            occ.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= max_occs_per_gram)
-            .drop("_rk")
+        # Deterministic per-gram DOC sampling: keep a doc's occurrences of a
+        # gram iff hash_frac(doc) < cap/support, using the EXACT distinct-doc
+        # support from the candidate aggregate (already joined in).  Expected
+        # docs kept per gram ~ cap; grams under the cap keep everything.
+        # Pure in-scan filter - the earlier row_number() window partitioned
+        # by gram was a guaranteed skew hotspot (few keys, corpus-sized
+        # partitions) exactly when the cap binds.
+        m = 1 << 20
+        occ = occ.filter(
+            F.expr(
+                f"pmod(xxhash64({doc_col}), {m}) * support "
+                f"< cast({max_occs_per_gram} AS bigint) * {m}"
+            )
         )
     if hashed:
         # distributed-rounds payload: FLAT BIGINT COLUMNS, no arrays and no
@@ -343,14 +347,17 @@ def gather_windows(
     )
 
 
-#: distributed-strategy default for max_occs_per_gram ("auto"): bounds the
-#: per-gram postings gathered/transferred while the EXACT support keeps
-#: coming from the candidate aggregate.  Only bitmask/closure fidelity of
-#: beyond-cap occurrences is traded; at web scale head phrases have
-#: occurrence counts proportional to the corpus, so an uncapped gather is a
-#: driver-transfer cliff.  Pass None explicitly for the byte-identical
-#: posture (the pytest goldens and driver/distributed equivalence tests run
-#: far below the cap, where "auto" is exact anyway).
+#: distributed-strategy default for max_occs_per_gram ("auto"): per-gram
+#: Bernoulli DOC sampling at rate cap/support bounds the gathered postings
+#: and the driver transfer.  SEED supports stay exact (they come from the
+#: candidate aggregate); when the cap binds, expansion supports and the
+#: bitmask/closure are computed over the sampled docs (a deterministic,
+#: consistent subsample - must be sized >> min_docs, which 100k is for any
+#: sane boilerplate threshold).  At web scale head phrases have occurrence
+#: counts proportional to the corpus, so an uncapped gather is a transfer
+#: cliff.  Pass None explicitly for the byte-identical posture (the pytest
+#: goldens and equivalence tests run far below the cap, where "auto" is
+#: exact anyway).
 AUTO_MAX_OCCS = 100_000
 
 

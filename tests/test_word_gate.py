@@ -74,3 +74,24 @@ def test_small_vocab_probe_does_not_trigger_bitmap(spark):
     )
     out = bloomspan.mine(spark, df, min_docs=8, ngrams=2)
     assert {p.text for p in out} == {"the quick brown fox jumps over the lazy dog"}
+
+
+def test_occurrence_cap_binding_still_mines_phrase(spark):
+    # 300 docs all carrying the template; a binding cap (60 docs/gram,
+    # >> min_docs) Bernoulli-samples the gathered docs: the full phrase is
+    # still mined and its expansion support is the deterministic sampled-doc
+    # count (a consistent subsample; the UNCAPPED run reports the exact df)
+    boiler = "one two three four five".split()
+    rows = [(i, [f"a{i}", f"b{i}"] + boiler + [f"c{i}"]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    capped = bloomspan.mine(
+        spark, df, min_docs=20, ngrams=3,
+        strategy="distributed", max_occs_per_gram=60,
+    )
+    assert [p.text for p in capped] == ["one two three four five"]
+    assert 20 <= capped[0].support <= 300
+    exact = bloomspan.mine(
+        spark, df, min_docs=20, ngrams=3,
+        strategy="distributed", max_occs_per_gram=None,
+    )
+    assert [(p.text, p.support) for p in exact] == [("one two three four five", 300)]
