@@ -128,6 +128,39 @@ def _d_cos(a: str, b: str) -> str:
 _EMB_DIM = 64  # driver testdata embedding dimension (identical at every sf)
 
 
+def _d_prefixspan_sql(mode: str) -> str:
+    """DuckDB twin of closed_patterns.prefixspan_patterns (doc-distinct
+    support, forward-only closure, end-of-doc emit quirk) at the contract
+    parameters doc_id<200, min_docs=20, min_l=2, max_len=8."""
+    equal = "AND kk.df = c.df" if mode == "closed" else ""
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE doc_id < 200),
+        pairs AS (
+          SELECT doc_id, k, array_to_string(t[i:i+k-1], ' ') AS gram,
+                 max(CASE WHEN i + k <= len(t) THEN 1 ELSE 0 END) AS ext
+          FROM toks,
+               unnest(generate_series(2, 9)) AS ks(k),
+               unnest(generate_series(1, greatest(len(t) - k + 1, 0))) AS u(i)
+          GROUP BY doc_id, k, gram
+        ),
+        counts AS (
+          SELECT k, gram, count(*) AS df, sum(ext) AS ext_docs
+          FROM pairs GROUP BY k, gram HAVING count(*) >= 20
+        ),
+        kills AS (
+          SELECT k - 1 AS k,
+                 array_to_string((string_split(gram, ' '))[1:k-1], ' ') AS gram, df
+          FROM counts WHERE k >= 3
+        )
+        SELECT c.gram AS phrase, c.df AS freq, CAST(c.k AS INT) AS length
+        FROM counts c
+        WHERE c.k BETWEEN 2 AND 8 AND c.ext_docs > 0
+          AND NOT EXISTS (SELECT 1 FROM kills kk
+                          WHERE kk.k = c.k AND kk.gram = c.gram {equal})
+    """
+
+
 def _d_hyperplane_bucket(vec: str, planes: int = 6, dim: int = _EMB_DIM) -> str:
     """DuckDB twin of ann.hyperplane_bucket_expr: bit p = sign of <v, plane_p>,
     plane_p[i] = +/-1 from the parity of the portable 60-bit md5 of 'p:i'.
@@ -219,6 +252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def jaccard_pairs(spark, sf):
         return dedup.jaccard_verified_pairs(_dedup_union(spark, sf), threshold=0.8)
 
+    def dedup_clusters(spark, sf):
+        return dedup.duplicate_clusters(
+            dedup.lsh_candidate_pairs(_dedup_union(spark, sf))
+        )
+
     def simhash(spark, sf):
         return dedup.simhash16(_docs(spark, sf).filter(F.col("doc_id") < 100))
 
@@ -307,6 +345,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf).filter(F.col("doc_id") < 200).select("tokens")
         return closed_contiguous_patterns(spark, docs, min_sup=20, min_l=2, max_len=8)
 
+    def prefixspan_closed(spark, sf):
+        from boilerplate_buster_spark.operators.closed_patterns import (
+            prefixspan_patterns,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        return prefixspan_patterns(
+            spark, docs, min_docs=20, min_l=2, mode="closed", max_len=8
+        )
+
+    def prefixspan_maximal(spark, sf):
+        from boilerplate_buster_spark.operators.closed_patterns import (
+            prefixspan_patterns,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        return prefixspan_patterns(
+            spark, docs, min_docs=20, min_l=2, mode="maximal", max_len=8
+        )
+
     def extract_pages(spark, sf):
         from boilerplate_buster_spark.operators.extraction import extract_main_content
         from boilerplate_buster_spark.sources import pages as pages_src
@@ -346,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         minhash_bands=minhash_bands,
         lsh_pairs=lsh_pairs,
         jaccard_pairs=jaccard_pairs,
+        dedup_clusters=dedup_clusters,
         simhash=simhash,
         ann_topk=ann_topk,
         embedding_neardup=embedding_neardup,
@@ -355,6 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         phrase_parents=phrase_parents,
         bloomspan_documents=bloomspan_documents,
         bide_phrases=bide_phrases,
+        prefixspan_closed=prefixspan_closed,
+        prefixspan_maximal=prefixspan_maximal,
         extract_pages=extract_pages,
         ann_lsh=ann_lsh,
         multimodal_features=multimodal_features,
@@ -450,6 +511,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sb ON sb.doc_id = cand.doc_b
             WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                   / greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1) >= 0.8
+        """,
+        # connected components over the LSH candidate pairs: cluster_id = the
+        # smallest doc_id reachable (transitive closure via recursive CTE)
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            {_d_minhash_sig_sql(_D_UNI)},
+            bands AS ({_d_bands_select()}),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                     WHERE a.doc_id < b.doc_id),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                      UNION SELECT doc_b, doc_a FROM cand),
+            reach(id, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
         """,
         "simhash": f"""
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -558,6 +637,8 @@ def oracle_sql() -> dict[str, str]:
                               WHERE kk.k = c.k AND kk.gram = c.gram
                                 AND kk.freq = c.freq)
         """,
+        "prefixspan_closed": _d_prefixspan_sql("closed"),
+        "prefixspan_maximal": _d_prefixspan_sql("maximal"),
         "ann_lsh": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             qb AS (SELECT {_d_hyperplane_bucket('qv')} AS qbucket FROM q),

@@ -3,11 +3,14 @@
   * brute-force cosine top-k      - exact baseline; JVM-side zip_with/aggregate
                                     dot products, TakeOrderedAndProject top-k
                                     (no full sort, no Python)
-  * random-hyperplane LSH buckets - the scale path: 2^P sign-buckets from
-                                    deterministic md5-derived hyperplanes;
-                                    query probes its own bucket (+ optional
-                                    all-buckets fallback), exact cosine only
-                                    within the bucket
+  * random-hyperplane LSH buckets - 2^P sign-buckets from deterministic
+                                    md5-derived hyperplanes; query probes its
+                                    own bucket, multi-probe Hamming-neighbor
+                                    fallback for recall (probes=)
+  * IVF coarse quantizer          - deterministic seeded Lloyd centroids;
+                                    exact cosine only inside the n_probe
+                                    nearest cells (the bucketed-layout scale
+                                    path: precompute + partition by cell)
   * embedding near-dup pairs      - bounded self-join + cosine >= threshold
 
 At 100 TB the brute-force path stays a single linear scan with a top-k
@@ -69,6 +72,22 @@ def hyperplane_bucket_expr(vec_col: str, planes: int = 8, dim: int = 64) -> str:
     return "cast(" + " + ".join(terms) + " AS int)"
 
 
+def query_bucket(query_vec: list[float], planes: int = 6) -> int:
+    """Driver-side bucket id of a constant query vector (same deterministic
+    md5 hyperplanes as hyperplane_bucket_expr)."""
+    import hashlib
+
+    b = 0
+    for p in range(planes):
+        dot = 0.0
+        for i, v in enumerate(query_vec):
+            h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16)
+            dot += float(v) * (1.0 if h % 2 == 0 else -1.0)
+        if dot > 0:
+            b |= 1 << p
+    return b
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -76,15 +95,121 @@ def ann_lsh_topk(
     planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ONLY inside the query's sign-bucket."""
+    """Approximate top-k: exact cosine ONLY inside probed sign-buckets.
+
+    probes=1 examines the query's own bucket (the oracle-checked contract
+    shape).  probes>1 is the multi-probe recall fallback for when a single
+    bucket holds fewer than k vectors: additionally probe up to probes-1
+    Hamming-neighbor buckets (1-bit flips in plane order, then 2-bit flips) -
+    the standard multi-probe LSH trade of one scan predicate for recall,
+    without re-hashing or extra passes."""
     dim = len(query_vec)
     bucket = hyperplane_bucket_expr(vec_col, planes, dim)
     q = "array(" + ", ".join(f"cast({float(v)} AS float)" for v in query_vec) + ")"
-    q_bucket = hyperplane_bucket_expr(q, planes, dim)
+    qb = query_bucket(query_vec, planes)
+    targets = [qb]
+    for p in range(planes):  # Hamming-1 neighbors
+        targets.append(qb ^ (1 << p))
+    for p1 in range(planes):  # Hamming-2 neighbors
+        for p2 in range(p1 + 1, planes):
+            targets.append(qb ^ (1 << p1) ^ (1 << p2))
+    probe_set = ", ".join(str(t) for t in targets[: max(1, probes)])
     return (
         emb.withColumn("bucket", F.expr(bucket))
-        .filter(F.col("bucket") == F.expr(q_bucket))
+        .filter(F.expr(f"bucket IN ({probe_set})"))
+        .select(
+            F.col(id_col),
+            F.expr(f"round({cosine_expr(vec_col, q)}, 4)").alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _lit_vec(v: list[float]) -> str:
+    return "array(" + ", ".join(f"cast({float(x)} AS double)" for x in v) + ")"
+
+
+def _centroid_assign_expr(vec_col: str, centroids: list[list[float]]) -> str:
+    """0-based index of the max-cosine centroid (deterministic: first wins)."""
+    cos_arr = "array(" + ", ".join(
+        cosine_expr(vec_col, _lit_vec(c)) for c in centroids
+    ) + ")"
+    return (
+        f"cast(array_position({cos_arr}, array_max({cos_arr})) - 1 AS int)"
+    )
+
+
+def ivf_fit_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seed centroids = the n vectors
+    with the smallest xxhash64(id) (seeded reservoir, no RNG state), then
+    `iters` Lloyd rounds - assignment is a pure-expression argmax-cosine scan,
+    the mean update is a posexplode + (cluster, dim) average (tiny shuffle:
+    n_centroids x dim groups).  Driver holds only the centroid matrix."""
+    seeds = (
+        emb.orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    for _ in range(iters):
+        assign = _centroid_assign_expr(vec_col, centroids)
+        means = (
+            emb.select(F.expr(assign).alias("c"), F.posexplode(F.col(vec_col)))
+            .groupBy("c", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["c"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [by_c[c][i] for i in sorted(by_c[c])] if c in by_c else centroids[c]
+            for c in range(n_centroids)
+        ]
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: exact cosine only inside the n_probe nearest centroid
+    cells.  At scale the assignment column is precomputed/partitioned-by once
+    (write `withColumn('c', assign)` bucketed by c) so a query scans only its
+    probed cells via partition pruning; here the filter expresses the same
+    cell restriction in-scan."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda c: (-cos(query_vec, centroids[c]), c)
+    )
+    probe = ", ".join(str(c) for c in ranked[: max(1, n_probe)])
+    assign = _centroid_assign_expr(vec_col, centroids)
+    q = "array(" + ", ".join(f"cast({float(v)} AS float)" for v in query_vec) + ")"
+    return (
+        emb.withColumn("c", F.expr(assign))
+        .filter(F.expr(f"c IN ({probe})"))
         .select(
             F.col(id_col),
             F.expr(f"round({cosine_expr(vec_col, q)}, 4)").alias("cos"),

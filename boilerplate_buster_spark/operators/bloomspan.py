@@ -42,8 +42,6 @@ from boilerplate_buster_spark.core.expand import (
     WindowExhausted,
     expand_windowed,
 )
-from boilerplate_buster_spark.functions.ngrams import explode_ngrams
-
 RESULT_SCHEMA = T.StructType(
     [
         T.StructField("phrase", T.StringType(), False),
@@ -52,10 +50,6 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("example_docs", T.ArrayType(T.StringType()), False),
     ]
 )
-
-
-def _quote_set(values: list[str]) -> str:
-    return ", ".join("'" + v.replace("'", "''") + "'" for v in values)
 
 
 def _gramhash_sql(hs_ref: str, i: str, n: int) -> str:

@@ -188,6 +188,55 @@ def jaccard_verified_pairs(
     return out
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-dup candidate
+    pairs; cluster_id = the smallest doc_id in the component (the survivor a
+    keep-one-per-cluster dedup retains).
+
+    Iterative min-label propagation (alternating large/small-star in spirit):
+    each round joins every node's current label against its neighbors' labels
+    and keeps the minimum; converges in O(diameter) rounds - near-dup
+    components are clique-ish (diameter ~ 1-2), so 2-3 rounds in practice.
+    Each round is ONE shuffle join on doc_id + one min-aggregate, with
+    `localCheckpoint` per round to cut lineage growth (plan-string OOM after
+    ~30 iterative rounds otherwise - measured).  Termination is an exact
+    count of changed labels (cheap: the aggregate output is |V|)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("label")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash16(
     docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
 ) -> DataFrame:

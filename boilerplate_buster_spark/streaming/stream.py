@@ -14,9 +14,18 @@ production mode for a crawl pipeline).
     counting Bloom filter, bloom_gram_miner.cpp:284-337).
   * stream_event_rates: watermarked tumbling-window aggregation over the
     events table shape (late data handling demo).
+  * stream_dedup_first_seen: CUSTOM STATEFUL operator via
+    applyInPandasWithState - per-fingerprint state keeps the first-seen doc
+    and a duplicate counter with an optional processing-time TTL; only
+    first-seen docs are emitted downstream (streaming exact-dedup, the
+    stateful front of the batch exact_dedup_groups).
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,6 +57,53 @@ def stream_ngram_doc_freq(
     ).select(doc_col, F.col("g.gram").alias("gram"))
     return grams.groupBy("gram").agg(
         F.approx_count_distinct(doc_col).alias("df_approx")
+    )
+
+
+def stream_dedup_first_seen(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """(fp, doc_id, n_seen): one row per NEW fingerprint (first-seen doc);
+    re-arrivals only bump the counter in state, nothing is emitted.
+
+    State per md5(text) group = (first_doc, n_seen); an optional
+    processing-time TTL expires idle fingerprints so unbounded crawls don't
+    grow state forever (expiry forgets the dup-history, the standard
+    windowed-dedup trade)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "fp string, doc_id string, n_seen bigint"
+    state_schema = "first string, n bigint"
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first, n = state.get if state.exists else (None, 0)
+        emit_first = first is None
+        for pdf in pdfs:
+            for doc in pdf[doc_col]:
+                n += 1
+                if first is None:
+                    first = str(doc)
+        state.update((first, n))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if emit_first and first is not None:
+            yield pd.DataFrame({"fp": [key[0]], "doc_id": [first], "n_seen": [n]})
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        docs_stream.select(F.md5(text_col).alias("fp"), F.col(doc_col))
+        .groupBy("fp")
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", timeout)
     )
 
 

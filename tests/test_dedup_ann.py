@@ -160,3 +160,67 @@ def test_fingerprint_order_sensitivity(spark):
     docs = _docs(spark, ["a b c", "c b a", "a b c"])
     fps = [r["fp"] for r in text_stats.fingerprint(docs).orderBy("doc_id").collect()]
     assert fps[0] == fps[2] and fps[0] != fps[1]
+
+
+def test_ann_lsh_multiprobe_widens_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    q = rows[0]
+    single = ann.ann_lsh_topk(emb, q, k=200, planes=4, probes=1).collect()
+    multi = ann.ann_lsh_topk(emb, q, k=200, planes=4, probes=5).collect()
+    # multi-probe candidates are a superset of the single bucket
+    assert {r["vec_id"] for r in single} <= {r["vec_id"] for r in multi}
+    assert len(multi) >= len(single)
+    # driver-side bucket replica matches the JVM expression bucket
+    qb = ann.query_bucket(q, planes=4)
+    assert qb == _py_bucket(q, planes=4)
+    # every multi-probe hit is within Hamming distance 2 of the query bucket
+    for r in multi:
+        b = _py_bucket(rows[r["vec_id"]], planes=4)
+        assert bin(b ^ qb).count("1") <= 2, r["vec_id"]
+
+
+def test_ivf_all_probe_equals_bruteforce_and_partial_probe_sound(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    q = rows[0]
+    cents = ann.ivf_fit_centroids(emb, n_centroids=8, iters=1)
+    assert len(cents) == 8 and all(len(c) == len(q) for c in cents)
+    # probing EVERY cell degenerates to exact brute force
+    full = ann.ivf_topk(emb, q, cents, k=10, n_probe=8).collect()
+    exact = ann.cosine_topk(emb, q, k=10).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+    # partial probe: query's own cell is probed first, cosines are true
+    part = ann.ivf_topk(emb, q, cents, k=10, n_probe=2).collect()
+    ids = [r["vec_id"] for r in part]
+    assert 0 in ids
+    qn = np.linalg.norm(np.asarray(q))
+    for r in part:
+        v = np.asarray(rows[r["vec_id"]], dtype=np.float64)
+        true_cos = float(v @ np.asarray(q)) / (np.linalg.norm(v) * qn)
+        assert abs(r["cos"] - round(true_cos, 4)) < 2e-4
+
+
+def test_duplicate_clusters_match_union_find(spark):
+    # chains and cliques, incl. a 4-node path (diameter 3) to force >1 round
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pdf).collect()
+    }
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in {x for p in pairs for x in p}}
+    assert got == want

@@ -95,3 +95,32 @@ def test_stream_event_rates_watermarked(spark, tmp_path):
     assert len(rows) >= 2
     assert {r["event_type"] for r in rows} == {"click", "view"}
     assert all(r["n"] > 0 for r in rows)
+
+
+def test_stream_dedup_first_seen_stateful(spark, tmp_path):
+    from boilerplate_buster_spark.streaming.stream import stream_dedup_first_seen
+
+    docs = spark.createDataFrame(
+        [(f"doc{i}", f"text {i % 10}") for i in range(50)],  # 10 uniques x5
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "dd")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id string, text string").parquet(src)
+    q = (
+        stream_dedup_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("dd_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dd_stream").collect()
+    # exactly one first-seen row per distinct fingerprint
+    assert len(rows) == 10
+    assert len({r["fp"] for r in rows}) == 10
+    # each emitted survivor is one of the docs carrying that text
+    for r in rows:
+        assert r["doc_id"].startswith("doc")
+        assert r["n_seen"] >= 1

@@ -74,15 +74,24 @@ def main() -> None:
 
     load_before = os.getloadavg()
     snippet = RUN_SNIPPET.format(repo=str(REPO))
-    results = {}
-    for cpus in (n_lo, n_hi):
-        out = subprocess.run(
-            [sys.executable, "-c", snippet, str(cpus), str(n_pages), path],
-            capture_output=True, text=True, timeout=3600,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(line)
+    repeats = int(os.environ.get("BBS_SCALE_REPEATS", 1))
+    results: dict[int, dict] = {}
+    # INTERLEAVED repeats, best wall per level: ambient tenant load on this
+    # shared host varies 3-15x minute to minute, so a single pass can charge
+    # one level with a load spike the other never saw.  Min-of-N per level
+    # measures the engine's capability at each parallelism, not the host.
+    for rep in range(repeats):
+        for cpus in (n_lo, n_hi):
+            out = subprocess.run(
+                [sys.executable, "-c", snippet, str(cpus), str(n_pages), path],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            r["loadavg"] = round(os.getloadavg()[0], 2)
+            print(line, f'load={r["loadavg"]}', flush=True)
+            if cpus not in results or r["wall_s"] < results[cpus]["wall_s"]:
+                results[cpus] = r
 
     # identical outputs across parallelism levels = determinism evidence
     same = (
@@ -98,6 +107,7 @@ def main() -> None:
         "scaling_efficiency": eff,
         "outputs_identical": same,
         "loadavg_before": load_before,
+        "repeats": repeats,
     }
     print(json.dumps(summary))
 
@@ -106,10 +116,13 @@ def main() -> None:
     (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
 Protocol (BASELINE.md): same extraction job (full two-pass BloomSpan mine +
-broadcast + Arrow strip, `extract_main_content`), same materialized synthetic
-page corpus ({n_pages} pages, seeded expression generator), run at
-`local[{n_lo}]` (N cores) and `local[{n_hi}]` (4N cores), separate JVMs,
-`spark.sql.shuffle.partitions` = 2x cores.
+broadcast + vectorized Arrow strip, `extract_main_content`), same
+materialized synthetic page corpus ({n_pages} pages, seeded expression
+generator), run at `local[{n_lo}]` (N cores) and `local[{n_hi}]` (4N cores),
+separate JVMs, `spark.sql.shuffle.partitions` = 2x cores; {repeats}
+interleaved repeat(s) per level, BEST wall per level (ambient tenant load on
+this shared host varies 3-15x minute to minute - min-of-N measures the
+engine, not the neighbors; every run's load average is in the log).
 
 Sandbox note: this host's 32 hardware threads are SHARED with other tenants
 (ambient load average {load_before[0]:.1f} at run start with zero
