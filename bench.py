@@ -29,6 +29,9 @@ def main() -> None:
 
     from boilerplate_buster_spark.session import get_spark
     from boilerplate_buster_spark.operators import ann, bloomspan, dedup, text_stats
+    from boilerplate_buster_spark.operators.closed_patterns import (
+        closed_contiguous_patterns,
+    )
     from boilerplate_buster_spark.operators.corpus_stats import frequent_ngrams, word_doc_freq
     from boilerplate_buster_spark.operators.extraction import extract_main_content
     from boilerplate_buster_spark.sources import pages as pages_src
@@ -79,6 +82,12 @@ def main() -> None:
     bench("word_df", lambda: word_doc_freq(docs).count())
     bench("ngram_df", lambda: frequent_ngrams(docs, 3, 5).count())
     bench("minhash_lsh_pages", lambda: dedup.lsh_candidate_pairs(pages_tok, hash_fn="xxhash64").count())
+    bench("dedup_cluster_pages", lambda: dedup.duplicate_clusters(
+        dedup.lsh_candidate_pairs(pages_tok, hash_fn="xxhash64")
+    ).count())
+    bench("closed_patterns", lambda: closed_contiguous_patterns(
+        spark, docs.select("tokens"), min_sup=max(20, n_docs // 50), min_l=2, max_len=10
+    ).count())
     bench("simhash_pages", lambda: dedup.simhash16(pages_tok).agg(
         F.countDistinct("simhash")
     ).collect())

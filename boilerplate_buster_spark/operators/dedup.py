@@ -188,19 +188,23 @@ def jaccard_verified_pairs(
     return out
 
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_iters: int = 50, driver_threshold: int = 1_000_000
+) -> DataFrame:
     """(doc_id, cluster_id): connected components over near-dup candidate
     pairs; cluster_id = the smallest doc_id in the component (the survivor a
     keep-one-per-cluster dedup retains).
 
-    Iterative min-label propagation (alternating large/small-star in spirit):
-    each round joins every node's current label against its neighbors' labels
-    and keeps the minimum; converges in O(diameter) rounds - near-dup
-    components are clique-ish (diameter ~ 1-2), so 2-3 rounds in practice.
-    Each round is ONE shuffle join on doc_id + one min-aggregate, with
-    `localCheckpoint` per round to cut lineage growth (plan-string OOM after
-    ~30 iterative rounds otherwise - measured).  Termination is an exact
-    count of changed labels (cheap: the aggregate output is |V|)."""
+    Small edge sets (<= driver_threshold, known exactly from the persisted
+    count) collect to a driver union-find - iterative Spark rounds cost ~2s
+    of fixed job latency EACH, which dwarfs a tiny graph.  Larger graphs run
+    iterative min-label propagation: each round joins every node's current
+    label against its neighbors' labels and keeps the minimum; converges in
+    O(diameter) rounds - near-dup components are clique-ish (diameter ~1-2),
+    so 2-3 rounds in practice.  Each round is ONE shuffle join on doc_id +
+    one min-aggregate, with `localCheckpoint` per round to cut lineage
+    growth (plan-string OOM after ~30 iterative rounds otherwise -
+    measured).  Termination is an exact count of changed labels."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -209,6 +213,30 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .distinct()
         .persist()
     )
+    if edges.count() <= driver_threshold:
+        rows = edges.collect()
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            out, schema=pairs.select(F.col("doc_a").alias("doc_id"),
+                                     F.col("doc_a").alias("cluster_id")).schema
+        )
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("label")
     )

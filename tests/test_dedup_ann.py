@@ -202,13 +202,20 @@ def test_ivf_all_probe_equals_bruteforce_and_partial_probe_sound(spark):
 
 
 def test_duplicate_clusters_match_union_find(spark):
-    # chains and cliques, incl. a 4-node path (diameter 3) to force >1 round
+    # chains and cliques, incl. a 4-node path (diameter 3) to force >1 round;
+    # driver_threshold=0 forces the ITERATIVE scale path, default takes the
+    # driver union-find path - both must agree with the reference union-find
     pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
     pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got_iter = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pdf, driver_threshold=0).collect()
+    }
     got = {
         r["doc_id"]: r["cluster_id"]
         for r in dedup.duplicate_clusters(pdf).collect()
     }
+    assert got == got_iter
     parent = {}
 
     def find(x):

@@ -73,3 +73,57 @@ def test_parquet_pushdown_and_pruning(spark):
     # column pruning: scan reads only the two needed columns
     assert "doc_id" in plan.split("ReadSchema")[1][:200]
     assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_minhash_banding_single_pass(spark):
+    from boilerplate_buster_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e".split()), (2, "a b c d f".split())], ["doc_id", "tokens"]
+    )
+    plan = explain_str(dedup.minhash_bands(docs), mode="simple")
+    # one projection + explode of the band-struct array: NO Union branches
+    # re-deriving the signature pipeline (round-1 anti-pattern)
+    assert "Union" not in plan
+    assert plan.count("Generate explode") == 1
+
+
+def test_lsh_pairs_no_self_join(spark):
+    from boilerplate_buster_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e".split()), (2, "a b c d f".split())], ["doc_id", "tokens"]
+    )
+    plan = explain_str(dedup.lsh_candidate_pairs(docs), mode="simple")
+    # pair expansion happens inside the bucket group - no join at all
+    assert "Join" not in plan
+    # exactly the bucket groupBy + final distinct: two aggregates, each with
+    # its partial phase (4 HashAggregate nodes), nothing quadratic
+    assert "collect_set" in plan
+
+
+def test_strip_pass_is_pure_map(spark):
+    from boilerplate_buster_spark.operators.extraction import strip_text_pass
+
+    df = spark.createDataFrame([("u1", "a b c")], ["url", "text_repr"])
+    plan = explain_str(strip_text_pass(df, ["a b"]), mode="simple")
+    # pass 2 is a single Arrow-batched map: no Exchange anywhere
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_word_bitmap_gate_stays_jvm_side(spark):
+    from boilerplate_buster_spark.operators import bloomspan
+
+    docs = toy_docs(spark)
+    fw = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["word"])
+    bm = bloomspan.packed_word_bitmap(spark, fw, bits=1 << 12)
+    plan = explain_str(
+        bloomspan.candidate_grams(docs, 2, 1, "doc_id", "tokens", bitmap_df=bm),
+        mode="simple",
+    )
+    # broadcast the 1-row bitmap; probes are shift/and expressions in the
+    # scan projection - no Python, no shuffle before the gram aggregate
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "shiftright" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
