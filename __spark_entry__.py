@@ -239,6 +239,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def fingerprint(spark, sf):
         return text_stats.fingerprint(_docs(spark, sf).filter(F.col("doc_id") < 100))
 
+    def bpe_token_count(spark, sf):
+        return text_stats.bpe_token_count(
+            _tbl(spark, sf, "documents").filter(F.col("doc_id") < 100)
+        )
+
     # --- dedup ---------------------------------------------------------
     def dedup_exact(spark, sf):
         return dedup.exact_dedup_groups(_docs(spark, sf))
@@ -400,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         language_id=language_id,
         quality_score=quality_score,
         fingerprint=fingerprint,
+        bpe_token_count=bpe_token_count,
         dedup_exact=dedup_exact,
         minhash_bands=minhash_bands,
         lsh_pairs=lsh_pairs,
@@ -481,6 +487,13 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(t, x -> {_dh60('x')} % {_FP_MOD})),
                      (acc, h) -> (acc * 31 + h) % {_FP_MOD}) AS fp
             FROM toks
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish,
+                   len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   t -> t != '')) AS n_ws
+            FROM documents WHERE doc_id < 100
         """,
         "dedup_exact": """
             SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id

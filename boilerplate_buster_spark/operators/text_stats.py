@@ -51,6 +51,29 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "toke
     )
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style coarse classes, simplified
+# to the regex subset Java regex and RE2/DuckDB interpret identically):
+# letter runs | single digits | single non-space punctuation.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bpeish, n_ws): BPE-ish regex token count next to the plain
+    whitespace count - the LLM-pipeline 'how many tokens is this doc' op
+    (exact BPE needs a merges table; the regex pre-tokenizer upper-bounds it
+    and is JVM-vectorizable)."""
+    pat = BPE_PATTERN.replace("\\", "\\\\")
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"size(regexp_extract_all({text_col}, '{pat}', 0))").alias("n_bpeish"),
+        F.expr(
+            f"size(filter(split(trim({text_col}), '\\\\s+'), t -> t != ''))"
+        ).alias("n_ws"),
+    )
+
+
 def language_id(docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
     """Stopword-hit-rate language ID (n-gram heuristic): argmax over per-lang
     stopword ratios, deterministic tie order en>de>es>fr>zh."""

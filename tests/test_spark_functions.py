@@ -79,3 +79,25 @@ def test_ngrams_match_pyref_on_fixture(spark):
         for d, p in occs:
             want[(d, p)] = " ".join(gram)
     assert got == want
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    import re
+
+    from boilerplate_buster_spark.operators import text_stats
+
+    texts = [
+        "Hello, world! It's 2024.",
+        "foo-bar   baz 123",
+        "no punct here",
+        "...",
+        "a",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bpeish"], r["n_ws"])
+        for r in text_stats.bpe_token_count(docs).collect()
+    }
+    pat = re.compile(text_stats.BPE_PATTERN)
+    for i, t in enumerate(texts):
+        assert got[i] == (len(pat.findall(t)), len(t.split())), t
