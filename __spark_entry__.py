@@ -381,6 +381,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_lsh(spark, sf):
         return ann.ann_lsh_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
 
+    def multimodal_resize(spark, sf):
+        from boilerplate_buster_spark.operators import multimodal
+
+        media = multimodal.documents_as_media(
+            _docs(spark, sf).filter(F.col("doc_id") < 60)
+        )
+        out = multimodal.resize_images(media, width=16, height=16)
+        return out.select(
+            "media_id", "width", "height",
+            F.lower(F.hex("payload")).alias("payload_hex"),
+        )
+
+    def multimodal_frames(spark, sf):
+        from boilerplate_buster_spark.operators import multimodal
+
+        media = multimodal.documents_as_media(
+            _docs(spark, sf).filter(F.col("doc_id") < 60)
+        )
+        out = multimodal.sample_frames(media, n_frames=4)
+        return out.select(
+            "media_id", "frame_idx", "frame_ts_ms",
+            F.lower(F.hex("frame")).alias("frame_hex"),
+        )
+
     def multimodal_features(spark, sf):
         from boilerplate_buster_spark.operators import multimodal
 
@@ -424,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         prefixspan_maximal=prefixspan_maximal,
         extract_pages=extract_pages,
         ann_lsh=ann_lsh,
+        multimodal_resize=multimodal_resize,
+        multimodal_frames=multimodal_frames,
         multimodal_features=multimodal_features,
     )
     return q
@@ -662,6 +688,23 @@ def oracle_sql() -> dict[str, str]:
             FROM b, q, qb
             WHERE bucket = qbucket
             ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        # resize stub = sha256 digest bytes repeated to w*h; in the hex-string
+        # domain repeating the 64-char sha256 hex IS repeating the digest bytes
+        "multimodal_resize": """
+            SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+                   substr(repeat(sha256(text), 9), 1, 512) AS payload_hex
+            FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0
+        """,
+        # frame stub: sha256('<sha256hex(payload)>:<i>'); ts = i*dur/4 with
+        # stub duration max(1000, bytes//1024*1000) ms
+        "multimodal_frames": """
+            SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+                   CAST(i * greatest(1000, (strlen(text) // 1024) * 1000) // 4 AS INT)
+                     AS frame_ts_ms,
+                   sha256(sha256(text) || ':' || i) AS frame_hex
+            FROM documents, unnest(generate_series(0, 3)) AS u(i)
+            WHERE doc_id < 60 AND doc_id % 3 = 2
         """,
         # multimodal stub decoder is deterministic sha256 -> SQL-expressible:
         # feature byte i = digest byte i of sha256(kind || payload)

@@ -231,3 +231,31 @@ def test_duplicate_clusters_match_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in {x for p in pairs for x in p}}
     assert got == want
+
+
+def test_multimodal_resize_and_frames_plumbing(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "doc_id < 30"
+    )
+    media = multimodal.documents_as_media(docs)
+    resized = multimodal.resize_images(media, width=8, height=8).collect()
+    assert resized, "image rows exist (doc_id % 3 == 0)"
+    for r in resized:
+        assert (r["width"], r["height"]) == (8, 8)
+        assert len(bytes(r["payload"])) == 64
+    # deterministic: matches the local stub on one row
+    row = docs.filter("doc_id = 0").first()
+    want = multimodal.resize_stub(row["text"].encode(), 8, 8)
+    got = bytes(next(r for r in resized if r["media_id"] == 0)["payload"])
+    assert got == want
+
+    frames = multimodal.sample_frames(media, n_frames=3).collect()
+    by_media = {}
+    for f in frames:
+        by_media.setdefault(f["media_id"], []).append(f)
+    assert by_media, "video rows exist (doc_id % 3 == 2)"
+    for mid, fs in by_media.items():
+        assert sorted(f["frame_idx"] for f in fs) == [0, 1, 2]
+        assert all(len(bytes(f["frame"])) == 32 for f in fs)
+        tss = [f["frame_ts_ms"] for f in sorted(fs, key=lambda x: x["frame_idx"])]
+        assert tss == sorted(tss)
