@@ -257,6 +257,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def jaccard_pairs(spark, sf):
         return dedup.jaccard_verified_pairs(_dedup_union(spark, sf), threshold=0.8)
 
+    def clean_corpus(spark, sf):
+        return text_stats.clean_corpus(
+            _dedup_union(spark, sf), min_quality_e6=320000, langs=("en",)
+        )
+
     def dedup_clusters(spark, sf):
         return dedup.duplicate_clusters(
             dedup.lsh_candidate_pairs(_dedup_union(spark, sf))
@@ -435,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lsh_pairs=lsh_pairs,
         jaccard_pairs=jaccard_pairs,
         dedup_clusters=dedup_clusters,
+        clean_corpus=clean_corpus,
         simhash=simhash,
         ann_topk=ann_topk,
         embedding_neardup=embedding_neardup,
@@ -460,6 +466,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     langid_case, langid_best = _d_langid_case()
     en_words = ", ".join("{0}{1}{0}".format(chr(39), w) for w in STOPWORDS["en"])
+    quality_int = (
+        f"(400000 * len(list_filter(t, x -> x IN ({en_words})))"
+        f" + 300000 * len(list_distinct(t))) // greatest(len(t), 1)"
+        f" + 3000 * least(len(t), 100)"
+    )
 
     return {
         "word_df": f"""
@@ -550,6 +561,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sb ON sb.doc_id = cand.doc_b
             WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                   / greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1) >= 0.8
+        """,
+        "clean_corpus": f"""
+            WITH {_D_UNI},
+            keep AS (SELECT min(doc_id) AS doc_id FROM uni GROUP BY md5(text)),
+            scored AS (SELECT doc_id, {langid_case} AS lang_pred,
+                              {quality_int} AS quality_e6
+                       FROM toks)
+            SELECT s.doc_id, s.lang_pred, s.quality_e6
+            FROM scored s JOIN keep k ON s.doc_id = k.doc_id
+            WHERE s.lang_pred IN ('en') AND s.quality_e6 >= 320000
         """,
         # connected components over the LSH candidate pairs: cluster_id = the
         # smallest doc_id reachable (transitive closure via recursive CTE)

@@ -51,6 +51,43 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "toke
     )
 
 
+def clean_corpus(
+    docs: DataFrame,
+    min_quality_e6: int = 0,
+    langs: tuple[str, ...] = ("en",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(doc_id, lang_pred, quality_e6): the composed training-data cleaning
+    pass - exact-dedup survivors (min-id per md5 fingerprint) restricted to
+    the wanted languages and a minimum quality score.
+
+    Plan shape: one fingerprint groupBy (the dedup shuffle) + one doc_id
+    join back; language and quality are pure per-row expressions computed in
+    ONE projection and filtered BEFORE the join, so the join's probe side
+    carries only already-clean rows."""
+    # local import: dedup imports text_stats (h60), so module level would cycle
+    from boilerplate_buster_spark.operators.dedup import exact_dedup_groups
+
+    survivors = exact_dedup_groups(docs, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    lang_set = ", ".join(f"'{l}'" for l in langs)
+    case, _ = _langid_case_expr(tokens_col)
+    scored = docs.select(
+        F.col(id_col),
+        F.expr(case).alias("lang_pred"),
+        F.expr(_quality_expr(tokens_col)).alias("quality_e6"),
+    )
+    return (
+        scored.filter(F.expr(f"lang_pred IN ({lang_set})"))
+        .filter(F.col("quality_e6") >= min_quality_e6)
+        .join(survivors, id_col)
+        .select(id_col, "lang_pred", "quality_e6")
+    )
+
+
 # BPE-ish pre-tokenization pattern (GPT-2-style coarse classes, simplified
 # to the regex subset Java regex and RE2/DuckDB interpret identically):
 # letter runs | single digits | single non-space punctuation.
@@ -74,9 +111,8 @@ def bpe_token_count(
     )
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
-    """Stopword-hit-rate language ID (n-gram heuristic): argmax over per-lang
-    stopword ratios, deterministic tie order en>de>es>fr>zh."""
+def _langid_case_expr(tokens_col: str) -> tuple[str, str]:
+    """-> (lang CASE expr, best-ratio expr) over per-lang stopword ratios."""
     ratios = {l: _ratio(tokens_col, w) for l, w in STOPWORDS.items()}
     best = " , ".join(ratios[l] for l in _LANG_ORDER)
     case = "CASE "
@@ -86,10 +122,27 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "toke
         )
         case += f"WHEN {others} THEN '{l}' "
     case += "ELSE 'und' END"
+    return case, f"round(greatest({best}), 4)"
+
+
+def _quality_expr(tokens_col: str) -> str:
+    t = tokens_col
+    lit = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return (
+        f"(400000 * size(filter({t}, x -> x IN ({lit})))"
+        f" + 300000 * size(array_distinct({t}))) DIV greatest(size({t}), 1)"
+        f" + 3000 * least(size({t}), 100)"
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
+    """Stopword-hit-rate language ID (n-gram heuristic): argmax over per-lang
+    stopword ratios, deterministic tie order en>de>es>fr>zh."""
+    case, best = _langid_case_expr(tokens_col)
     return docs.select(
         F.col(id_col),
         F.expr(case).alias("lang_pred"),
-        F.expr(f"round(greatest({best}), 4)").alias("lang_score"),
+        F.expr(best).alias("lang_score"),
     )
 
 
@@ -100,15 +153,8 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "to
     i.e. 0.4*en-stopword-ratio + 0.3*unique-ratio + 0.3*min(n/100, 1), scaled
     by 1e6.  Integer math because double `round()` semantics differ between
     Spark (shortest-decimal HALF_UP) and other engines at .5 boundaries."""
-    t = tokens_col
-    lit = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     return docs.select(
-        F.col(id_col),
-        F.expr(
-            f"(400000 * size(filter({t}, x -> x IN ({lit})))"
-            f" + 300000 * size(array_distinct({t}))) DIV greatest(size({t}), 1)"
-            f" + 3000 * least(size({t}), 100)"
-        ).alias("quality_e6"),
+        F.col(id_col), F.expr(_quality_expr(tokens_col)).alias("quality_e6")
     )
 
 
