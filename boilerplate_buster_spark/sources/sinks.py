@@ -77,3 +77,19 @@ def import_spmf(spark: SparkSession, path: str, dict_path: str | None = None) ->
             words = [id_to_word.get(t, t) for t in items]
             rows.append((" ".join(words), int(sup.strip()), len(words)))
     return spark.createDataFrame(rows, "phrase string, freq long, length int")
+
+
+def write_bucketed(
+    df, table: str, by: str, buckets: int, sort: bool = True
+) -> None:
+    """Persist a table BUCKETED (and sorted) by a join/aggregation key so
+    later equi-joins and groupBys on that key are co-located - the two sides
+    of a bucketed-by-the-same-key join SortMergeJoin WITHOUT any Exchange
+    (verified in test_plans.py).  This is the pre-shuffle layout the north
+    rule's 'explicit repartitioning' asks for, persisted across jobs; on a
+    real lakehouse the same call targets the catalog (Iceberg bucket
+    transform) instead of the session warehouse."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, by)
+    if sort:
+        w = w.sortBy(by)
+    w.saveAsTable(table)

@@ -127,3 +127,60 @@ def test_word_bitmap_gate_stays_jvm_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "shiftright" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salted_helpers_exact_and_salted(spark):
+    from boilerplate_buster_spark.functions.skew import (
+        salted_distinct_count,
+        salted_join,
+    )
+
+    # head-key skew: one gram holds 90% of rows
+    rows = [("hot", f"d{i % 50}") for i in range(900)] + [
+        (f"g{i}", f"d{i}") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["gram", "doc_id"])
+    got = {
+        r["gram"]: r["n_distinct"]
+        for r in salted_distinct_count(df, "gram", "doc_id", salt=8).collect()
+    }
+    want = {
+        r["gram"]: r["n"]
+        for r in df.groupBy("gram").agg(
+            F.countDistinct("doc_id").alias("n")
+        ).collect()
+    }
+    assert got == want
+    plan = explain_str(salted_distinct_count(df, "gram", "doc_id", salt=8))
+    assert "_salt" in plan  # the salt is actually in the aggregation key
+
+    dims = spark.createDataFrame(
+        [("hot", 1), ("g1", 2), ("g2", 3)], ["gram", "v"]
+    )
+    j = salted_join(df, dims, "gram", salt=4)
+    want_j = df.join(dims, "gram")
+    assert j.count() == want_j.count()
+    assert j.groupBy("gram").count().orderBy("gram").collect() == \
+        want_j.groupBy("gram").count().orderBy("gram").collect()
+
+
+def test_bucketed_layout_join_has_no_exchange(spark, tmp_path):
+    from boilerplate_buster_spark.sources.sinks import write_bucketed
+
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), F.rand(1).alias("x"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"), F.rand(2).alias("y"))
+    write_bucketed(a, "bkt_a", "k", 8)
+    write_bucketed(b, "bkt_b", "k", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = explain_str(joined, mode="simple")
+        # co-located: SortMergeJoin straight over the bucketed scans
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
