@@ -307,6 +307,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(20)
         )
 
+    def shipping_priority(spark, sf):
+        # TPC-H Q3 shape: 3-way join, filtered fact side, grouped revenue topk
+        c = _tbl(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        o = _tbl(spark, sf, "orders")
+        li = _tbl(spark, sf, "lineitem")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .select(
+                "l_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                "o_orderpriority",
+                "revenue",
+            )
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10)
+        )
+
+    def revenue_running(spark, sf):
+        # window function coverage: per-customer running revenue over order date
+        from pyspark.sql import Window
+
+        o = _tbl(spark, sf, "orders").filter(F.col("o_custkey") < 50)
+        w = (
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+        )
+
+    def supplier_part_volume(spark, sf):
+        # multi-join aggregate: volume per supplier nation over part brand
+        li = _tbl(spark, sf, "lineitem")
+        p = _tbl(spark, sf, "part").filter(F.col("p_brand") == "Brand#1")
+        s = _tbl(spark, sf, "supplier")
+        n = _tbl(spark, sf, "nation")
+        return (
+            li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice")), 2).alias("volume"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
     def events_hourly(spark, sf):
         e = _tbl(spark, sf, "events")
         return (
@@ -446,6 +503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         embedding_neardup=embedding_neardup,
         pricing_summary=pricing_summary,
         top_customers=top_customers,
+        shipping_priority=shipping_priority,
+        revenue_running=revenue_running,
+        supplier_part_volume=supplier_part_volume,
         events_hourly=events_hourly,
         phrase_parents=phrase_parents,
         bloomspan_documents=bloomspan_documents,
@@ -658,6 +718,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, revenue, n_orders
             FROM r JOIN customer ON o_custkey = c_custkey
             ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "revenue_running": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                     AS running_revenue
+            FROM orders WHERE o_custkey < 50
+        """,
+        "supplier_part_volume": """
+            SELECT n_name, round(sum(l_extendedprice), 2) AS volume,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_brand = 'Brand#1'
+            GROUP BY n_name
         """,
         "events_hourly": """
             SELECT event_type,
