@@ -32,13 +32,19 @@ _MULT = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit multiplier (golden ratio)
 
 
 def _weights(length: int) -> np.ndarray:
-    """Polynomial weights w[k] = MULT^(L-1-k) mod 2^64."""
-    w = np.empty(length, dtype=np.uint64)
-    acc = np.uint64(1)
+    """Polynomial weights w[k] = MULT^(L-1-k) mod 2^64.
+
+    Computed with Python ints reduced mod 2^64: numpy uint64 SCALAR
+    multiplies wrap correctly but emit a RuntimeWarning per overflow, which
+    is log noise (and an error under strict warning filters).  Array-side
+    wraparound below stays silent by numpy semantics."""
+    mult = int(_MULT)
+    vals = [0] * length
+    acc = 1
     for k in range(length - 1, -1, -1):
-        w[k] = acc
-        acc = acc * _MULT
-    return w
+        vals[k] = acc
+        acc = (acc * mult) & 0xFFFFFFFFFFFFFFFF
+    return np.array(vals, dtype=np.uint64)
 
 
 def _marked_flags(

@@ -52,13 +52,15 @@ def salted_join(
     salt: int = 16,
 ) -> DataFrame:
     """Inner equi-join where `skewed` has hot keys: each skewed row gets a
-    deterministic sub-key (hash of the whole row partition spread is not
-    needed - xxhash64 of a uniform column would do; we use a per-row id from
-    monotonically_increasing_id so even IDENTICAL rows spread), `other` is
-    replicated once per sub-key.  Output equals the plain inner join."""
-    lhs = skewed.withColumn(
-        "_salt", F.expr(f"pmod(xxhash64(monotonically_increasing_id()), {salt})")
-    )
+    deterministic sub-key (xxhash64 over ALL its columns - STABLE under task
+    retry; a nondeterministic salt like monotonically_increasing_id can
+    re-salt a recomputed map task differently from shuffle files already
+    fetched, duplicating or dropping join rows under executor loss), `other`
+    is replicated once per sub-key.  Output equals the plain inner join.
+    Byte-identical duplicate rows share a salt - spread is over DISTINCT row
+    content, which is what matters for hot-KEY skew."""
+    cols = ", ".join(f"`{c}`" for c in skewed.columns)
+    lhs = skewed.withColumn("_salt", F.expr(f"pmod(xxhash64({cols}), {salt})"))
     rhs = other.withColumn(
         "_salt", F.explode(F.expr(f"sequence(0, {salt - 1})"))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))

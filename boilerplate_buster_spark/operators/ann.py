@@ -55,19 +55,33 @@ def cosine_topk(
     )
 
 
+def _plane_signs(p: int, dim: int) -> list[float]:
+    """Driver-side +1/-1 signs of hyperplane p: parity of the same md5-derived
+    60-bit hash the SQL path used to compute per row (see query_bucket)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
 def hyperplane_bucket_expr(vec_col: str, planes: int = 8, dim: int = 64) -> str:
     """2^planes LSH bucket id: bit p = sign of <v, plane_p> where
-    plane_p[i] = +1/-1 from the parity of H(concat(p,':',i)) - deterministic,
-    no stored model."""
-    from boilerplate_buster_spark.operators.text_stats import h60
-
+    plane_p[i] = +1/-1 from the parity of md5(p:i) - deterministic, no stored
+    model.  The sign matrix is PURE CONSTANTS, so it is computed driver-side
+    and inlined as literal arrays (Catalyst does not constant-fold lambdas:
+    the earlier transform(sequence(...), i -> IF(pmod(md5hash, 2)...)) form
+    re-hashed planes*dim times PER ROW).  Values are bit-identical to the
+    old form and to query_bucket."""
     terms = []
     for p in range(planes):
-        seeded = h60(f"concat('{p}', ':', i)")
-        plane = (
-            f"transform(sequence(0, {dim - 1}), "
-            f"i -> IF(pmod({seeded}, 2) = 0, 1.0D, -1.0D))"
-        )
+        signs = _plane_signs(p, dim)
+        plane = "array(" + ", ".join(
+            "1.0D" if s > 0 else "-1.0D" for s in signs
+        ) + ")"
         terms.append(f"IF({_dot(vec_col, plane)} > 0, {1 << p}, 0)")
     return "cast(" + " + ".join(terms) + " AS int)"
 

@@ -22,8 +22,16 @@ table (bounded by boilerplate path structure) plus one integer row per
 occurrence OF A SURVIVING CANDIDATE.  At web scale the occurrence lists of
 head phrases grow with the corpus, so ``max_occs_per_gram`` (default "auto"
 -> AUTO_MAX_OCCS on the distributed path) caps the gathered postings per
-gram (deterministic xxhash64 sampling) while the EXACT df keeps coming from
-the candidate aggregate; the cap trades off bitmask fidelity only.  Small
+gram (deterministic xxhash64 DOC sampling at rate cap/support) while the
+EXACT seed df keeps coming from the candidate aggregate.  When the cap
+BINDS (support > cap): expansion-edge supports are subsample counts, so the
+frequency threshold scales to the unbiased estimate
+(sup * support / cap >= min_docs) and reported expansion supports are
+rescaled estimates; closure counters, examples and the occupancy bitmask run
+on the same consistent doc subsample (sized >> min_docs for any sane
+threshold).  `stats["occ_cap_sampled_grams"]` records how many grams the cap
+touched; pass ``max_occs_per_gram=None`` for the byte-identical exact
+posture.  Small
 corpora skip all of this: strategy='driver' collects string windows and runs
 the exact kernel (core/expand.py) directly.
 """
@@ -192,18 +200,42 @@ def candidate_grams(
     )
     grouped = per_doc.groupBy("gram").agg(F.count("*").alias("support"))
     if stats is not None:
-        row = grouped.agg(
-            F.count("*").alias("total"),
+        # M5 seed counters ride the SAME job as the candidate collect via
+        # df.observe() (CollectMetrics blocks the threshold-filter pushdown,
+        # so `total` counts pre-filter grams) - a separate .first() here
+        # would run the most expensive pass-1 scan+shuffle TWICE per
+        # pipeline.  The caller harvests the Observation after its first
+        # action on the returned plan (mine() does, right after the
+        # candidate collect) via harvest_seed_stats().
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        grouped = grouped.observe(
+            obs,
+            F.count(F.lit(1)).alias("total"),
             F.sum(F.expr(f"IF(support >= {min_docs}, 1, 0)")).alias("acc"),
-        ).first()
-        total, acc = row["total"], int(row["acc"] or 0)
-        stats.update(
-            seeds_total=total,
-            seeds_accepted=acc,
-            seeds_rejected=total - acc,
-            pct_reduction=round(100.0 * (total - acc) / total, 2) if total else 0.0,
         )
+        stats["_seed_obs"] = obs
     return grouped.filter(F.col("support") >= min_docs)
+
+
+def harvest_seed_stats(stats: dict | None) -> None:
+    """Fold the deferred Observation planted by candidate_grams into the M5
+    counters.  Call ONLY after an action has executed the candidate plan
+    (Observation.get blocks until the metrics task completes)."""
+    if stats is None:
+        return
+    obs = stats.pop("_seed_obs", None)
+    if obs is None:
+        return
+    row = obs.get
+    total, acc = int(row["total"] or 0), int(row["acc"] or 0)
+    stats.update(
+        seeds_total=total,
+        seeds_accepted=acc,
+        seeds_rejected=total - acc,
+        pct_reduction=round(100.0 * (total - acc) / total, 2) if total else 0.0,
+    )
 
 
 def gather_windows(
@@ -344,9 +376,10 @@ def gather_windows(
 #: distributed-strategy default for max_occs_per_gram ("auto"): per-gram
 #: Bernoulli DOC sampling at rate cap/support bounds the gathered postings
 #: and the driver transfer.  SEED supports stay exact (they come from the
-#: candidate aggregate); when the cap binds, expansion supports and the
-#: bitmask/closure are computed over the sampled docs (a deterministic,
-#: consistent subsample - must be sized >> min_docs, which 100k is for any
+#: candidate aggregate); when the cap binds, expansion thresholds scale to
+#: the unbiased support estimate (see _mine_distributed) and the
+#: bitmask/closure run over the sampled docs (a deterministic, consistent
+#: subsample - must be sized >> min_docs, which 100k is for any
 #: sane boilerplate threshold).  At web scale head phrases have occurrence
 #: counts proportional to the corpus, so an uncapped gather is a transfer
 #: cliff.  Pass None explicitly for the byte-identical posture (the pytest
@@ -452,6 +485,7 @@ def mine(
         .withColumn("cid", F.expr("row_number() OVER (ORDER BY gram)"))
         .collect()
     )
+    harvest_seed_stats(stats)  # the collect above ran the observed plan
     if stats is not None:
         stats.setdefault("candidates_after_merge", len(cand_rows))
     if not cand_rows:
@@ -471,6 +505,12 @@ def mine(
         strategy = "driver" if total_occs < auto_threshold else "distributed"
     if max_occs_per_gram == "auto":
         max_occs_per_gram = AUTO_MAX_OCCS if strategy == "distributed" else None
+    if stats is not None:
+        stats["occ_cap_sampled_grams"] = sum(
+            1
+            for r in cand_rows
+            if max_occs_per_gram is not None and r["support"] > max_occs_per_gram
+        )
     try:
         while True:
             try:
@@ -482,6 +522,7 @@ def mine(
                     out = _mine_distributed(
                         spark, gathered, cand_rows, resolve_words,
                         min_docs, min_l, window, stats=stats,
+                        max_occs_per_gram=max_occs_per_gram,
                     )
                 else:
                     gathered = gather_windows(
@@ -534,6 +575,7 @@ def _mine_distributed(
     min_l: int,
     window: int,
     stats: dict | None = None,
+    max_occs_per_gram: int | None = None,
 ) -> list[WCandidate]:
     """Distributed greedy expansion + vectorized driver-side mask selection.
 
@@ -604,10 +646,27 @@ def _mine_distributed(
     n = len(cand_rows[0]["gram"].split(" "))
 
     # ---- one-shot path-tree edge aggregation over ALL depths ----
+    # When the per-gram occurrence cap sampled a head gram's docs at rate
+    # cap/support (gather_windows), edge supports are counted over that
+    # subsample - so the frequency threshold is applied to the UNBIASED
+    # estimate sup * support / cap >= min_docs, i.e. the per-cid threshold
+    # DROPS to ceil(min_docs * cap / support) for capped grams.  Comparing
+    # sampled supports against the raw min_docs (the round-2 behavior) made
+    # a head gram's continuation survive only at ~support/cap times the
+    # intended df - silently truncating greedy expansion.
+    cap = max_occs_per_gram
+    capped_sup = {
+        r["cid"]: r["support"]
+        for r in cand_rows
+        if cap is not None and r["support"] > cap
+    }
+    thr_by_cid = {
+        cid: max(1, -(-min_docs * cap // sup)) for cid, sup in capped_sup.items()
+    }
     stack_args = ", ".join(
         f"{d}, c{d}, c{d + 1}, w{d + 1}" for d in range(n, window)
     )
-    edge_rows = (
+    agg = (
         gathered.selectExpr(
             "cid", "doc_h", f"stack({window - n}, {stack_args}) AS (d, cur, nxt, w_h)"
         )
@@ -618,9 +677,19 @@ def _mine_distributed(
             F.first("cur").alias("cur"),
             F.first("w_h").alias("w_h"),
         )
-        .filter(F.col("sup") >= min_docs)
-        .collect()
     )
+    if thr_by_cid:
+        thr_df = F.broadcast(
+            spark.createDataFrame(
+                [(cid, thr) for cid, thr in thr_by_cid.items()], "cid int, thr bigint"
+            )
+        )
+        agg = agg.join(thr_df, "cid", "left").filter(
+            F.col("sup") >= F.coalesce(F.col("thr"), F.lit(min_docs))
+        )
+    else:
+        agg = agg.filter(F.col("sup") >= min_docs)
+    edge_rows = agg.collect()
     _mark(f"edge aggregation ({len(edge_rows)} frequent edges)")
 
     words = resolve_words({r["w_h"] for r in edge_rows})
@@ -650,6 +719,12 @@ def _mine_distributed(
                 gathered.unpersist()
                 raise WindowExhausted(f"phrase reached window W={window}")
         st["h"] = h
+        if plen > n and cid in capped_sup:
+            # expansion support was counted over the cap/support doc sample:
+            # report the unbiased estimate (bounded by the exact seed df -
+            # expansion support is monotone non-increasing)
+            est = round(st["support"] * capped_sup[cid] / cap)
+            st["support"] = min(st["seed_support"], max(min_docs, est))
     _mark("greedy walk")
 
     # ---- flag FINAL occurrences (per-cid final chain hash); only the c

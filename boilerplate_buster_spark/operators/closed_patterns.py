@@ -14,13 +14,34 @@ a phrase repeated inside one doc counts twice - FIXTURES.md 3a).  Any
 extension with count equal to a frequent pattern's count is itself frequent,
 so comparing against the FREQUENT (k+1)-gram level is exhaustive.
 
-The level-wise loop runs one hash-aggregate per length k (map-side partial
-counts, uniform gram keys) and two broadcast anti-joins between adjacent
-levels; it terminates at the longest frequent phrase.  The reference's BIDE
-and CloSpan differ only in a backward-check early-exit that never changes the
-result set (an occurrence at doc start caps the prefix count below support in
-both); one implementation serves both names - pinned by the cross-check tests
-against the reference binary (tests/test_pyref_crosscheck.py).
+Scale posture of the level-wise loop (one hash-aggregate per length k, two
+broadcast anti-joins between adjacent levels, terminates at the longest
+frequent phrase):
+
+  * ANTI-MONOTONE IN-SCAN GATE: a frequent (k+1)-gram's prefix k-gram is
+    necessarily frequent (every occurrence of the extension contains one of
+    the prefix), so level k+1 enumerates ONLY windows whose leading k-gram
+    hash is in the surviving level-k hash set - a literal 64-bit IN-set
+    filter INSIDE the scan (the `gather_windows` trick,
+    bloomspan.py:240-266).  Noise windows die before the explode, so the
+    per-level aggregate input shrinks with the frequent set instead of
+    rescanning every corpus position at every depth.  Hash collisions are
+    harmless: a falsely-admitted gram is counted on a SUBSET of its windows,
+    so its count only drops further below min_sup (a genuinely frequent gram
+    has a genuinely frequent prefix and passes the gate on EVERY window -
+    exact count).  Gate sets above `_INSCAN_MAX` fall back to the ungated
+    full enumeration (plan-size limit for literal IN-sets).
+  * STRING-PERSISTED CORPUS: the corpus is cached as ONE space-joined string
+    column and re-split per level - Spark's columnar cache of array<string>
+    re-reads ~8x slower than recomputing split() (measured; see
+    bloomspan.mine's cache note).  Assumes tokens contain no spaces (true of
+    every tokenizer in this package; array_join/split round-trips exactly).
+
+The reference's BIDE and CloSpan differ only in a backward-check early-exit
+that never changes the result set (an occurrence at doc start caps the
+prefix count below support in both); one implementation serves both names -
+pinned by the cross-check tests against the reference binary
+(tests/test_pyref_crosscheck.py).
 """
 
 from __future__ import annotations
@@ -28,6 +49,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from boilerplate_buster_spark.operators.bloomspan import _gramhash_sql
 
 CLOSED_SCHEMA = T.StructType(
     [
@@ -37,16 +60,69 @@ CLOSED_SCHEMA = T.StructType(
     ]
 )
 
+#: literal-IN-set plan-size cap for the in-scan gate (same bound as
+#: bloomspan.gather_windows); above it levels run ungated.
+_INSCAN_MAX = 65536
 
-def _gram_counts(docs: DataFrame, k: int, min_sup: int, tokens_col: str) -> DataFrame:
-    """(gram, freq): occurrence counts of all k-grams with freq >= min_sup."""
-    t = tokens_col
-    cnt = f"greatest(size({t}) - {k} + 1, 0)"
-    grams = docs.select(
+#: re-split the persisted string form; '' round-trips to an EMPTY array
+#: (split('') is ['']).
+_TOKS = "CASE WHEN _t = '' THEN array() ELSE split(_t, ' ') END"
+
+
+def _gram_hashes(level: DataFrame, k: int, n_rows: int) -> list[int] | None:
+    """xxhash64-combined gram hashes of a (gram, ...) level frame, for the
+    next level's in-scan gate; None when the set exceeds the IN-set cap."""
+    if not 0 < n_rows <= _INSCAN_MAX:
+        return None
+    gh = _gramhash_sql("_hs", "1", k)
+    return [
+        r["gh"]
+        for r in level.select(
+            F.expr("transform(split(gram, ' '), x -> xxhash64(x))").alias("_hs")
+        )
+        .select(F.expr(gh).alias("gh"))
+        .collect()
+    ]
+
+
+def _pos_expr(k: int, gate_hashes: list[int] | None) -> str:
+    """SQL for the 1-based window start positions of k-grams over `_tk`
+    (with `_hs` = per-token xxhash64 present when gated): all positions, or
+    only those whose leading (k-1)-gram hash survives the previous level."""
+    pos = (
+        f"slice(sequence(1, greatest(size(_tk) - {k} + 1, 1)), "
+        f"1, greatest(size(_tk) - {k} + 1, 0))"
+    )
+    if gate_hashes is not None:
+        gh = _gramhash_sql("_hs", "i", k - 1)
+        hset = ", ".join(str(h) for h in gate_hashes) or "0"
+        pos = f"filter({pos}, i -> ({gh}) IN ({hset}))"
+    return pos
+
+
+def _with_tokens(txt: DataFrame, gated: bool, extra: list[str]) -> DataFrame:
+    """Two-step select so the split() array (and token hashes, when gated)
+    materialize ONCE per row - CollapseProject would otherwise inline the
+    split into every reference."""
+    base = txt.select(*extra, F.expr(_TOKS).alias("_tk"))
+    if gated:
+        base = base.select(
+            *extra, "_tk", F.expr("transform(_tk, x -> xxhash64(x))").alias("_hs")
+        )
+    return base
+
+
+def _gram_counts(
+    txt: DataFrame, k: int, min_sup: int, gate_hashes: list[int] | None
+) -> DataFrame:
+    """(gram, freq): occurrence counts of k-grams with freq >= min_sup,
+    enumerated only at gate-surviving positions (see module docstring)."""
+    base = _with_tokens(txt, gate_hashes is not None, [])
+    grams = base.select(
         F.explode(
             F.expr(
-                f"transform(slice(sequence(1, greatest(size({t}) - {k} + 1, 1)), 1, {cnt}), "
-                f"i -> array_join(slice({t}, i, {k}), ' '))"
+                f"transform({_pos_expr(k, gate_hashes)}, "
+                f"i -> array_join(slice(_tk, i, {k}), ' '))"
             )
         ).alias("gram")
     )
@@ -68,51 +144,54 @@ def closed_contiguous_patterns(
     """All closed contiguous patterns (phrase, freq, length), canonical order
     (-freq*length, -freq, phrase).  Serves `--algo bide` AND `--algo clospan`.
     """
-    docs = docs.select(tokens_col).persist()
+    txt = docs.select(F.array_join(F.col(tokens_col), " ").alias("_t")).persist()
     out_rows: list[tuple[str, int, int]] = []
 
-    cur = _gram_counts(docs, 1, min_sup, tokens_col).persist()
+    cur = _gram_counts(txt, 1, min_sup, None).persist()
+    cur_n = cur.count()
     k = 1
-    while k <= max_len:
-        nxt = _gram_counts(docs, k + 1, min_sup, tokens_col).persist()
-        nxt_n = nxt.count()
+    try:
+        while k <= max_len:
+            gate = _gram_hashes(cur, k, cur_n)
+            nxt = _gram_counts(txt, k + 1, min_sup, gate).persist()
+            nxt_n = nxt.count()
 
-        if k >= min_l:
+            if k >= min_l:
+                if nxt_n == 0:
+                    survivors = cur
+                else:
+                    # forward closure: drop g if some (k+1)-gram PREFIXED by
+                    # g has equal count; backward: same with g as SUFFIX.
+                    ext = nxt.select(
+                        F.expr(
+                            "array_join(slice(split(gram, ' '), 1, size(split(gram, ' ')) - 1), ' ')"
+                        ).alias("pfx"),
+                        F.expr("array_join(slice(split(gram, ' '), 2, size(split(gram, ' ')))"
+                               ", ' ')").alias("sfx"),
+                        F.col("freq").alias("ext_freq"),
+                    )
+                    kill = (
+                        ext.select(F.col("pfx").alias("gram"), "ext_freq")
+                        .unionAll(ext.select(F.col("sfx").alias("gram"), "ext_freq"))
+                        .distinct()
+                    )
+                    survivors = cur.join(
+                        F.broadcast(kill),
+                        (cur["gram"] == kill["gram"]) & (cur["freq"] == kill["ext_freq"]),
+                        "left_anti",
+                    )
+                out_rows += [
+                    (r["gram"], r["freq"], k) for r in survivors.collect()
+                ]
+
+            cur.unpersist()
+            cur, cur_n = nxt, nxt_n
             if nxt_n == 0:
-                survivors = cur
-            else:
-                # forward closure: drop g if some (k+1)-gram PREFIXED by g has
-                # equal count; backward: same with g as SUFFIX.
-                ext = nxt.select(
-                    F.expr(
-                        "array_join(slice(split(gram, ' '), 1, size(split(gram, ' ')) - 1), ' ')"
-                    ).alias("pfx"),
-                    F.expr("array_join(slice(split(gram, ' '), 2, size(split(gram, ' ')))"
-                           ", ' ')").alias("sfx"),
-                    F.col("freq").alias("ext_freq"),
-                )
-                kill = (
-                    ext.select(F.col("pfx").alias("gram"), "ext_freq")
-                    .unionAll(ext.select(F.col("sfx").alias("gram"), "ext_freq"))
-                    .distinct()
-                )
-                survivors = cur.join(
-                    F.broadcast(kill),
-                    (cur["gram"] == kill["gram"]) & (cur["freq"] == kill["ext_freq"]),
-                    "left_anti",
-                )
-            out_rows += [
-                (r["gram"], r["freq"], k) for r in survivors.collect()
-            ]
-
+                break
+            k += 1
+    finally:
         cur.unpersist()
-        if nxt_n == 0:
-            nxt.unpersist()
-            break
-        cur = nxt
-        k += 1
-
-    docs.unpersist()
+        txt.unpersist()
     out_rows.sort(key=lambda r: (-r[1] * r[2], -r[1], r[0]))
     return spark.createDataFrame(out_rows, CLOSED_SCHEMA)
 
@@ -123,21 +202,21 @@ clospan_mine_df = closed_contiguous_patterns
 
 
 def _doc_gram_counts(
-    docs: DataFrame, k: int, tokens_col: str, id_col: str
+    txt: DataFrame, k: int, id_col: str, gate_hashes: list[int] | None
 ) -> DataFrame:
-    """(gram, df, ext_df): distinct-doc frequency of all k-grams, plus the
-    distinct-doc count of EXTENDABLE occurrences (not at doc end) - the
-    reference PrefixSpan emits a pattern only if its projected database is
-    non-empty (corpus_miner.cpp:170-182), i.e. some occurrence can extend."""
-    t = tokens_col
-    cnt = f"greatest(size({t}) - {k} + 1, 0)"
-    pairs = docs.select(
+    """(gram, df, ext_docs): distinct-doc frequency of gate-surviving
+    k-grams, plus the distinct-doc count of EXTENDABLE occurrences (not at
+    doc end) - the reference PrefixSpan emits a pattern only if its projected
+    database is non-empty (corpus_miner.cpp:170-182), i.e. some occurrence
+    can extend."""
+    base = _with_tokens(txt, gate_hashes is not None, [id_col])
+    pairs = base.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"array_distinct(transform(slice(sequence(1, greatest(size({t}) - {k} + 1, 1)), 1, {cnt}), "
-                f"i -> struct(array_join(slice({t}, i, {k}), ' ') AS gram, "
-                f"IF(i + {k} <= size({t}), 1, 0) AS ext)))"
+                f"array_distinct(transform({_pos_expr(k, gate_hashes)}, "
+                f"i -> struct(array_join(slice(_tk, i, {k}), ' ') AS gram, "
+                f"IF(i + {k} <= size(_tk), 1, 0) AS ext)))"
             )
         ).alias("ge"),
     ).select(id_col, "ge.gram", "ge.ext")
@@ -166,54 +245,61 @@ def prefixspan_patterns(
     never emitted (the projected-db drop quirk, ":170-182").  Cross-checked
     against core/pyref.prefixspan_mine.
 
-    One hash-aggregate per length k (per-doc array_distinct collapses repeats
-    map-side) and one broadcast anti/left join between adjacent levels."""
+    One hash-aggregate per length k - gated in-scan by the surviving k-gram
+    hash set (anti-monotone on distinct-doc support exactly as on occurrence
+    counts; see module docstring) - and one broadcast anti/left join between
+    adjacent levels."""
     mode = mode.lower()
     if mode not in ("all", "closed", "maximal"):
         raise ValueError(f"unknown mode {mode!r}")
-    docs = docs.select(id_col, tokens_col).persist()
+    txt = docs.select(
+        F.col(id_col), F.array_join(F.col(tokens_col), " ").alias("_t")
+    ).persist()
     out_rows: list[tuple[str, int, int]] = []
 
     cur = (
-        _doc_gram_counts(docs, 1, tokens_col, id_col)
+        _doc_gram_counts(txt, 1, id_col, None)
         .filter(F.col("df") >= min_docs)
         .persist()
     )
+    cur_n = cur.count()
     k = 1
-    while k <= max_len:
-        nxt = (
-            _doc_gram_counts(docs, k + 1, tokens_col, id_col)
-            .filter(F.col("df") >= min_docs)
-            .persist()
-        )
-        nxt_n = nxt.count()
+    try:
+        while k <= max_len:
+            gate = _gram_hashes(cur, k, cur_n)
+            nxt = (
+                _doc_gram_counts(txt, k + 1, id_col, gate)
+                .filter(F.col("df") >= min_docs)
+                .persist()
+            )
+            nxt_n = nxt.count()
 
-        if k >= min_l:
-            emit = cur.filter(F.col("ext_docs") > 0)
-            if mode != "all" and nxt_n > 0:
-                # forward kill: a frequent (k+1)-gram PREFIXED by g
-                kill = nxt.select(
-                    F.expr(
-                        "array_join(slice(split(gram, ' '), 1, size(split(gram, ' ')) - 1), ' ')"
-                    ).alias("kgram"),
-                    F.col("df").alias("ext_df"),
-                )
-                if mode == "maximal":
-                    cond = emit["gram"] == kill["kgram"]
-                else:  # closed: only equal-support extensions kill
-                    cond = (emit["gram"] == kill["kgram"]) & (
-                        emit["df"] == kill["ext_df"]
+            if k >= min_l:
+                emit = cur.filter(F.col("ext_docs") > 0)
+                if mode != "all" and nxt_n > 0:
+                    # forward kill: a frequent (k+1)-gram PREFIXED by g
+                    kill = nxt.select(
+                        F.expr(
+                            "array_join(slice(split(gram, ' '), 1, size(split(gram, ' ')) - 1), ' ')"
+                        ).alias("kgram"),
+                        F.col("df").alias("ext_df"),
                     )
-                emit = emit.join(F.broadcast(kill), cond, "left_anti")
-            out_rows += [(r["gram"], r["df"], k) for r in emit.collect()]
+                    if mode == "maximal":
+                        cond = emit["gram"] == kill["kgram"]
+                    else:  # closed: only equal-support extensions kill
+                        cond = (emit["gram"] == kill["kgram"]) & (
+                            emit["df"] == kill["ext_df"]
+                        )
+                    emit = emit.join(F.broadcast(kill), cond, "left_anti")
+                out_rows += [(r["gram"], r["df"], k) for r in emit.collect()]
 
+            cur.unpersist()
+            cur, cur_n = nxt, nxt_n
+            if nxt_n == 0:
+                break
+            k += 1
+    finally:
         cur.unpersist()
-        if nxt_n == 0:
-            nxt.unpersist()
-            break
-        cur = nxt
-        k += 1
-
-    docs.unpersist()
+        txt.unpersist()
     out_rows.sort(key=lambda r: (-r[1] * r[2], -r[1], r[0]))
     return spark.createDataFrame(out_rows, CLOSED_SCHEMA)

@@ -198,13 +198,19 @@ def duplicate_clusters(
     Small edge sets (<= driver_threshold, known exactly from the persisted
     count) collect to a driver union-find - iterative Spark rounds cost ~2s
     of fixed job latency EACH, which dwarfs a tiny graph.  Larger graphs run
-    iterative min-label propagation: each round joins every node's current
-    label against its neighbors' labels and keeps the minimum; converges in
-    O(diameter) rounds - near-dup components are clique-ish (diameter ~1-2),
-    so 2-3 rounds in practice.  Each round is ONE shuffle join on doc_id +
-    one min-aggregate, with `localCheckpoint` per round to cut lineage
-    growth (plan-string OOM after ~30 iterative rounds otherwise -
-    measured).  Termination is an exact count of changed labels."""
+    iterative min-label propagation WITH POINTER JUMPING: each round (a)
+    takes the min over neighbor labels, then (b) replaces every label by the
+    label OF its label (label values are node ids, so this is one
+    self-join) - pointer jumping halves the remaining distance to the
+    component minimum, so convergence is O(log diameter) rounds and
+    max_iters=50 covers any graph that fits in storage.  Near-dup components
+    are clique-ish (diameter ~1-2), so 2-3 rounds in practice.  Each round
+    is two shuffle joins + one min-aggregate, with `localCheckpoint` per
+    round to cut lineage growth (plan-string OOM after ~30 iterative rounds
+    otherwise - measured).  Termination is an exact count of changed labels;
+    exhausting max_iters unconverged RAISES instead of silently returning
+    split clusters (the documented contract is cluster_id = min doc_id in
+    the component)."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -241,15 +247,26 @@ def duplicate_clusters(
         F.col("src").alias("id"), F.col("src").alias("label")
     )
     labels = labels.localCheckpoint(eager=True)
+    changed = -1
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges["dst"] == labels["id"])
             .select(F.col("src").alias("id"), "label")
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(neigh)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label <- label(label).  Every label value is a node
+        # id present in `propagated` (labels start as ids and min() only
+        # moves between them), so the inner join is total.
+        lut = propagated.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
+        new_labels = (
+            propagated.join(lut, propagated["label"] == lut["_lid"])
+            .select("id", F.col("_llabel").alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -262,6 +279,12 @@ def duplicate_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters: min-label propagation did not converge in "
+            f"{max_iters} rounds ({changed} labels still changing) - result "
+            f"would split components; raise max_iters"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

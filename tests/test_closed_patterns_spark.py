@@ -68,3 +68,62 @@ def test_spark_bide_short_and_empty(spark):
     df2 = spark.createDataFrame([("a", ["x"]), ("b", ["x"])], ["doc_id", "tokens"])
     rows = closed_contiguous_patterns(spark, df2, min_sup=2).collect()
     assert [(r["phrase"], r["freq"], r["length"]) for r in rows] == [("x", 2, 1)]
+
+
+def test_gate_equivalence_and_plan(spark, monkeypatch):
+    """The anti-monotone in-scan gate must not change results (gated vs
+    forced-ungated), and the gated level plan must carry the 64-bit IN-set
+    filter BEFORE the explode (Generate)."""
+    from boilerplate_buster_spark.operators import closed_patterns as cp
+
+    df = corpus_df(spark, "test1")
+    gated = {
+        (r["phrase"], r["freq"], r["length"])
+        for r in closed_contiguous_patterns(spark, df, min_sup=3, min_l=2).collect()
+    }
+    monkeypatch.setattr(cp, "_INSCAN_MAX", 0)  # force every level ungated
+    ungated = {
+        (r["phrase"], r["freq"], r["length"])
+        for r in closed_contiguous_patterns(spark, df, min_sup=3, min_l=2).collect()
+    }
+    assert gated == ungated
+    monkeypatch.undo()
+
+    # plan shape: a gated level filters window positions by the hash IN-set
+    # inside the projection feeding the explode
+    txt = df.select(tokens_col_to_text(df))
+    lvl = cp._gram_counts(txt, 2, 3, gate_hashes=[123, 456])
+    plan = lvl._jdf.queryExecution().optimizedPlan().toString()
+    gen_at = plan.index("Generate")
+    assert "xxhash64" in plan
+    assert " IN (123,456)" in plan.replace(", ", ",")
+
+
+def tokens_col_to_text(df):
+    from pyspark.sql import functions as F
+
+    return F.array_join("tokens", " ").alias("_t")
+
+
+def test_prefixspan_gate_equivalence(spark, monkeypatch):
+    from boilerplate_buster_spark.operators import closed_patterns as cp
+    from boilerplate_buster_spark.operators.closed_patterns import (
+        prefixspan_patterns,
+    )
+
+    named = load_dir_corpus_text(REF_TESTS / "test1")
+    df = (
+        spark.createDataFrame(named, ["doc_id", "text"])
+        .select("doc_id", tokens("text").alias("tokens"))
+    )
+    runs = {}
+    for label, cap in (("gated", 65536), ("ungated", 0)):
+        monkeypatch.setattr(cp, "_INSCAN_MAX", cap)
+        runs[label] = {
+            (r["phrase"], r["freq"], r["length"])
+            for r in prefixspan_patterns(
+                spark, df, min_docs=3, min_l=2, mode="closed"
+            ).collect()
+        }
+    monkeypatch.undo()
+    assert runs["gated"] == runs["ungated"] and runs["gated"]

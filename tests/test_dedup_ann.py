@@ -259,3 +259,27 @@ def test_multimodal_resize_and_frames_plumbing(spark):
         assert all(len(bytes(f["frame"])) == 32 for f in fs)
         tss = [f["frame_ts_ms"] for f in sorted(fs, key=lambda x: x["frame_idx"])]
         assert tss == sorted(tss)
+
+
+def test_duplicate_clusters_long_chain_pointer_jumping(spark):
+    """A 40-node path (diameter 39) through the iterative scale path: plain
+    min-label propagation needs ~39 rounds; pointer jumping must converge
+    well inside max_iters=12 and still match union-find semantics."""
+    pairs = [(i, i + 1) for i in range(40)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(
+            pdf, driver_threshold=0, max_iters=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_duplicate_clusters_raises_when_unconverged(spark):
+    import pytest as _pytest
+
+    pairs = [(i, i + 1) for i in range(40)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pdf, driver_threshold=0, max_iters=1)

@@ -55,3 +55,28 @@ def test_pipeline_snapshot_carries_mining_stats(spark, tmp_path):
     m = res["metrics"]["phrases"]
     assert STATS_KEYS <= set(m)
     assert m["phrases_total"] == m["n_phrases"]
+
+
+def test_capped_sampling_scales_expansion_threshold(spark):
+    """When max_occs_per_gram binds (seed support > cap), expansion-edge
+    supports are subsample counts; the threshold must scale to the unbiased
+    estimate or greedy expansion silently truncates (round-2 ADVICE item).
+    Here min_docs(20) > cap(8): the raw threshold could NEVER pass on a
+    <=~8-doc sample, so this test fails outright without the scaling."""
+    boiler = "all rights reserved contact us for details"
+    rows = []
+    for i in range(40):
+        noise = " ".join(f"n{i}x{j}" for j in range(4))
+        rows.append((i, f"{noise} {boiler} tail{i}".split(" ")))
+    docs = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    stats: dict = {}
+    phrases = bloomspan.mine(
+        spark, docs, min_docs=20, ngrams=3, strategy="distributed",
+        max_occs_per_gram=8, stats=stats,
+    )
+    assert stats["occ_cap_sampled_grams"] >= 1
+    texts = {p.text for p in phrases}
+    assert boiler in texts, texts  # expansion reached the full 7-token phrase
+    full = next(p for p in phrases if p.text == boiler)
+    # reported support is the rescaled unbiased estimate, bounded by exact df
+    assert 20 <= full.support <= 40
