@@ -483,6 +483,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("feature_bytes"),
         )
 
+    # ---- REAL media decode paths (BMP/P6/WAV/P6-stream numpy codecs) over
+    # the closed-form synthetic generator: the oracle recomputes every
+    # decoded statistic from the generative formula WITHOUT parsing binaries,
+    # so byte-real decoding is pinned by full SQL value-hash checks.
+
+    def _media_ids(spark, sf):
+        return (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") < 90)
+            .select(F.col("doc_id").alias("media_id"))
+        )
+
+    def media_decode_features(spark, sf):
+        from boilerplate_buster_spark.operators import multimodal
+
+        media = multimodal.synthetic_media_df(_media_ids(spark, sf))
+        feats = multimodal.extract_features(media)
+        # features are integer-exact content statistics (see decode_bytes)
+        return feats.select(
+            "media_id", "kind",
+            F.expr(
+                "array_join(transform(feature, v -> cast(v AS bigint)), '|')"
+            ).alias("feature_ints"),
+        )
+
+    def media_resize_pixels(spark, sf):
+        from boilerplate_buster_spark.operators import multimodal
+
+        media = multimodal.synthetic_media_df(_media_ids(spark, sf))
+        resized = multimodal.resize_images(media, width=5, height=4)
+        return multimodal.image_stats(resized.select("media_id", "payload"))
+
+    def media_frame_pixels(spark, sf):
+        from boilerplate_buster_spark.operators import multimodal
+
+        media = multimodal.synthetic_media_df(_media_ids(spark, sf))
+        frames = multimodal.sample_frames(media, n_frames=4, fps=25)
+        return multimodal.image_stats(
+            frames.select(
+                "media_id", "frame_idx", "frame_ts_ms",
+                F.col("frame").alias("payload"),
+            ),
+            passthrough=("frame_idx", "frame_ts_ms"),
+        )
+
+    def media_audio_decode(spark, sf):
+        from boilerplate_buster_spark.operators import multimodal
+
+        media = multimodal.synthetic_media_df(_media_ids(spark, sf)).filter(
+            F.col("kind") == "audio"
+        )
+        feats = multimodal.extract_features(media)
+        return feats.select(
+            "media_id",
+            F.expr("cast(element_at(feature, 1) AS int)").alias("n_samples"),
+            F.expr("cast(element_at(feature, 2) AS int)").alias("sample_rate"),
+            F.expr("cast(element_at(feature, 3) AS bigint)").alias("sum_s"),
+            F.expr("cast(element_at(feature, 4) AS int)").alias("min_s"),
+            F.expr("cast(element_at(feature, 5) AS int)").alias("max_s"),
+        )
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -517,6 +578,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal_resize=multimodal_resize,
         multimodal_frames=multimodal_frames,
         multimodal_features=multimodal_features,
+        media_decode_features=media_decode_features,
+        media_resize_pixels=media_resize_pixels,
+        media_frame_pixels=media_frame_pixels,
+        media_audio_decode=media_audio_decode,
     )
     return q
 
@@ -815,6 +880,101 @@ def oracle_sql() -> dict[str, str]:
                    sha256(sha256(text) || ':' || i) AS frame_hex
             FROM documents, unnest(generate_series(0, 3)) AS u(i)
             WHERE doc_id < 60 AND doc_id % 3 = 2
+        """,
+        # REAL decode oracles: the synthetic generator is closed-form
+        # (multimodal.synth_media_payload), so DuckDB recomputes the decoded
+        # pixel/sample statistics WITHOUT parsing any binary - if the Spark
+        # side's BMP/P6/WAV decoding is off by a byte (padding, BGR order,
+        # chunk walk), the value hash diverges.
+        "media_decode_features": """
+            WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 90),
+            imgf AS (
+              SELECT id, 'image' AS kind, w, h,
+                [CAST(w AS BIGINT), h,
+                 list_sum(list_transform(generate_series(0, w*h-1), p -> (id*31 + p*7) % 256)),
+                 list_sum(list_transform(generate_series(0, w*h-1), p -> (id*31 + p*7 + 11) % 256)),
+                 list_sum(list_transform(generate_series(0, w*h-1), p -> (id*31 + p*7 + 22) % 256)),
+                 list_min(list_transform(generate_series(0, w*h-1), p -> (id*31 + p*7) % 256)),
+                 list_max(list_transform(generate_series(0, w*h-1), p -> (id*31 + p*7) % 256)),
+                 w*h] AS f
+              FROM (SELECT id, 8 + id%5 AS w, 6 + id%4 AS h FROM ids WHERE id%3 = 0)
+            ),
+            audf AS (
+              SELECT id, 'audio' AS kind, 0 AS w, 0 AS h,
+                [CAST(n AS BIGINT), rate,
+                 list_sum(list_transform(generate_series(0, n-1), k -> (id*77 + k*123) % 65536 - 32768)),
+                 list_min(list_transform(generate_series(0, n-1), k -> (id*77 + k*123) % 65536 - 32768)),
+                 list_max(list_transform(generate_series(0, n-1), k -> (id*77 + k*123) % 65536 - 32768)),
+                 (id*77) % 65536 - 32768, 0, 0] AS f
+              FROM (SELECT id, 256 + id%100 AS n, 8000 + (id%5)*1000 AS rate FROM ids WHERE id%3 = 1)
+            ),
+            vidf AS (
+              SELECT id, 'video' AS kind, w, h,
+                [CAST(nf AS BIGINT), w, h,
+                 list_sum(list_transform(generate_series(0, nf*w*h*3 - 1), q ->
+                   (id*31 + (q // (w*h*3))*17 + ((q % (w*h*3)) // 3)*7 + (q % 3)*11) % 256)),
+                 list_min(list_transform(generate_series(0, nf*w*h*3 - 1), q ->
+                   (id*31 + (q // (w*h*3))*17 + ((q % (w*h*3)) // 3)*7 + (q % 3)*11) % 256)),
+                 list_max(list_transform(generate_series(0, nf*w*h*3 - 1), q ->
+                   (id*31 + (q // (w*h*3))*17 + ((q % (w*h*3)) // 3)*7 + (q % 3)*11) % 256)),
+                 nf*w*h*3, 0] AS f
+              FROM (SELECT id, 3 + id%4 AS nf, 4 + id%3 AS w, 3 + id%3 AS h FROM ids WHERE id%3 = 2)
+            )
+            SELECT id AS media_id, kind, array_to_string(f, '|') AS feature_ints
+            FROM (SELECT * FROM imgf UNION ALL SELECT * FROM audf UNION ALL SELECT * FROM vidf)
+        """,
+        # nearest-neighbor resize to 5x4: output pixel (X,Y) reads source
+        # linear pixel p = ((Y*h)//4)*w + (X*w)//5 of the generative image
+        "media_resize_pixels": """
+            WITH img AS (
+              SELECT doc_id AS id, 8 + doc_id%5 AS w, 6 + doc_id%4 AS h
+              FROM documents WHERE doc_id < 90 AND doc_id%3 = 0
+            ),
+            px AS (
+              SELECT id,
+                list_transform(generate_series(0, 19), q ->
+                  ((q // 5) * h // 4) * w + ((q % 5) * w // 5)) AS srcp
+              FROM img
+            )
+            SELECT id AS media_id, CAST(5 AS INT) AS img_w, CAST(4 AS INT) AS img_h,
+              CAST(list_sum(list_transform(srcp, p -> (id*31 + p*7) % 256)) AS BIGINT) AS sum_r,
+              CAST(list_sum(list_transform(srcp, p -> (id*31 + p*7 + 11) % 256)) AS BIGINT) AS sum_g,
+              CAST(list_sum(list_transform(srcp, p -> (id*31 + p*7 + 22) % 256)) AS BIGINT) AS sum_b
+            FROM px
+        """,
+        # uniform frame sampling: sample k of 4 reads source frame
+        # j = (k * n_frames) // 4 at ts j*1000//25 ms
+        "media_frame_pixels": """
+            WITH vid AS (
+              SELECT doc_id AS id, 3 + doc_id%4 AS nf,
+                     4 + doc_id%3 AS w, 3 + doc_id%3 AS h
+              FROM documents WHERE doc_id < 90 AND doc_id%3 = 2
+            ),
+            fr AS (
+              SELECT id, w, h, CAST(k AS INT) AS frame_idx, (k * nf) // 4 AS j
+              FROM vid, unnest(generate_series(0, 3)) AS u(k)
+            )
+            SELECT id AS media_id, frame_idx,
+              CAST(j * 1000 // 25 AS INT) AS frame_ts_ms,
+              CAST(w AS INT) AS img_w, CAST(h AS INT) AS img_h,
+              CAST(list_sum(list_transform(generate_series(0, w*h-1), p -> (id*31 + j*17 + p*7) % 256)) AS BIGINT) AS sum_r,
+              CAST(list_sum(list_transform(generate_series(0, w*h-1), p -> (id*31 + j*17 + p*7 + 11) % 256)) AS BIGINT) AS sum_g,
+              CAST(list_sum(list_transform(generate_series(0, w*h-1), p -> (id*31 + j*17 + p*7 + 22) % 256)) AS BIGINT) AS sum_b
+            FROM fr
+        """,
+        # WAV PCM16 chunk-walk decode: sample k = ((id*77 + k*123) % 65536) - 32768
+        "media_audio_decode": """
+            WITH aud AS (
+              SELECT doc_id AS id, 256 + doc_id%100 AS n,
+                     8000 + (doc_id%5)*1000 AS rate
+              FROM documents WHERE doc_id < 90 AND doc_id%3 = 1
+            )
+            SELECT id AS media_id, CAST(n AS INT) AS n_samples,
+              CAST(rate AS INT) AS sample_rate,
+              CAST(list_sum(list_transform(generate_series(0, n-1), k -> (id*77 + k*123) % 65536 - 32768)) AS BIGINT) AS sum_s,
+              CAST(list_min(list_transform(generate_series(0, n-1), k -> (id*77 + k*123) % 65536 - 32768)) AS INT) AS min_s,
+              CAST(list_max(list_transform(generate_series(0, n-1), k -> (id*77 + k*123) % 65536 - 32768)) AS INT) AS max_s
+            FROM aud
         """,
         # multimodal stub decoder is deterministic sha256 -> SQL-expressible:
         # feature byte i = digest byte i of sha256(kind || payload)

@@ -1,17 +1,37 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary` columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (this container has no image/audio libraries): a
-clearly-marked deterministic fake stands in for pixel/sample decoding, so the
-Spark-side contract - schema, batch shape, partitioning, UDF signature - is
-real and tested, and a real decoder (PIL/torchaudio/ffmpeg) drops into
-`decode_bytes` on a production cluster without touching the plan."""
+REAL decode paths (numpy + struct, no external media libraries needed):
+
+  * BMP  - 24-bit uncompressed (BI_RGB), bottom-up or top-down rows,
+           4-byte row padding, BGR->RGB
+  * PPM  - binary P6, maxval 255, '#' comments in the header
+  * WAV  - RIFF chunk walk, PCM16 mono (fmt + data chunks)
+  * video - concatenated P6 frames (a raw frame stream; the shape ffmpeg's
+           image2pipe/-f rawvideo emit), parsed frame-by-frame
+
+`decode_bytes`, `resize_images` (true nearest-neighbor over real pixels,
+re-encoded as P6) and `sample_frames` (true uniform frame selection from the
+parsed stream) run these decoders whenever the payload parses; payloads in
+no supported container fall back to the clearly-marked deterministic hash
+STUB, so the plumbing keeps working over arbitrary bytes (and the
+documents-as-media contract queries stay pinned to their sha256 oracles).
+Compressed formats (JPEG/PNG/MP3/H.264) still need a production decoder
+(PIL/ffmpeg) dropped into `_decode_media` - the dispatch point is the same.
+
+Decoded features are INTEGER-EXACT content statistics (sums/extrema -
+exactly representable in float32 at these sizes) rather than learned
+embeddings, so a DuckDB oracle can recompute them in closed form from the
+synthetic generator (synthetic_media_df) - byte-real decode, SQL-checkable
+values.  A production embedding model slots into the same dispatch."""
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -40,15 +60,194 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 8
 
 
-def decode_bytes(payload: bytes, kind: str) -> list[float]:
-    """STUB decoder: deterministic 8-dim feature from the payload hash.
+# --------------------------------------------------------------- codecs
 
-    Production: replace with the real decode + feature extraction
-    (PIL.Image.open / soundfile.read / frame sampling).  Everything around
-    this function - Arrow batching, schema, partitioning - is the real
-    pipeline and is what the tests pin down."""
-    digest = hashlib.sha256(kind.encode() + payload).digest()
-    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """Binary P6 of an (h, w, 3) uint8 array."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(rgb).tobytes()
+
+
+def _ppm_decode_at(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
+    """Decode one P6 frame starting at `pos`; returns (rgb, next_pos).
+    Handles '#' comments and arbitrary whitespace in the header per the
+    netpbm spec; raises ValueError on anything that isn't P6/maxval-255."""
+    if buf[pos : pos + 2] != b"P6":
+        raise ValueError("not P6")
+    i = pos + 2
+    fields = []
+    while len(fields) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated P6 header")
+        fields.append(int(buf[i:j]))
+        i = j
+    i += 1  # exactly ONE whitespace byte after maxval, then raster
+    w, h, maxval = fields
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported P6 ({w}x{h} maxval={maxval})")
+    need = w * h * 3
+    if len(buf) - i < need:
+        raise ValueError("truncated P6 raster")
+    rgb = np.frombuffer(buf, np.uint8, count=need, offset=i).reshape(h, w, 3)
+    return rgb, i + need
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    rgb, _ = _ppm_decode_at(bytes(buf), 0)
+    return rgb
+
+
+def decode_ppm_stream(buf: bytes) -> list[np.ndarray]:
+    """All frames of a concatenated-P6 stream (>= 1)."""
+    buf = bytes(buf)
+    frames, pos = [], 0
+    while pos < len(buf):
+        rgb, pos = _ppm_decode_at(buf, pos)
+        frames.append(rgb)
+    if not frames:
+        raise ValueError("empty P6 stream")
+    return frames
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up, BGR, rows
+    padded to 4 bytes) of an (h, w, 3) uint8 array."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    pad = (-(w * 3)) % 4
+    img_size = (w * 3 + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                          2835, 2835, 0, 0)
+    bgr = rgb[:, :, ::-1]
+    rows = [bgr[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)]
+    return header + b"".join(rows)
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """(h, w, 3) RGB uint8 from a 24-bit BI_RGB BMP; honors the pixel-data
+    offset, signed height (top-down when negative), and row padding."""
+    buf = bytes(buf)
+    if buf[:2] != b"BM" or len(buf) < 54:
+        raise ValueError("not BMP")
+    off = struct.unpack_from("<I", buf, 10)[0]
+    hsz, w, h_signed, planes, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
+    if bpp != 24 or comp != 0 or w <= 0 or h_signed == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp} comp={comp})")
+    bottom_up = h_signed > 0
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    if len(buf) - off < stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(buf, np.uint8, count=stride * h, offset=off)
+    bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + PCM16LE mono data."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, int16 samples) from a PCM16 mono RIFF/WAVE file; walks
+    the chunk list (fmt /data may be separated by LIST/fact/etc chunks)."""
+    buf = bytes(buf)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not WAVE")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        sz = struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(f"unsupported WAVE (fmt={audio_fmt} ch={channels} bits={bits})")
+    return rate, np.frombuffer(data, "<i2", count=len(data) // 2)
+
+
+def _decode_media(payload: bytes, kind: str):
+    """Dispatch: ('image', rgb) | ('audio', (rate, samples)) |
+    ('video', [rgb, ...]) for parseable payloads; raises ValueError
+    otherwise.  A production JPEG/PNG/MP3 decoder plugs in HERE."""
+    if payload[:2] == b"BM":
+        return "image", decode_bmp(payload)
+    if payload[:2] == b"P6":
+        frames = decode_ppm_stream(payload)
+        if kind == "video" or len(frames) > 1:
+            return "video", frames
+        return "image", frames[0]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio", decode_wav(payload)
+    raise ValueError("no supported container")
+
+
+def decode_bytes(payload: bytes, kind: str) -> list[float]:
+    """8-dim feature vector.
+
+    REAL path (payload parses as BMP/P6/P6-stream/WAV): integer-exact content
+    statistics of the decoded pixels/samples -
+      image: [w, h, sum_r, sum_g, sum_b, min_r, max_r, n_pixels]
+      audio: [n_samples, rate, sum, min, max, first]  (+2 zero pads)
+      video: [n_frames, w, h, sum_rgb, min_rgb, max_rgb, n_values]  (+1 pad)
+    All values are integers well inside float32's 2^24 exact range at
+    supported sizes, so the DuckDB oracle recomputes them bit-exactly.
+
+    STUB fallback (anything else, e.g. plain text bytes): deterministic 8-dim
+    sha256-derived vector - the documented stand-in for compressed formats
+    until a production decoder is added to _decode_media."""
+    try:
+        what, obj = _decode_media(payload, kind)
+    except (ValueError, struct.error):
+        digest = hashlib.sha256(kind.encode() + payload).digest()
+        return [b / 255.0 for b in digest[:FEATURE_DIM]]
+    if what == "image":
+        rgb = obj.astype(np.int64)
+        h, w = obj.shape[0], obj.shape[1]
+        r = rgb[:, :, 0]
+        return [
+            float(w), float(h),
+            float(r.sum()), float(rgb[:, :, 1].sum()), float(rgb[:, :, 2].sum()),
+            float(r.min()), float(r.max()), float(w * h),
+        ]
+    if what == "audio":
+        rate, s = obj
+        s64 = s.astype(np.int64)
+        return [
+            float(len(s)), float(rate), float(s64.sum()),
+            float(s64.min()), float(s64.max()),
+            float(s64[0]) if len(s) else 0.0, 0.0, 0.0,
+        ]
+    frames = obj
+    all_px = np.stack(frames).astype(np.int64)
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    return [
+        float(len(frames)), float(w), float(h),
+        float(all_px.sum()), float(all_px.min()), float(all_px.max()),
+        float(all_px.size), 0.0,
+    ]
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -95,23 +294,47 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def nearest_resize(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
+    """True nearest-neighbor resample: output pixel (X, Y) reads source pixel
+    (floor(X*w/W), floor(Y*h/H)) - the standard point-sampling map, exactly
+    reproducible in SQL for the oracle.  Pure numpy fancy indexing."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    xs = (np.arange(width) * w) // width
+    ys = (np.arange(height) * h) // height
+    return rgb[ys][:, xs]
+
+
 def resize_stub(payload: bytes, width: int, height: int) -> bytes:
-    """STUB resize: deterministic width*height-byte pseudo-pixel buffer from
-    the payload digest (production: PIL.Image.open(...).resize((w, h)));
-    the Arrow batching, schema and row-count contract around it are real."""
+    """STUB resize for undecodable payloads: deterministic
+    width*height-byte pseudo-pixel buffer from the payload digest; the Arrow
+    batching, schema and row-count contract around it are real."""
     digest = hashlib.sha256(payload).digest()
     need = width * height
     return (digest * (need // len(digest) + 1))[:need]
 
 
+def resize_one(payload: bytes, width: int, height: int) -> bytes:
+    """REAL path when the payload decodes (BMP or single-frame P6): decode ->
+    nearest-neighbor resize -> re-encode as P6.  STUB fallback otherwise."""
+    try:
+        what, obj = _decode_media(payload, "image")
+        if what != "image":
+            raise ValueError("not a still image")
+    except (ValueError, struct.error):
+        return resize_stub(payload, width, height)
+    return encode_ppm(nearest_resize(obj, width, height))
+
+
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Arrow-batched image resize over opaque payloads (kind='image' rows
-    only; the filter stays JVM-side so audio/video rows never enter Python)."""
+    only; the filter stays JVM-side so audio/video rows never enter Python).
+    Decodable payloads (BMP/P6) take the REAL pixel path (nearest-neighbor,
+    P6 output); others keep the digest stub."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                resize_stub(bytes(p) if p is not None else b"", width, height)
+                resize_one(bytes(p) if p is not None else b"", width, height)
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
@@ -129,17 +352,34 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
 
 def sample_frames(media: DataFrame, n_frames: int = 4, fps: int = 25) -> DataFrame:
     """Arrow-batched video frame sampling: each video row EXPANDS to
-    n_frames rows (uniform stride; production swaps the stub for an ffmpeg
-    seek+decode).  Frame bytes are a deterministic function of
-    (payload digest, frame_idx), so the pipeline shape - one-to-many
-    mapInPandas, per-frame timestamps, downstream feature extraction over
-    FRAME_SCHEMA - is fully testable without media libraries."""
+    n_frames rows (one-to-many mapInPandas, per-frame timestamps).
+
+    REAL path - payloads that parse as a concatenated-P6 frame stream: the
+    stream is decoded, frame k of the sample reads source frame
+    floor(k * n_src / n_frames) (uniform point sampling over the real frame
+    list; repeats when the clip is shorter than the sample), emitted
+    re-encoded as P6 with frame_ts_ms = src_idx * 1000 / fps.  STUB fallback
+    for undecodable payloads: sha256-derived frame bytes and a
+    size-proportional fake duration, kept so the shape works over arbitrary
+    binaries until an ffmpeg-backed decoder joins _decode_media."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(p) if p is not None else b""
+                try:
+                    src = decode_ppm_stream(raw)
+                except (ValueError, struct.error):
+                    src = None
+                if src is not None:
+                    for i in range(n_frames):
+                        j = (i * len(src)) // n_frames
+                        ids.append(mid)
+                        idxs.append(i)
+                        tss.append(j * 1000 // fps)
+                        frames.append(encode_ppm(src[j]))
+                    continue
                 # hex-string hash domain: keeps the stub SQL-expressible for
                 # the DuckDB oracle (its sha256 is VARCHAR-only)
                 base_hex = hashlib.sha256(raw).hexdigest()
@@ -162,6 +402,110 @@ def sample_frames(media: DataFrame, n_frames: int = 4, fps: int = 25) -> DataFra
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(run, FRAME_SCHEMA)
+
+
+def synth_media_payload(i: int) -> tuple[str, bytes]:
+    """Deterministic REAL-format payload for integer id `i` (closed form -
+    every decoded statistic is recomputable in plain SQL, see the oracle
+    entries in __spark_entry__):
+
+      i % 3 == 0 -> image, BMP when i is even / binary P6 when odd;
+                    w = 8 + i%5, h = 6 + i%4 (w=9,11 exercise BMP row pad);
+                    channel c of linear pixel p: (i*31 + p*7 + c*11) % 256
+      i % 3 == 1 -> audio, WAV PCM16 mono; rate = 8000 + (i%5)*1000,
+                    n = 256 + i%100; s[k] = ((i*77 + k*123) % 65536) - 32768
+      i % 3 == 2 -> video, concatenated P6; F = 3 + i%4 frames of
+                    w = 4 + i%3, h = 3 + i%3; channel c of pixel p in frame
+                    f: (i*31 + f*17 + p*7 + c*11) % 256
+    """
+    m = i % 3
+    if m == 0:
+        w, h = 8 + i % 5, 6 + i % 4
+        p = np.arange(w * h, dtype=np.int64)
+        rgb = np.stack(
+            [((i * 31 + p * 7 + c * 11) % 256).astype(np.uint8).reshape(h, w)
+             for c in range(3)],
+            axis=-1,
+        )
+        return "image", (encode_bmp(rgb) if i % 2 == 0 else encode_ppm(rgb))
+    if m == 1:
+        n, rate = 256 + i % 100, 8000 + (i % 5) * 1000
+        k = np.arange(n, dtype=np.int64)
+        s = ((i * 77 + k * 123) % 65536 - 32768).astype(np.int16)
+        return "audio", encode_wav(rate, s)
+    n_f, w, h = 3 + i % 4, 4 + i % 3, 3 + i % 3
+    p = np.arange(w * h, dtype=np.int64)
+    frames = []
+    for f in range(n_f):
+        rgb = np.stack(
+            [((i * 31 + f * 17 + p * 7 + c * 11) % 256)
+             .astype(np.uint8).reshape(h, w) for c in range(3)],
+            axis=-1,
+        )
+        frames.append(encode_ppm(rgb))
+    return "video", b"".join(frames)
+
+
+def synthetic_media_df(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """MEDIA_SCHEMA frame of real BMP/P6/WAV/P6-stream payloads generated
+    cluster-side (Arrow batches; nothing materializes on the driver) from an
+    id column - the seeded corpus the real-decode contract queries and
+    goldens run on."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, payloads = [], []
+            for i in pdf[id_col]:
+                kind, pay = synth_media_payload(int(i))
+                kinds.append(kind)
+                payloads.append(pay)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "kind": kinds,
+                    "payload": payloads,
+                    "meta": [None] * len(kinds),
+                }
+            )
+
+    return ids.select(F.col(id_col).alias(id_col)).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def image_stats(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id",
+                passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """Integer pixel statistics of a decodable image column (BMP/P6) - the
+    scalar surface the oracle pins the REAL pixel path with.  `passthrough`
+    integer columns (e.g. frame_idx) are copied to the output unchanged."""
+    fields = [T.StructField(id_col, T.LongType(), False)]
+    fields += [T.StructField(c, T.IntegerType(), False) for c in passthrough]
+    fields += [
+        T.StructField("img_w", T.IntegerType(), False),
+        T.StructField("img_h", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+    schema = T.StructType(fields)
+    cols = [id_col, *passthrough, "img_w", "img_h", "sum_r", "sum_g", "sum_b"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, rec in pdf.iterrows():
+                what, rgb = _decode_media(bytes(rec[payload_col]), "image")
+                if what != "image":
+                    raise ValueError("image_stats: payload is not a still image")
+                s = rgb.astype(np.int64)
+                rows.append(
+                    (int(rec[id_col]), *(int(rec[c]) for c in passthrough),
+                     rgb.shape[1], rgb.shape[0],
+                     int(s[:, :, 0].sum()), int(s[:, :, 1].sum()),
+                     int(s[:, :, 2].sum()))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
