@@ -59,3 +59,23 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def iceberg_conf(
+    catalog: str = "local",
+    warehouse: str = "spark-warehouse/iceberg",
+    catalog_impl: str = "org.apache.iceberg.spark.SparkCatalog",
+    catalog_type: str = "hadoop",
+) -> dict[str, str]:
+    """Session conf for a real Iceberg catalog - pass as
+    ``get_spark(extra_conf=iceberg_conf(...))`` (or the same keys via
+    ``spark-submit --conf``).  Requires the Iceberg Spark runtime jar on the
+    classpath (``--packages org.apache.iceberg:iceberg-spark-runtime-...``
+    or a cluster-installed jar); plans.pipeline.make_checkpoint_store probes
+    for it and falls back to the parquet CheckpointStore when absent, so the
+    same code runs in both environments."""
+    return {
+        f"spark.sql.catalog.{catalog}": catalog_impl,
+        f"spark.sql.catalog.{catalog}.type": catalog_type,
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }

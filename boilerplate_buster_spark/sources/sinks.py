@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import csv
 import io
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,6 +78,52 @@ def import_spmf(spark: SparkSession, path: str, dict_path: str | None = None) ->
             words = [id_to_word.get(t, t) for t in items]
             rows.append((" ".join(words), int(sup.strip()), len(words)))
     return spark.createDataFrame(rows, "phrase string, freq long, length int")
+
+
+def run_spmf(
+    docs: DataFrame,
+    algo: str,
+    jar_path: str,
+    spmf_params: str,
+    min_l: int = 1,
+    tokens_col: str = "tokens",
+    java_bin: str = "java",
+    workdir: str | None = None,
+) -> DataFrame:
+    """C5 SPMF java bridge (corpus_miner.cpp:616-647): export the corpus in
+    SPMF sequence format, shell out
+
+        java -jar <spmf.jar> run <Algorithm> <input> <output> <params>
+
+    and import the mined patterns back as (phrase, freq, length) with the
+    token dictionary resolved and the reference's min_l filter applied
+    (":607-609").  Temp files live in a private directory and are removed
+    either way (the reference's std::filesystem::remove cleanup).  Raises
+    FileNotFoundError when java/the jar is absent and RuntimeError on a
+    non-zero SPMF exit - callers (and the skip-if-no-jar test) decide policy.
+
+    Scale note: SPMF is a single-node JVM tool - this bridge collects the
+    corpus to a local file by design, exactly like the reference.  It exists
+    for parity/interop; the native Spark miners are the scale path."""
+    import subprocess
+    import tempfile
+
+    if not os.path.isfile(jar_path):
+        raise FileNotFoundError(f"SPMF jar not found: {jar_path}")
+    spark = docs.sparkSession
+    with tempfile.TemporaryDirectory(dir=workdir) as d:
+        inp = os.path.join(d, "spmf_input.txt")
+        outp = os.path.join(d, "spmf_output.txt")
+        export_spmf(docs.select(F.col(tokens_col).alias("tokens")), inp)
+        cmd = [java_bin, "-jar", jar_path, "run", algo, inp, outp,
+               *str(spmf_params).split()]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"SPMF exited {proc.returncode}: {proc.stderr[-500:]}"
+            )
+        out = import_spmf(spark, outp, inp + ".dict")
+    return out.filter(F.col("length") >= min_l)
 
 
 def write_bucketed(

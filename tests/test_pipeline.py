@@ -87,3 +87,51 @@ def test_manifest_written_atomically(tmp_path):
     # manifests are valid JSON chain
     for f in sorted(os.listdir(tmp_path / "s" / "_snapshots")):
         json.load(open(tmp_path / "s" / "_snapshots" / f))
+
+
+def test_iceberg_store_selection_and_fallback(spark, tmp_path):
+    """make_checkpoint_store: parquet store by default; when an Iceberg
+    catalog is requested, the real store only if the runtime jar is present
+    (skip-if-no-jar), a WARNED parquet fallback otherwise."""
+    import warnings
+
+    import pytest
+
+    from boilerplate_buster_spark.plans.pipeline import (
+        IcebergCheckpointStore,
+        iceberg_available,
+        make_checkpoint_store,
+    )
+
+    plain = make_checkpoint_store(spark, str(tmp_path / "a"))
+    assert isinstance(plain, CheckpointStore)
+
+    if not iceberg_available(spark):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            store = make_checkpoint_store(
+                spark, str(tmp_path / "b"), iceberg_catalog="local"
+            )
+        assert isinstance(store, CheckpointStore)
+        assert any("no Iceberg runtime jar" in str(x.message) for x in w)
+        pytest.skip("no Iceberg runtime jar on the classpath (expected here)")
+
+    # real-jar path: full store contract against an actual catalog
+    store = make_checkpoint_store(spark, str(tmp_path / "c"), iceberg_catalog="local")
+    assert isinstance(store, IcebergCheckpointStore)
+    assert store.last_snapshot() is None
+    df = spark.createDataFrame([(1, "x")], "id bigint, v string")
+    name = store.write_table(df, "t1")
+    assert store.read_table(spark, "t1").count() == 1
+    store.commit("phrases", {"t1": name}, {"n": 1})
+    snap = store.last_snapshot()
+    assert snap["snapshot_id"] == 1 and "phrases" in snap["stages"]
+
+
+def test_iceberg_conf_shape():
+    from boilerplate_buster_spark.session import iceberg_conf
+
+    conf = iceberg_conf(catalog="prod", warehouse="/w")
+    assert conf["spark.sql.catalog.prod"].endswith("SparkCatalog")
+    assert conf["spark.sql.catalog.prod.warehouse"] == "/w"
+    assert conf["spark.sql.catalog.prod.type"] == "hadoop"

@@ -79,3 +79,64 @@ def test_spmf_roundtrip(spark, tmp_path):
     (tmp_path / "out.spmf").write_text("1 -1 2 -1 #SUP: 2\n")
     res = import_spmf(spark, str(tmp_path / "out.spmf"), p + ".dict").collect()
     assert [(r["phrase"], r["freq"], r["length"]) for r in res] == [("x y", 2, 2)]
+
+
+def test_run_spmf_subprocess_bridge(spark, tmp_path):
+    """C5 java bridge end-to-end against a mock SPMF jar compiled on the
+    fly (skip when no JDK): the jar implements SPMF's CLI contract
+    (`run <Algo> <in> <out> <params>`) by counting each input sequence's
+    first item - exercising the real subprocess, temp-file lifecycle,
+    dictionary resolution and min_l filter.  Skips (not fails) without
+    javac/jar, mirroring run-spmf's availability contract."""
+    import shutil
+    import subprocess
+
+    import pytest
+
+    from boilerplate_buster_spark.sources.sinks import run_spmf
+
+    if not (shutil.which("javac") and shutil.which("jar") and shutil.which("java")):
+        pytest.skip("no JDK on PATH")
+
+    src = tmp_path / "MockSpmf.java"
+    src.write_text(
+        """
+import java.io.*; import java.nio.file.*; import java.util.*;
+public class MockSpmf {
+  public static void main(String[] a) throws Exception {
+    // a = [run, Algo, input, output, params...]
+    Map<String,Integer> firstCounts = new TreeMap<>();
+    for (String line : Files.readAllLines(Paths.get(a[2]))) {
+      String[] t = line.trim().split("\\\\s+");
+      if (t.length > 0 && !t[0].isEmpty())
+        firstCounts.merge(t[0], 1, Integer::sum);
+    }
+    try (PrintWriter w = new PrintWriter(new FileWriter(a[3]))) {
+      for (Map.Entry<String,Integer> e : firstCounts.entrySet())
+        w.println(e.getKey() + " -1 #SUP: " + e.getValue());
+    }
+  }
+}
+"""
+    )
+    subprocess.run(["javac", str(src)], check=True, cwd=tmp_path)
+    jar = tmp_path / "mock-spmf.jar"
+    subprocess.run(
+        ["jar", "cfe", str(jar), "MockSpmf", "MockSpmf.class"],
+        check=True, cwd=tmp_path,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ["beta", "x"]), (1, ["beta", "y"]), (2, ["alpha"])],
+        "doc_id long, tokens array<string>",
+    )
+    out = {
+        (r["phrase"], r["freq"], r["length"])
+        for r in run_spmf(docs, "MockAlgo", str(jar), "3", min_l=1).collect()
+    }
+    # sorted dictionary: alpha=1, beta=2, x=3, y=4; first items: alpha x1, beta x2
+    assert out == {("alpha", 1, 1), ("beta", 2, 1)}
+
+    # jar missing -> FileNotFoundError, never a silent pass
+    with pytest.raises(FileNotFoundError):
+        run_spmf(docs, "MockAlgo", str(tmp_path / "absent.jar"), "3")

@@ -9,8 +9,9 @@
 Differences from the reference (documented deviations, SURVEY.md section 5):
 deterministic output ordering/example selection; seeded sampling; `--mem`,
 `--in-mem`, `--preload`, `--cache` are accepted but ignored (Spark's memory
-manager and caching replace them); `--spmf` is served by the exchange-format
-helpers in sources/sinks.py.
+manager and caching replace them).  `--spmf` shells out to the SPMF jar
+exactly like the reference (sources/sinks.run_spmf): `--algo` then carries
+SPMF's algorithm name and `--spmf-params`/`--spmf-jar-location` pass through.
 """
 
 from __future__ import annotations
@@ -25,8 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("input", help="corpus directory or .csv file")
-    ap.add_argument("--algo", default="bloomspan",
-                    choices=["bloomspan", "bide", "clospan"])
+    # with --spmf the algo is SPMF's algorithm name (e.g. BIDE+), passed
+    # through verbatim like the reference does (main.cpp:87)
+    ap.add_argument("--algo", default="bloomspan")
     ap.add_argument("--n", type=int, default=10, help="min docs / min support")
     ap.add_argument("--ngrams", type=int, default=4)
     # reference spelling is --min_l (main.cpp:51); accept both
@@ -36,16 +38,19 @@ def main() -> None:
     ap.add_argument("--csv-delimiter", default=",")
     ap.add_argument("--output", default="results_max.csv")
     ap.add_argument("--threads", type=int, default=None)
-    # accepted-but-ignored reference flags (Spark manages memory/caching; the
-    # SPMF exchange format is served by sources/sinks.py, not a java bridge)
+    # accepted-but-ignored reference flags (Spark manages memory/caching)
     ap.add_argument("--mem", type=int, default=None)
     ap.add_argument("--in-mem", action="store_true")
     ap.add_argument("--preload", action="store_true")
     ap.add_argument("--cache", type=int, default=None)
+    # SPMF java bridge (reference main.cpp:37-48,82-87)
     ap.add_argument("--spmf", action="store_true")
     ap.add_argument("--spmf-params", default=None)
-    ap.add_argument("--spmf-jar-location", default=None)
+    ap.add_argument("--spmf-jar-location", default="./spmf.jar")
     args = ap.parse_args()
+    if not args.spmf and args.algo not in ("bloomspan", "bide", "clospan"):
+        ap.error(f"--algo {args.algo!r} needs --spmf (native algos: "
+                 "bloomspan, bide, clospan)")
 
     from boilerplate_buster_spark.functions.tokenizer import tokens
     from boilerplate_buster_spark.operators import bloomspan
@@ -69,7 +74,18 @@ def main() -> None:
 
     min_l = args.min_l if args.min_l is not None else args.ngrams  # main.cpp:67
 
-    if args.algo == "bloomspan":
+    if args.spmf:
+        # reference: empty params default to min_docs (main.cpp:83)
+        from pyspark.sql import functions as F
+
+        from boilerplate_buster_spark.sources.sinks import run_spmf
+
+        res = run_spmf(
+            docs, args.algo, args.spmf_jar_location,
+            args.spmf_params or str(args.n), min_l=min_l,
+        )
+        out = res.withColumn("example_docs", F.expr("array()"))
+    elif args.algo == "bloomspan":
         out = bloomspan.mine_df(
             spark, docs, min_docs=args.n, ngrams=args.ngrams, min_l=min_l
         )
