@@ -544,6 +544,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr("cast(element_at(feature, 5) AS int)").alias("max_s"),
         )
 
+    # --- north-rule extraction surface: DOM heuristics + PDF parse ---
+    def _heur_pages(spark, sf):
+        # closed-form page construction from documents.text (HTML-escaped on
+        # build, so the parser's entity decode is exercised; text is verified
+        # single-spaced/trim-stable so expected blocks == original text)
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        esc = F.regexp_replace(
+            F.regexp_replace(F.regexp_replace("text", "&", "&amp;"), "<", "&lt;"),
+            ">", "&gt;",
+        )
+        html = F.concat(
+            F.lit(
+                '<html><head><title>t</title></head><body>'
+                '<nav><a href="/">Home</a> <a href="/a">About</a></nav><h1>Doc '
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            esc,
+            F.lit(
+                '</p><div><a href="#">share</a> like</div>'
+                '<footer><a href="#">Privacy</a> copyright 2026</footer>'
+                "</body></html>"
+            ),
+        )
+        return docs.select(
+            F.concat(F.lit("https://ex.com/"), F.col("doc_id")).alias("url"),
+            html.alias("html"),
+        )
+
+    def dom_block_stats(spark, sf):
+        from boilerplate_buster_spark.operators.domheuristics import dom_blocks
+
+        return dom_blocks(_heur_pages(spark, sf))
+
+    def dom_extract(spark, sf):
+        from boilerplate_buster_spark.operators.domheuristics import (
+            extract_by_heuristics,
+        )
+
+        return extract_by_heuristics(_heur_pages(spark, sf))
+
+    def pdf_extract(spark, sf):
+        from boilerplate_buster_spark.operators.pdf import (
+            extract_pdf_text,
+            synthesize_pdfs,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.concat(F.lit("pdf://"), F.col("doc_id")).alias("url"), "text"
+        )
+        out = extract_pdf_text(synthesize_pdfs(docs))
+        # un-wrap: wrap_words only ever splits at a single space
+        return out.select(
+            "url", F.array_join(F.split("pdf_text", "\n"), " ").alias("pdf_text")
+        )
+
+    def warc_extract(spark, sf):
+        # documents -> real gzip-member WARC blobs -> WARC source -> HTML
+        # parse: the whole Common-Crawl-shaped ingest path, closed-form
+        import pandas as pd
+
+        from boilerplate_buster_spark.core.warcparse import make_warc
+        from boilerplate_buster_spark.operators.extraction import with_text_repr
+        from boilerplate_buster_spark.sources.warc import pages_from_warc_bytes
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        epoch0 = 1767225600  # 2026-01-01T00:00:00Z
+
+        def build(batches):
+            import datetime as dt
+
+            for pdf in batches:
+                pages = []
+                for d, t in zip(pdf["doc_id"], pdf["text"]):
+                    ts = dt.datetime.fromtimestamp(
+                        epoch0 + int(d) % 86400, dt.timezone.utc
+                    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+                    pages.append((f"warc://{d}", ts, f"<p>{t}</p>".encode()))
+                yield pd.DataFrame({"content": [make_warc(pages, gzip_members=True)]})
+
+        blobs = docs.mapInPandas(build, "content binary")
+        pages = pages_from_warc_bytes(blobs).withColumn(
+            "text", F.lit(None).cast("string")
+        )
+        return with_text_repr(pages).select(
+            "url",
+            F.unix_timestamp("warc_ts").alias("ts_epoch"),
+            F.col("text_repr").alias("text"),
+        )
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -582,6 +674,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_resize_pixels=media_resize_pixels,
         media_frame_pixels=media_frame_pixels,
         media_audio_decode=media_audio_decode,
+        dom_block_stats=dom_block_stats,
+        dom_extract=dom_extract,
+        pdf_extract=pdf_extract,
+        warc_extract=warc_extract,
     )
     return q
 
@@ -992,5 +1088,52 @@ def oracle_sql() -> dict[str, str]:
                      i -> ('0x' || substr(sha256(kind || text), 2*i - 1, 2))::INT),
                      '|') AS feature_bytes
             FROM m
+        """,
+        # DOM heuristics: the page build is closed-form (see _heur_pages), so
+        # the expected block table is recomputable without parsing any HTML —
+        # the Spark side genuinely parses, the oracle recomputes from the
+        # construction.  Constants mirror the template byte-for-byte.
+        "dom_block_stats": """
+            WITH base AS (
+              SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id, text
+              FROM documents
+            )
+            SELECT url, 0 AS block_id, 'nav' AS tag, 1 AS depth,
+                   'Home About' AS text, 10 AS n_chars, 9 AS link_chars
+            FROM base
+            UNION ALL
+            SELECT url, 1, 'h1', 1, 'Doc ' || CAST(doc_id AS VARCHAR),
+                   CAST(4 + length(CAST(doc_id AS VARCHAR)) AS INT), 0
+            FROM base
+            UNION ALL
+            SELECT url, 2, 'p', 1, text, CAST(length(text) AS INT), 0 FROM base
+            UNION ALL
+            SELECT url, 3, 'div', 1, 'share like', 10, 5 FROM base
+            UNION ALL
+            SELECT url, 4, 'footer', 1, 'Privacy copyright 2026', 22, 7
+            FROM base
+        """,
+        # nav/footer die by tag, div by link density (50% > 33%), h1 by token
+        # count (2 < 3); only the <p> block survives -> original text
+        "dom_extract": """
+            SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+                   text AS extracted_text
+            FROM documents
+        """,
+        # real PDF encode -> parse round trip; wrap_words splits only at
+        # single spaces, so rejoining with ' ' must restore text byte-exactly
+        "pdf_extract": """
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR) AS url,
+                   text AS pdf_text
+            FROM documents
+        """,
+        # WARC ingest round trip: gzip-member WARC encode -> ISO 28500 parse
+        # -> HTML parse; ts is returned as epoch seconds (tz-independent)
+        "warc_extract": """
+            SELECT 'warc://' || CAST(doc_id AS VARCHAR) AS url,
+                   1767225600 + doc_id % 86400 AS ts_epoch,
+                   text
+            FROM documents
         """,
     }

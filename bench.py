@@ -85,6 +85,43 @@ def main() -> None:
     extras["pages_per_sec"] = round(n_pages / timings["extract_pages"], 1)
     extras["n_pages"] = n_pages
 
+    # DOM-heuristic extraction: the second (corpus-pass-free) extraction
+    # strategy over the same page corpus — directly comparable pages/sec
+    from boilerplate_buster_spark.operators.domheuristics import (
+        extract_by_heuristics,
+    )
+
+    bench("dom_extract_pages", lambda: extract_by_heuristics(pages)
+        .agg(F.sum(F.length("extracted_text"))).collect())
+    extras["dom_pages_per_sec"] = round(n_pages / timings["dom_extract_pages"], 1)
+
+    from boilerplate_buster_spark.operators.pdf import (
+        extract_pdf_text,
+        synthesize_pdfs,
+    )
+
+    bench("pdf_roundtrip", lambda: extract_pdf_text(
+        synthesize_pdfs(docs.withColumn("url", F.col("doc_id").cast("string")))
+    ).agg(F.sum(F.length("pdf_text"))).collect())
+
+    from boilerplate_buster_spark.core.warcparse import make_warc
+    from boilerplate_buster_spark.sources.warc import pages_from_warc_bytes
+
+    def _warc_blobs(it):
+        import pandas as _p
+
+        for pdf in it:
+            blob = make_warc(
+                [(u, "2026-01-01T00:00:00Z", (h or "").encode())
+                 for u, h in zip(pdf["url"], pdf["html"])],
+                gzip_members=True,
+            )
+            yield _p.DataFrame({"content": [blob]})
+
+    bench("warc_roundtrip_pages", lambda: pages_from_warc_bytes(
+        pages.select("url", "html").mapInPandas(_warc_blobs, "content binary")
+    ).agg(F.sum(F.length("html"))).collect())
+
     bench("mine_documents", lambda: bloomspan.mine_df(
         spark, docs.select("doc_id", "tokens"), min_docs=max(5, n_docs // 100), ngrams=3
     ).count())

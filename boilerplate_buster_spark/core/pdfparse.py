@@ -1,0 +1,185 @@
+"""Minimal real PDF text layer: encoder + parser, stdlib-only.
+
+The north rule names "PDF/layout parse" as part of the extraction surface.
+No PDF library ships in this container, so this module implements the
+honest subset that needs none: uncompressed (no /Filter) content streams
+with the standard text-showing operators.  That is a REAL decode path —
+the parser walks actual PDF object/stream structure byte-by-byte — with a
+crisply documented boundary: streams using FlateDecode etc. yield None
+(caller falls back or filters), they are never faked.
+
+Supported when parsing:
+  * object scan for ``stream ... endstream`` bodies (any object order);
+  * text runs between BT/ET;
+  * ``(string) Tj``  and  ``' ``  show-string operators;
+  * ``[(a) -120 (b) ...] TJ``   arrays (kerning numbers ignored, strings
+    concatenated — the Adobe-viewer-visible text);
+  * ``Td  TD  T*``  line moves -> newline;
+  * literal-string escapes  \\\\ \\( \\) \\n \\r \\t \\b \\f, octal \\ddd,
+    and line-continuation backslash-newline.
+
+``make_pdf`` emits a complete single-page PDF-1.4 file (catalog, page
+tree, font, content stream, byte-accurate xref + trailer) whose text
+layer round-trips through ``parse_pdf_text`` — used by the synthetic
+corpus so the contract oracle can pin the parser with plain SQL, and
+valid input for any external PDF reader.
+
+No reference anchor: the reference corpus is plain text
+(/root/reference/corpus-miner/corpus_miner.cpp:417-448); this implements
+the north rule's wider input surface from the public PDF-1.7 spec
+(ISO 32000-1, sections 7.3.8 streams / 9.4 text objects).
+"""
+
+from __future__ import annotations
+
+import re
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# one literal string (escapes handled post-hoc) OR an operator token
+_TOKEN_RE = re.compile(
+    rb"\((?P<str>(?:\\.|[^\\()])*)\)\s*(?P<op>Tj|')?"  # (s) Tj   (s) '
+    rb"|\](?P<tj>\s*TJ)"  # end of a TJ array
+    rb"|(?P<nl>T\*|Td|TD)"  # line moves
+)
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _unescape(body: bytes) -> str:
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = body[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal \d, \dd, \ddd
+                j = i + 1
+                while j < min(i + 4, n) and body[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(body[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            if nxt in (b"\n", b"\r"):  # line continuation
+                i += 2
+                if nxt == b"\r" and body[i : i + 1] == b"\n":
+                    i += 1
+                continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+def _has_filter(data: bytes, stream_start: int) -> bool:
+    """True if the dict immediately before this stream declares a /Filter."""
+    head = data[max(0, stream_start - 512) : stream_start]
+    dict_start = head.rfind(b"<<")
+    return b"/Filter" in head[dict_start if dict_start >= 0 else 0 :]
+
+
+def parse_pdf_text(data: bytes | bytearray | memoryview | None) -> str | None:
+    """Extract the text layer of an uncompressed PDF; None if the input has
+    no PDF header or every content stream is filtered/compressed."""
+    if data is None:
+        return None
+    data = bytes(data)
+    if not data.startswith(b"%PDF-"):
+        return None
+    lines: list[str] = []
+    cur: list[str] = []
+    saw_stream = False
+    for m in _STREAM_RE.finditer(data):
+        if _has_filter(data, m.start()):
+            continue
+        body = m.group(1)
+        for bt in _BT_RE.finditer(body):
+            saw_stream = True
+            for tok in _TOKEN_RE.finditer(bt.group(1)):
+                if tok.group("str") is not None:
+                    cur.append(_unescape(tok.group("str")))
+                    if tok.group("op") == b"'":  # ' = next-line + show
+                        lines.append("".join(cur[:-1]))
+                        cur = [cur[-1]]
+                elif tok.group("nl") is not None or tok.group("tj"):
+                    if tok.group("nl") is not None and cur:
+                        lines.append("".join(cur))
+                        cur = []
+    if cur:
+        lines.append("".join(cur))
+    if not saw_stream:
+        return None
+    # drop empty trailing lines produced by a final T*
+    while lines and lines[-1] == "":
+        lines.pop()
+    return "\n".join(lines)
+
+
+def _escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def wrap_words(text: str, width: int = 60) -> list[str]:
+    """Greedy word wrap at ``width`` chars (a word longer than width gets its
+    own line).  Splitting only ever replaces a single space, so
+    " ".join(wrap_words(t)) == t for single-spaced text."""
+    lines: list[str] = []
+    for para in text.split("\n"):
+        cur: list[str] = []
+        cur_len = -1
+        for w in para.split(" "):
+            if cur and cur_len + 1 + len(w) > width:
+                lines.append(" ".join(cur))
+                cur, cur_len = [], -1
+            cur.append(w)
+            cur_len += 1 + len(w)
+        lines.append(" ".join(cur))
+    return lines
+
+
+def make_pdf(text: str, width: int = 60) -> bytes:
+    """Complete single-page PDF-1.4 whose text layer is ``text`` wrapped to
+    ``width`` chars/line.  Even lines use a TJ array (split at the first
+    space, with a kerning number), odd lines plain Tj — so a round trip
+    exercises both operators.  Byte-accurate xref."""
+    lines = wrap_words(text, width)
+    ops = ["BT", "/F1 10 Tf", "12 780 Td"]
+    for i, ln in enumerate(lines):
+        e = _escape(ln)
+        sp = e.find(" ")
+        if i % 2 == 0 and 0 < sp < len(e) - 1:
+            ops.append(f"[({e[:sp + 1]}) -250 ({e[sp + 1:]})] TJ")
+        else:
+            ops.append(f"({e}) Tj")
+        ops.append("0 -12 Td")
+    ops.append("ET")
+    content = "\n".join(ops).encode("latin-1")
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content) + 1, content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)

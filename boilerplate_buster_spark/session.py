@@ -51,6 +51,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch size is a memory-BANDWIDTH knob, not just latency: at
+        # Spark's 10k-row default each Python worker streams a tens-of-MB
+        # working set (token objects, factorize tables, uint64 hash windows)
+        # through DRAM, and ~8 concurrent streams saturate a typical node's
+        # bandwidth - measured here: strip phase 2.8x faster at local[32]
+        # and 1.14x at local[8] with small batches (BENCH/BASELINE.md,
+        # round-3 attribution). Keep batches cache-resident.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1000"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

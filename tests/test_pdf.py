@@ -1,0 +1,113 @@
+"""Minimal-PDF text layer: encoder/parser kernel + Spark stage.
+
+Pins: literal-string escapes, octal, Tj vs TJ vs ', line moves, the
+filtered-stream None boundary, wrap_words round-trip (property-based),
+and the mapInPandas stage end-to-end on the synthetic corpus."""
+
+import string
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from boilerplate_buster_spark.core.pdfparse import (
+    make_pdf,
+    parse_pdf_text,
+    wrap_words,
+)
+from boilerplate_buster_spark.operators.pdf import (
+    extract_pdf_text,
+    synthesize_pdfs,
+)
+
+
+def test_roundtrip_basic():
+    t = "alpha beta gamma delta " * 20
+    t = t.strip()
+    out = parse_pdf_text(make_pdf(t))
+    assert out == "\n".join(wrap_words(t, 60))
+    assert " ".join(out.split("\n")) == t
+    # even lines are TJ arrays, odd lines Tj — both operators exercised
+    assert b"] TJ" in make_pdf(t) and b") Tj" in make_pdf(t)
+
+
+def test_escapes_and_specials():
+    for t in [
+        "parens (both) kinds ) (",
+        r"back\slash and \( fake escape",
+        "unicode stays latin-1-safe: caf\xe9",
+        "",
+        "oneword",
+        "x" * 200,  # single word longer than width
+    ]:
+        got = parse_pdf_text(make_pdf(t))
+        assert " ".join(got.split("\n")) == t, (t, got)
+
+
+def test_hand_assembled_operators():
+    # a content stream exercising ', octal, and line-continuation escapes
+    content = (
+        b"BT /F1 10 Tf (first ) Tj (line) Tj T* (second) Tj "
+        b"(\\164hird) '  [(a) -120 (b)] TJ ET"
+    )
+    pdf = b"%PDF-1.4\n1 0 obj\n" + (
+        b"<< /Length %d >>\nstream\n%s\nendstream\n" % (len(content), content)
+    ) + b"endobj\ntrailer\n<< /Size 2 >>\n%%EOF\n"
+    assert parse_pdf_text(pdf) == "first line\nsecond\nthirdab"
+
+
+def test_none_boundaries():
+    assert parse_pdf_text(None) is None
+    assert parse_pdf_text(b"not a pdf") is None
+    # a declared /Filter stream must NOT be faked
+    filt = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length 20 >>\n"
+        b"stream\nBT (hidden) Tj ET\nendstream\nendobj\n"
+    )
+    assert parse_pdf_text(filt) is None
+
+
+WORDS = st.lists(
+    st.text(alphabet=string.ascii_lowercase + "()\\", min_size=1, max_size=12),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(WORDS, st.integers(min_value=5, max_value=80))
+def test_wrap_roundtrip_property(words, width):
+    t = " ".join(words)
+    lines = wrap_words(t, width)
+    assert " ".join(lines) == t
+    # no line exceeds width unless it is a single long word
+    for ln in lines:
+        assert len(ln) <= width or " " not in ln
+    assert " ".join(parse_pdf_text(make_pdf(t, width)).split("\n")) == t
+
+
+def test_spark_stage_roundtrip(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(30)
+        .select(F.concat(F.lit("pdf://"), "doc_id").alias("url"), "text")
+    )
+    pdfs = synthesize_pdfs(docs)
+    out = extract_pdf_text(pdfs).select(
+        "url",
+        F.array_join(F.split("pdf_text", "\n"), " ").alias("joined"),
+    )
+    both = out.join(docs, "url").collect()
+    assert len(both) == 30
+    for r in both:
+        assert r.joined == r.text
+    # plan: parse stage is a pure map — no Exchange below the Arrow batch
+    # (built without .limit(), whose GlobalLimit adds its own Exchange)
+    nolimit = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.concat(F.lit("pdf://"), "doc_id").alias("url"), "text"
+    )
+    plan = (
+        extract_pdf_text(synthesize_pdfs(nolimit))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -86,7 +86,15 @@ def main() -> None:
                 [sys.executable, "-c", snippet, str(cpus), str(n_pages), path],
                 capture_output=True, text=True, timeout=3600,
             )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            got = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if not got:
+                # surface the subprocess failure instead of a bare IndexError
+                sys.stderr.write(
+                    f"--- local[{cpus}] run produced no JSON; stderr tail ---\n"
+                    + "\n".join(out.stderr.strip().splitlines()[-30:]) + "\n"
+                )
+                raise RuntimeError(f"local[{cpus}] measurement failed")
+            line = got[-1]
             r = json.loads(line)
             r["loadavg"] = round(os.getloadavg()[0], 2)
             print(line, f'load={r["loadavg"]}', flush=True)
