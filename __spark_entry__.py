@@ -636,6 +636,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("text_repr").alias("text"),
         )
 
+    def skew_salted_count(spark, sf):
+        # explicit skew toolkit under the contract: per-event-type distinct
+        # users via salted reducers (event_type is low-cardinality = the
+        # classic skewed groupBy key); exactness vs plain COUNT(DISTINCT)
+        from boilerplate_buster_spark.functions.skew import salted_distinct_count
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return salted_distinct_count(
+            ev, "event_type", "user_id", salt=16, out_col="n_users"
+        )
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -678,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dom_extract=dom_extract,
         pdf_extract=pdf_extract,
         warc_extract=warc_extract,
+        skew_salted_count=skew_salted_count,
     )
     return q
 
@@ -1135,5 +1147,11 @@ def oracle_sql() -> dict[str, str]:
                    1767225600 + doc_id % 86400 AS ts_epoch,
                    text
             FROM documents
+        """,
+        # salted distinct-count is EXACT: id-space partition -> per-bucket
+        # distincts are disjoint -> their sum is the global distinct
+        "skew_salted_count": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
     }

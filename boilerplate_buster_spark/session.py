@@ -63,7 +63,10 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1000"),
         )
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g measured sweet spot for multi-million-page local runs: 8g OOMs
+        # local[32] on a 3.84M-page corpus, 48g HALVES throughput (GC
+        # behavior at large heaps) - see BENCH/BASELINE.md heap study
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
