@@ -27,6 +27,16 @@ sys.path.insert(0, "/root/repo")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="pages table path (url, warc_ts, html, text, lang)")
+    ap.add_argument(
+        "--input-format", choices=("parquet", "warc"), default="parquet",
+        help="'warc' reads a dir/glob of .warc(.gz) files (Common Crawl layout)",
+    )
+    ap.add_argument(
+        "--strategy", choices=("bloomspan", "dom"), default="bloomspan",
+        help="'dom' = corpus-pass-free Boilerpipe/jusText-style heuristics "
+             "(no mining stage, no min-docs threshold)",
+    )
+    ap.add_argument("--output", help="write extracted table here (parquet)")
     ap.add_argument("--checkpoint", required=False, default="/tmp/bbs_ckpt")
     ap.add_argument("--min-docs", type=int, default=1000)
     ap.add_argument("--ngrams", type=int, default=4)
@@ -49,18 +59,46 @@ def main() -> None:
         pages = generate_pages_df(spark, 2000, seed=42)
         args.min_docs = 100
         args.ngrams = 3
+    elif args.input_format == "warc":
+        from pyspark.sql import functions as F
+
+        from boilerplate_buster_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input).withColumn(
+            "text", F.lit(None).cast("string")
+        )
     else:
         pages = spark.read.parquet(args.input)
 
     t0 = time.perf_counter()
-    summary = run_extraction_pipeline(
-        spark,
-        pages,
-        args.checkpoint,
-        min_docs=args.min_docs,
-        ngrams=args.ngrams,
-        repartition_by_url=args.repartition_by_url,
-    )
+    if args.strategy == "dom":
+        # local heuristics: one Arrow parse + Catalyst classify, no corpus
+        # pass, no checkpoint stages needed
+        from pyspark.sql import functions as F
+
+        from boilerplate_buster_spark.operators.domheuristics import (
+            extract_by_heuristics,
+        )
+
+        ext = extract_by_heuristics(pages)
+        if args.output:
+            ext.write.mode("overwrite").parquet(args.output)
+            row = spark.read.parquet(args.output).agg(
+                F.count("*"), F.sum(F.length("extracted_text"))).collect()[0]
+        else:
+            row = ext.agg(
+                F.count("*"), F.sum(F.length("extracted_text"))).collect()[0]
+        summary = {"strategy": "dom", "rows": row[0],
+                   "sum_chars": int(row[1] or 0)}
+    else:
+        summary = run_extraction_pipeline(
+            spark,
+            pages,
+            args.checkpoint,
+            min_docs=args.min_docs,
+            ngrams=args.ngrams,
+            repartition_by_url=args.repartition_by_url,
+        )
     summary["wall_s"] = round(time.perf_counter() - t0, 2)
     print(json.dumps(summary))
 
