@@ -111,3 +111,13 @@ def test_spark_stage_roundtrip(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet=string.printable, max_size=300))
+def test_pdf_any_printable_roundtrip(t):
+    # newlines in input become paragraph boundaries; everything else must
+    # round-trip byte-exactly after the documented space-join normalization
+    got = parse_pdf_text(make_pdf(t))
+    norm = lambda s: " ".join(s.replace("\r", " ").split("\n"))
+    assert " ".join(got.split("\n")) == norm(t), (t, got)

@@ -85,3 +85,27 @@ def test_spark_source_drops_non_200(spark):
     )
     blobs = spark.createDataFrame([(rec,)], "content binary")
     assert pages_from_warc_bytes(blobs).count() == 0
+
+
+# ---- property-based fuzz: framing must survive arbitrary binary payloads
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PAGES = st.lists(
+    st.tuples(
+        st.text(alphabet="abcdefghij:/.-", min_size=1, max_size=40),
+        st.just("2026-01-02T03:04:05Z"),
+        st.binary(max_size=400),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_PAGES, st.booleans())
+def test_warc_roundtrip_property(pages, gz):
+    data = make_warc(pages, gzip_members=gz)
+    got = [(g["url"], g["warc_ts"], g["html"]) for g in iter_warc_pages(data)]
+    assert got == pages
