@@ -594,7 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf}/documents.parquet").select(
             F.concat(F.lit("pdf://"), F.col("doc_id")).alias("url"), "text"
         )
-        out = extract_pdf_text(synthesize_pdfs(docs))
+        # compress=True: /FlateDecode content streams, the real-world form
+        out = extract_pdf_text(synthesize_pdfs(docs, compress=True))
         # un-wrap: wrap_words only ever splits at a single space
         return out.select(
             "url", F.array_join(F.split("pdf_text", "\n"), " ").alias("pdf_text")

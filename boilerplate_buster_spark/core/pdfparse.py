@@ -2,11 +2,14 @@
 
 The north rule names "PDF/layout parse" as part of the extraction surface.
 No PDF library ships in this container, so this module implements the
-honest subset that needs none: uncompressed (no /Filter) content streams
-with the standard text-showing operators.  That is a REAL decode path —
-the parser walks actual PDF object/stream structure byte-by-byte — with a
-crisply documented boundary: streams using FlateDecode etc. yield None
-(caller falls back or filters), they are never faked.
+honest subset that needs none: uncompressed content streams AND
+/FlateDecode (zlib) streams — the compression real-world PDFs actually
+use — with the standard text-showing operators.  That is a REAL decode
+path: the parser walks actual PDF object/stream structure byte-by-byte,
+frames stream bodies by their exact /Length when the dict declares a
+direct one (regex framing would mis-split compressed bytes containing
+"endstream"), and inflates via stdlib zlib.  Crisply documented boundary:
+streams with any OTHER filter (LZW, DCT, ...) are skipped, never faked.
 
 Supported when parsing:
   * object scan for ``stream ... endstream`` bodies (any object order);
@@ -77,16 +80,33 @@ def _unescape(body: bytes) -> str:
     return out.decode("latin-1")
 
 
-def _has_filter(data: bytes, stream_start: int) -> bool:
-    """True if the dict immediately before this stream declares a /Filter."""
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+
+
+def _stream_info(data: bytes, stream_start: int) -> tuple[bool, int | None]:
+    """(is_flate, direct_length) from the dict immediately before a stream.
+    is_flate is None-ish False for unfiltered; unknown filters return
+    (False, ...) with a /Filter present -> caller skips them (honest
+    boundary, never faked)."""
     head = data[max(0, stream_start - 512) : stream_start]
     dict_start = head.rfind(b"<<")
-    return b"/Filter" in head[dict_start if dict_start >= 0 else 0 :]
+    d = head[dict_start if dict_start >= 0 else 0 :]
+    lm = _LENGTH_RE.search(d)
+    length = int(lm.group(1)) if lm else None
+    if b"/Filter" not in d:
+        return False, length
+    if b"/FlateDecode" in d:
+        return True, length
+    return None, length  # unknown filter -> skip
 
 
 def parse_pdf_text(data: bytes | bytearray | memoryview | None) -> str | None:
-    """Extract the text layer of an uncompressed PDF; None if the input has
-    no PDF header or every content stream is filtered/compressed."""
+    """Extract the text layer of a PDF: uncompressed streams and
+    /FlateDecode (zlib) streams are parsed; streams with any other filter
+    are skipped.  None if the input has no PDF header or no parseable
+    content stream."""
+    import zlib
+
     if data is None:
         return None
     data = bytes(data)
@@ -95,10 +115,29 @@ def parse_pdf_text(data: bytes | bytearray | memoryview | None) -> str | None:
     lines: list[str] = []
     cur: list[str] = []
     saw_stream = False
+    prev_end = 0
     for m in _STREAM_RE.finditer(data):
-        if _has_filter(data, m.start()):
+        if m.start(1) < prev_end:
+            continue  # spurious match inside a previous /Length-framed body
+        is_flate, length = _stream_info(data, m.start())
+        if is_flate is None:
             continue
         body = m.group(1)
+        if length is not None:
+            # /Length-exact framing beats the regex when the (compressed)
+            # body happens to contain the bytes "endstream"
+            start = m.start(1)
+            body = data[start : start + length]
+            prev_end = start + length
+            if not is_flate:
+                body = body.rstrip(b"\r\n")
+        else:
+            prev_end = m.end(1)
+        if is_flate:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
         for bt in _BT_RE.finditer(body):
             saw_stream = True
             for tok in _TOKEN_RE.finditer(bt.group(1)):
@@ -143,11 +182,15 @@ def wrap_words(text: str, width: int = 60) -> list[str]:
     return lines
 
 
-def make_pdf(text: str, width: int = 60) -> bytes:
+def make_pdf(text: str, width: int = 60, compress: bool = False) -> bytes:
     """Complete single-page PDF-1.4 whose text layer is ``text`` wrapped to
     ``width`` chars/line.  Even lines use a TJ array (split at the first
     space, with a kerning number), odd lines plain Tj — so a round trip
-    exercises both operators.  Byte-accurate xref."""
+    exercises both operators.  Byte-accurate xref.  With ``compress`` the
+    content stream is /FlateDecode (zlib) with an exact /Length — the form
+    real-world PDFs use."""
+    import zlib
+
     lines = wrap_words(text, width)
     ops = ["BT", "/F1 10 Tf", "12 780 Td"]
     for i, ln in enumerate(lines):
@@ -160,13 +203,23 @@ def make_pdf(text: str, width: int = 60) -> bytes:
         ops.append("0 -12 Td")
     ops.append("ET")
     content = "\n".join(ops).encode("latin-1")
+    if compress:
+        raw = zlib.compress(content, 6)
+        contents_obj = (
+            b"<< /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+            % (len(raw), raw)
+        )
+    else:
+        contents_obj = b"<< /Length %d >>\nstream\n%s\nendstream" % (
+            len(content) + 1, content,
+        )
 
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content) + 1, content),
+        contents_obj,
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
     out = bytearray(b"%PDF-1.4\n")

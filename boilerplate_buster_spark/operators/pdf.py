@@ -46,9 +46,14 @@ def extract_pdf_text(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def synthesize_pdfs(
-    df: DataFrame, text_col: str = "text", url_col: str = "url", width: int = 60
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    width: int = 60,
+    compress: bool = False,
 ) -> DataFrame:
-    """(url, text) -> (url, payload:binary) of real single-page PDFs."""
+    """(url, text) -> (url, payload:binary) of real single-page PDFs
+    (optionally /FlateDecode-compressed content streams)."""
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -61,7 +66,9 @@ def synthesize_pdfs(
             yield pd.DataFrame(
                 {
                     "url": pdf[url_col].astype(str),
-                    "payload": [make_pdf(t or "", width) for t in pdf[text_col]],
+                    "payload": [
+                        make_pdf(t or "", width, compress) for t in pdf[text_col]
+                    ],
                 }
             )
 
