@@ -637,6 +637,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("text_repr").alias("text"),
         )
 
+    def media_gif_decode(spark, sf):
+        # real GIF87a (LZW) encode -> decode: pixels from a closed-form
+        # palette/index pattern, so DuckDB recomputes the decoded-image
+        # stats without parsing a byte of GIF
+        import pandas as pd
+
+        from boilerplate_buster_spark.operators import multimodal
+
+        ids = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id").filter(F.col("doc_id") < 60)
+        )
+
+        def make(batches):
+            import numpy as np
+
+            pal = np.array(
+                [[(i * 37) % 256, (i * 59) % 256, (i * 83) % 256] for i in range(16)],
+                dtype=np.uint8,
+            )
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    idx = (
+                        d
+                        + np.arange(6)[None, :]
+                        + 3 * np.arange(5)[:, None]
+                    ) % 16
+                    rows.append((d, "image", multimodal.encode_gif(pal[idx])))
+                yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+        media = ids.mapInPandas(
+            make, "media_id long, kind string, payload binary"
+        )
+        feats = multimodal.extract_features(media)
+        cols = ["w", "h", "sum_r", "sum_g", "sum_b", "min_r", "max_r", "n_pixels"]
+        return feats.select(
+            "media_id",
+            *[
+                F.expr(f"cast(element_at(feature, {i + 1}) AS bigint)").alias(c)
+                for i, c in enumerate(cols)
+            ],
+        )
+
     def skew_salted_count(spark, sf):
         # explicit skew toolkit under the contract: per-event-type distinct
         # users via salted reducers (event_type is low-cardinality = the
@@ -691,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pdf_extract=pdf_extract,
         warc_extract=warc_extract,
         skew_salted_count=skew_salted_count,
+        media_gif_decode=media_gif_decode,
     )
     return q
 
@@ -1154,5 +1200,26 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_count": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # pixel (x,y) of doc d has palette index (d + x + 3y) % 16 with
+        # palette[i] = (37i, 59i, 83i) mod 256 -> decoded-image stats are
+        # pure arithmetic; the Spark side round-trips real LZW-coded GIF87a
+        "media_gif_decode": """
+            WITH px AS (
+              SELECT d.doc_id,
+                     (d.doc_id + x.g + 3 * y.g) % 16 AS idx
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d,
+                   (SELECT generate_series AS g FROM generate_series(0, 5)) x,
+                   (SELECT generate_series AS g FROM generate_series(0, 4)) y
+            )
+            SELECT doc_id AS media_id,
+                   CAST(6 AS BIGINT) AS w, CAST(5 AS BIGINT) AS h,
+                   CAST(SUM((idx * 37) % 256) AS BIGINT) AS sum_r,
+                   CAST(SUM((idx * 59) % 256) AS BIGINT) AS sum_g,
+                   CAST(SUM((idx * 83) % 256) AS BIGINT) AS sum_b,
+                   CAST(MIN((idx * 37) % 256) AS BIGINT) AS min_r,
+                   CAST(MAX((idx * 37) % 256) AS BIGINT) AS max_r,
+                   CAST(30 AS BIGINT) AS n_pixels
+            FROM px GROUP BY doc_id
         """,
     }

@@ -154,6 +154,166 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     return bgr[:, :, ::-1].copy()
 
 
+def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-flavor LZW: variable-width codes (LSB-first bit packing), CLEAR
+    emitted up front and on dictionary overflow at 4096, EOI at the end."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = width_acc = 0  # bit accumulator + fill level
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, width_acc
+        acc |= code << width_acc
+        width_acc += width
+        while width_acc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            width_acc -= 8
+
+    table: dict[tuple, int] = {(i,): i for i in range(1 << mcs)}
+    next_code, width = eoi + 1, mcs + 1
+    emit(clear, width)
+    seq: tuple = ()
+    for v in indices.tolist():
+        cand = seq + (v,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(1 << mcs)}
+            next_code, width = eoi + 1, mcs + 1
+        seq = (v,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if width_acc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> np.ndarray:
+    """Inverse of _lzw_encode (standard GIF LZW incl. the cScSc case)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = np.empty(n_expected, dtype=np.uint8)
+    n_out = 0
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    width = mcs + 1
+    acc = bits = pos = 0
+    prev: bytes | None = None
+    while n_out < n_expected:
+        while bits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width, prev = mcs + 1, None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # cScSc
+        else:
+            raise ValueError("corrupt LZW code")
+        out[n_out : n_out + len(entry)] = np.frombuffer(entry, np.uint8)
+        n_out += len(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out != n_expected:
+        raise ValueError("LZW pixel count mismatch")
+    return out
+
+
+def encode_gif(rgb: np.ndarray) -> bytes:
+    """GIF87a with a global color table built from the image's unique colors
+    (<= 256 required) and a real LZW-compressed raster."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    flat = np.ascontiguousarray(rgb).reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <=256 colors, got {len(palette)}")
+    bits = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros(((1 << bits), 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    mcs = max(2, bits)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out.append(mcs)
+    lzw = _lzw_encode(indices.astype(np.int64), mcs)
+    for i in range(0, len(lzw), 255):  # sub-blocks
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(buf: bytes) -> np.ndarray:
+    """(h, w, 3) RGB uint8 from a GIF87a/89a: global color table, 89a
+    extension blocks skipped, first image block LZW-decoded."""
+    buf = bytes(buf)
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    table = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        table = np.frombuffer(buf, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x21:  # 89a extension: label + sub-blocks
+            pos += 2
+            while buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            _x, _y, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos + 1)
+            pos += 10
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(buf, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+                pos += n * 3
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            mcs = buf[pos]
+            pos += 1
+            data = bytearray()
+            while buf[pos] != 0:
+                ln = buf[pos]
+                data += buf[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            idx = _lzw_decode(bytes(data), mcs, w * h)
+            return table[idx].reshape(h, w, 3).copy()
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image block")
+
+
 def encode_wav(rate: int, samples: np.ndarray) -> bytes:
     """Canonical 44-byte RIFF/WAVE header + PCM16LE mono data."""
     data = samples.astype("<i2").tobytes()
@@ -194,6 +354,8 @@ def _decode_media(payload: bytes, kind: str):
     otherwise.  A production JPEG/PNG/MP3 decoder plugs in HERE."""
     if payload[:2] == b"BM":
         return "image", decode_bmp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "image", decode_gif(payload)
     if payload[:2] == b"P6":
         frames = decode_ppm_stream(payload)
         if kind == "video" or len(frames) > 1:

@@ -164,3 +164,60 @@ def test_image_stats_passthrough(spark):
         w, h = 8 + i % 5, 6 + i % 4
         assert r["tag"] == 7 and (r["img_w"], r["img_h"]) == (w, h)
         assert r["sum_r"] == sum((i * 31 + p * 7) % 256 for p in range(w * h))
+
+
+import pytest
+
+# ---------------------------------------------------------------- GIF / LZW
+
+def test_gif_roundtrip_shapes_and_palettes():
+    rng = np.random.default_rng(7)
+    for shape, ncol in [((4, 5), 3), ((16, 16), 16), ((1, 1), 1), ((23, 31), 250)]:
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, shape)]
+        out = mm.decode_gif(mm.encode_gif(img))
+        assert out.shape == img.shape and (out == img).all()
+
+
+def test_gif_lzw_cscsc_and_dict_overflow():
+    # 'ababab...' drives the decoder's code==len(table) (cScSc) case
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    img = pal[np.tile([0, 1], 500).reshape(20, 50)]
+    assert (mm.decode_gif(mm.encode_gif(img)) == img).all()
+    # 90k pixels overflow the 4096-entry table -> clear-and-reset path
+    rng = np.random.default_rng(1)
+    big = rng.integers(0, 256, (4, 3), dtype=np.uint8)[rng.integers(0, 4, (300, 300))]
+    assert (mm.decode_gif(mm.encode_gif(big)) == big).all()
+
+
+def test_gif_compresses():
+    img = np.zeros((100, 100, 3), dtype=np.uint8)  # constant image
+    assert len(mm.encode_gif(img)) < 400  # vs 30000 raw
+
+
+def test_gif_89a_extension_skip_and_boundaries():
+    img = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)
+    data = bytearray(mm.encode_gif(img))
+    # splice a Graphic Control Extension after the header+GCT, flip to 89a
+    data[:6] = b"GIF89a"
+    gct_end = 13 + 2 * 3  # 1-bit palette -> 2 entries
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    patched = bytes(data[:gct_end]) + ext + bytes(data[gct_end:])
+    assert (mm.decode_gif(patched) == img).all()
+    # >256 colors must be refused at encode
+    rng = np.random.default_rng(3)
+    with pytest.raises(ValueError):
+        mm.encode_gif(
+            np.arange(300, dtype=np.int64).reshape(30, 10)[..., None]
+            .repeat(3, axis=2).astype(np.uint8) + rng.integers(0, 2, (30, 10, 3), dtype=np.uint8) * 100
+        )
+    with pytest.raises(ValueError):
+        mm.decode_gif(b"NOTAGIF")
+
+
+def test_gif_dispatches_into_features():
+    pal = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    img = pal[np.array([[0, 1], [1, 0]])]
+    feats = mm.decode_bytes(mm.encode_gif(img), "image")
+    # [w, h, sum_r, sum_g, sum_b, min_r, max_r, n_pixels]
+    assert feats == [2.0, 2.0, 100.0, 140.0, 180.0, 10.0, 40.0, 4.0]
