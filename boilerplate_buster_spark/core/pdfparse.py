@@ -154,9 +154,9 @@ def parse_pdf_text(data: bytes | bytearray | memoryview | None) -> str | None:
         lines.append("".join(cur))
     if not saw_stream:
         return None
-    # drop empty trailing lines produced by a final T*
-    while lines and lines[-1] == "":
-        lines.pop()
+    # NOTE no trailing-line trimming: an empty cur never flushes, so a final
+    # T* can't fabricate a line — every emitted line is a real show op, and
+    # the encode->parse round trip is exact including empty shows
     return "\n".join(lines)
 
 
