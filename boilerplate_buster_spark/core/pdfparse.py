@@ -38,12 +38,17 @@ from __future__ import annotations
 import re
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
-_BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
-# one literal string (escapes handled post-hoc) OR an operator token
+# one literal string (escapes handled post-hoc) OR an operator token.
+# Strings are matched ATOMICALLY and first, so operator names occurring
+# inside string data (e.g. a text containing "ET" or "Td") can never be
+# mistaken for operators — the BT/ET text-block state machine in
+# parse_pdf_text runs over THIS token stream, not over raw bytes.
 _TOKEN_RE = re.compile(
-    rb"\((?P<str>(?:\\.|[^\\()])*)\)\s*(?P<op>Tj|')?"  # (s) Tj   (s) '
+    rb"\((?P<str>(?:\\(?:.|\n)|[^\\()])*)\)\s*(?P<op>Tj|')?"  # (s) Tj  (s) '
     rb"|\](?P<tj>\s*TJ)"  # end of a TJ array
-    rb"|(?P<nl>T\*|Td|TD)"  # line moves
+    rb"|(?<![A-Za-z])(?P<nl>T\*|Td|TD)(?![A-Za-z])"  # line moves
+    rb"|(?<![A-Za-z])(?P<bt>BT)(?![A-Za-z])"
+    rb"|(?<![A-Za-z])(?P<et>ET)(?![A-Za-z])"
 )
 
 _ESCAPES = {
@@ -138,18 +143,26 @@ def parse_pdf_text(data: bytes | bytearray | memoryview | None) -> str | None:
                 body = zlib.decompress(body)
             except zlib.error:
                 continue
-        for bt in _BT_RE.finditer(body):
-            saw_stream = True
-            for tok in _TOKEN_RE.finditer(bt.group(1)):
-                if tok.group("str") is not None:
-                    cur.append(_unescape(tok.group("str")))
-                    if tok.group("op") == b"'":  # ' = next-line + show
-                        lines.append("".join(cur[:-1]))
-                        cur = [cur[-1]]
-                elif tok.group("nl") is not None or tok.group("tj"):
-                    if tok.group("nl") is not None and cur:
-                        lines.append("".join(cur))
-                        cur = []
+        in_text = False
+        for tok in _TOKEN_RE.finditer(body):
+            if tok.group("bt"):
+                in_text = True
+                saw_stream = True
+                continue
+            if tok.group("et"):
+                in_text = False
+                continue
+            if not in_text:
+                continue
+            if tok.group("str") is not None:
+                cur.append(_unescape(tok.group("str")))
+                if tok.group("op") == b"'":  # ' = next-line + show
+                    lines.append("".join(cur[:-1]))
+                    cur = [cur[-1]]
+            elif tok.group("nl") is not None or tok.group("tj"):
+                if tok.group("nl") is not None and cur:
+                    lines.append("".join(cur))
+                    cur = []
     if cur:
         lines.append("".join(cur))
     if not saw_stream:

@@ -157,3 +157,10 @@ def test_unknown_filter_skipped():
 def test_pdf_roundtrip_property_compressed(t, comp):
     got = parse_pdf_text(make_pdf(t, compress=comp))
     assert " ".join(got.split("\n")) == t
+
+
+def test_operator_names_inside_strings_do_not_terminate():
+    # "ET"/"Td"/"TJ" inside shown TEXT must not end the text block or move
+    # lines — regression for the BT(.*?)ET regex bug the fuzzer caught
+    t = "we MET at Td junction NEXT TJ BT ET end"
+    assert parse_pdf_text(make_pdf(t, width=200)) == t
