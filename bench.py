@@ -4,7 +4,18 @@
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32),
      BBS_BENCH_PAGES    (override synthetic page-corpus size; default 4x the
-                         documents row count of the chosen sf).
+                         documents row count of the chosen sf),
+     BBS_BENCH_REPS     (interleaved repetitions per query; default 2).
+
+Measurement protocol (round-4): every query is timed BBS_BENCH_REPS times in
+INTERLEAVED round-robin order (q1 q2 ... qN, q1 q2 ... qN) and the reported
+per-query number is the MIN across reps.  A single-shot sample on this shared
+host is meaningless - identical queries vary 3-15x with ambient tenant load
+(see BENCH/BASELINE.md host-calibration study) - and interleaving spreads any
+load spike across all queries instead of poisoning whichever one it landed
+on.  The JSON also carries /proc/loadavg samples (1-min, taken before each
+rep) and the per-query raw samples so a regression can be adjudicated
+real-vs-ambient after the fact.
 
 The page-extraction query also reports pages_per_sec - the north metric
 (BASELINE.json): pages extracted per second with the full two-pass
@@ -14,7 +25,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -22,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+REPS = max(1, int(os.environ.get("BBS_BENCH_REPS", 2)))
 
 
 def main() -> None:
@@ -62,48 +73,16 @@ def main() -> None:
     # untimed warmup: first Arrow/mapInPandas action pays Python-worker pool
     # spawn + codegen JIT (~3-5 s once per JVM); exclude it so queries
     # measure steady state, as a long-lived cluster would run
-    import pandas as _pd
     pages.limit(64).mapInPandas(
         lambda it: (pdf.assign(n=pdf["text"].str.len()) for pdf in it),
         "url string, warc_ts timestamp, html binary, text string, lang string, n int",
     ).count()
 
-    timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
-
-    def bench(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
     q_vec_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     q_vec = list(q_vec_row["embedding"])
 
-    bench("extract_pages", lambda: extract_main_content(
-        spark, pages, min_docs=max(10, n_pages // 20), ngrams=3
-    )[0].agg(F.sum(F.length("extracted_text"))).collect())
-    extras["pages_per_sec"] = round(n_pages / timings["extract_pages"], 1)
-    extras["n_pages"] = n_pages
-
-    # DOM-heuristic extraction: the second (corpus-pass-free) extraction
-    # strategy over the same page corpus — directly comparable pages/sec
-    from boilerplate_buster_spark.operators.domheuristics import (
-        extract_by_heuristics,
-    )
-
-    bench("dom_extract_pages", lambda: extract_by_heuristics(pages)
-        .agg(F.sum(F.length("extracted_text"))).collect())
-    extras["dom_pages_per_sec"] = round(n_pages / timings["dom_extract_pages"], 1)
-
-    from boilerplate_buster_spark.operators.pdf import (
-        extract_pdf_text,
-        synthesize_pdfs,
-    )
-
-    bench("pdf_roundtrip", lambda: extract_pdf_text(
-        synthesize_pdfs(docs.withColumn("url", F.col("doc_id").cast("string")))
-    ).agg(F.sum(F.length("pdf_text"))).collect())
-
+    from boilerplate_buster_spark.operators.domheuristics import extract_by_heuristics
+    from boilerplate_buster_spark.operators.pdf import extract_pdf_text, synthesize_pdfs
     from boilerplate_buster_spark.core.warcparse import make_warc
     from boilerplate_buster_spark.sources.warc import pages_from_warc_bytes
 
@@ -118,37 +97,59 @@ def main() -> None:
             )
             yield _p.DataFrame({"content": [blob]})
 
-    bench("warc_roundtrip_pages", lambda: pages_from_warc_bytes(
-        pages.select("url", "html").mapInPandas(_warc_blobs, "content binary")
-    ).agg(F.sum(F.length("html"))).collect())
+    lineitem_path = f"{SF_DIR}/lineitem.parquet"
 
-    bench("mine_documents", lambda: bloomspan.mine_df(
-        spark, docs.select("doc_id", "tokens"), min_docs=max(5, n_docs // 100), ngrams=3
-    ).count())
-    bench("word_df", lambda: word_doc_freq(docs).count())
-    bench("ngram_df", lambda: frequent_ngrams(docs, 3, 5).count())
-    bench("minhash_lsh_pages", lambda: dedup.lsh_candidate_pairs(pages_tok, hash_fn="xxhash64").count())
-    bench("dedup_cluster_pages", lambda: dedup.duplicate_clusters(
-        dedup.lsh_candidate_pairs(pages_tok, hash_fn="xxhash64")
-    ).count())
-    bench("closed_patterns", lambda: closed_contiguous_patterns(
-        spark, docs.select("tokens"), min_sup=max(20, n_docs // 50), min_l=2, max_len=10
-    ).count())
-    bench("simhash_pages", lambda: dedup.simhash16(pages_tok).agg(
-        F.countDistinct("simhash")
-    ).collect())
-    bench("token_quality_stats", lambda: text_stats.token_stats(docs).join(
-        text_stats.quality_score(docs), "doc_id"
-    ).agg(F.avg("quality_e6"), F.avg("n_tokens")).collect())
-    bench("ann_topk", lambda: ann.cosine_topk(emb, q_vec, k=10).collect())
-    bench("embedding_neardup_lsh", lambda: ann.lsh_bucketed_neardup_pairs(
-        emb, threshold=0.3, planes=6, dim=len(q_vec)
-    ).count())
-    bench("pricing_summary", lambda: spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
-        .collect())
+    queries: list[tuple[str, object]] = [
+        ("extract_pages", lambda: extract_main_content(
+            spark, pages, min_docs=max(10, n_pages // 20), ngrams=3
+        )[0].agg(F.sum(F.length("extracted_text"))).collect()),
+        ("dom_extract_pages", lambda: extract_by_heuristics(pages)
+            .agg(F.sum(F.length("extracted_text"))).collect()),
+        ("pdf_roundtrip", lambda: extract_pdf_text(
+            synthesize_pdfs(docs.withColumn("url", F.col("doc_id").cast("string")))
+        ).agg(F.sum(F.length("pdf_text"))).collect()),
+        ("warc_roundtrip_pages", lambda: pages_from_warc_bytes(
+            pages.select("url", "html").mapInPandas(_warc_blobs, "content binary")
+        ).agg(F.sum(F.length("html"))).collect()),
+        ("mine_documents", lambda: bloomspan.mine_df(
+            spark, docs.select("doc_id", "tokens"), min_docs=max(5, n_docs // 100), ngrams=3
+        ).count()),
+        ("word_df", lambda: word_doc_freq(docs).count()),
+        ("ngram_df", lambda: frequent_ngrams(docs, 3, 5).count()),
+        ("minhash_lsh_pages", lambda: dedup.lsh_candidate_pairs(
+            pages_tok, hash_fn="xxhash64").count()),
+        ("dedup_cluster_pages", lambda: dedup.duplicate_clusters(
+            dedup.lsh_candidate_pairs(pages_tok, hash_fn="xxhash64")
+        ).count()),
+        ("closed_patterns", lambda: closed_contiguous_patterns(
+            spark, docs.select("tokens"), min_sup=max(20, n_docs // 50), min_l=2, max_len=10
+        ).count()),
+        ("simhash_pages", lambda: dedup.simhash16(pages_tok).agg(
+            F.countDistinct("simhash")
+        ).collect()),
+        ("token_quality_stats", lambda: text_stats.token_stats(docs).join(
+            text_stats.quality_score(docs), "doc_id"
+        ).agg(F.avg("quality_e6"), F.avg("n_tokens")).collect()),
+        ("ann_topk", lambda: ann.cosine_topk(emb, q_vec, k=10).collect()),
+        ("embedding_neardup_lsh", lambda: ann.lsh_bucketed_neardup_pairs(
+            emb, threshold=0.3, planes=6, dim=len(q_vec)
+        ).count()),
+        ("pricing_summary", lambda: spark.read.parquet(lineitem_path)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
+            .collect()),
+    ]
 
+    samples: dict[str, list[float]] = {name: [] for name, _ in queries}
+    loads: list[float] = []
+    for _rep in range(REPS):
+        for name, fn in queries:
+            loads.append(round(os.getloadavg()[0], 2))
+            t0 = time.perf_counter()
+            fn()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+
+    timings = {name: min(vals) for name, vals in samples.items()}
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
@@ -157,8 +158,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        **extras,
+        "pages_per_sec": round(n_pages / timings["extract_pages"], 1),
+        "n_pages": n_pages,
+        "dom_pages_per_sec": round(n_pages / timings["dom_extract_pages"], 1),
         "cpus": CPUS,
+        "reps": REPS,
+        "samples": samples,
+        "loadavg_1m": {
+            "min": min(loads), "max": max(loads),
+            "mean": round(sum(loads) / len(loads), 2),
+        },
     }))
     spark.stop()
 

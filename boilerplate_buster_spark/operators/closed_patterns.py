@@ -18,19 +18,26 @@ Scale posture of the level-wise loop (one hash-aggregate per length k, two
 broadcast anti-joins between adjacent levels, terminates at the longest
 frequent phrase):
 
-  * ANTI-MONOTONE IN-SCAN GATE: a frequent (k+1)-gram's prefix k-gram is
-    necessarily frequent (every occurrence of the extension contains one of
-    the prefix), so level k+1 enumerates ONLY windows whose leading k-gram
-    hash is in the surviving level-k hash set - a literal 64-bit IN-set
-    filter INSIDE the scan (the `gather_windows` trick,
-    bloomspan.py:240-266).  Noise windows die before the explode, so the
-    per-level aggregate input shrinks with the frequent set instead of
-    rescanning every corpus position at every depth.  Hash collisions are
-    harmless: a falsely-admitted gram is counted on a SUBSET of its windows,
-    so its count only drops further below min_sup (a genuinely frequent gram
-    has a genuinely frequent prefix and passes the gate on EVERY window -
-    exact count).  Gate sets above `_INSCAN_MAX` fall back to the ungated
-    full enumeration (plan-size limit for literal IN-sets).
+  * ANTI-MONOTONE IN-SCAN GATE (packed-bitmap probe): a frequent
+    (k+1)-gram's prefix k-gram is necessarily frequent (every occurrence of
+    the extension contains one of the prefix), so level k+1 enumerates ONLY
+    windows whose leading k-gram hash survives level k.  The surviving hash
+    set is packed driver-side into a Bloom bitmap (one array<bigint> row,
+    broadcast - same machinery as bloomspan.packed_word_bitmap) and each
+    window position pays ONE hash-combine + ONE bit probe.  Round 3 used a
+    literal 64-bit IN-set here; literal IN-lists are LINEAR SCANS in codegen
+    (O(survivors) per position - measured 2.1x slower than ungated at sf0.1
+    where levels are small), so the bitmap probe is what makes the gate free
+    at small scale while keeping the pruning that wins at large scale.
+    Noise windows die before the explode, so the per-level aggregate input
+    shrinks with the frequent set instead of rescanning every corpus
+    position at every depth.  Hash collisions / Bloom false positives are
+    harmless AND exact: a gram's prefix hash is a single fixed value, so the
+    probe admits ALL of its windows or NONE - admitted grams are counted
+    exactly, and a falsely-admitted gram is simply one more aggregate row
+    that fails (or legitimately passes) the exact min_sup threshold.  Gate
+    sets above `_INSCAN_MAX` fall back to the ungated full enumeration
+    (bounds the driver collect; levels that big prune little anyway).
   * STRING-PERSISTED CORPUS: the corpus is cached as ONE space-joined string
     column and re-split per level - Spark's columnar cache of array<string>
     re-reads ~8x slower than recomputing split() (measured; see
@@ -60,8 +67,7 @@ CLOSED_SCHEMA = T.StructType(
     ]
 )
 
-#: literal-IN-set plan-size cap for the in-scan gate (same bound as
-#: bloomspan.gather_windows); above it levels run ungated.
+#: driver-collect cap for the gate hash set; above it levels run ungated.
 _INSCAN_MAX = 65536
 
 #: re-split the persisted string form; '' round-trips to an EMPTY array
@@ -71,7 +77,7 @@ _TOKS = "CASE WHEN _t = '' THEN array() ELSE split(_t, ' ') END"
 
 def _gram_hashes(level: DataFrame, k: int, n_rows: int) -> list[int] | None:
     """xxhash64-combined gram hashes of a (gram, ...) level frame, for the
-    next level's in-scan gate; None when the set exceeds the IN-set cap."""
+    next level's in-scan gate; None when the set exceeds the collect cap."""
     if not 0 < n_rows <= _INSCAN_MAX:
         return None
     gh = _gramhash_sql("_hs", "1", k)
@@ -85,43 +91,72 @@ def _gram_hashes(level: DataFrame, k: int, n_rows: int) -> list[int] | None:
     ]
 
 
-def _pos_expr(k: int, gate_hashes: list[int] | None) -> str:
+def _gate_bitmap(spark: SparkSession, hashes: list[int]) -> tuple[int, DataFrame]:
+    """(bits, 1-row DataFrame `_bf array<bigint>`): the level's surviving
+    gram hashes packed into a single-probe Bloom bitmap, driver-side (the
+    hashes are already collected and `_INSCAN_MAX`-bounded).  Sized at
+    >= 32 bits per entry (fpr ~3%), power of two in [2^16, 2^22] - at the
+    top that is 64 KiB packed, a trivial broadcast."""
+    import numpy as np
+
+    bits = 1 << 16
+    while bits < 32 * len(hashes) and bits < (1 << 22):
+        bits <<= 1
+    packed = np.zeros(bits // 64, dtype=np.uint64)
+    for h in hashes:
+        b = h % bits
+        packed[b >> 6] |= np.uint64(1) << np.uint64(b & 63)
+    vals = [int(v) for v in packed.view(np.int64)]
+    return bits, spark.createDataFrame([(vals,)], "_bf array<bigint>")
+
+
+def _pos_expr(k: int, gate_bits: int | None) -> str:
     """SQL for the 1-based window start positions of k-grams over `_tk`
-    (with `_hs` = per-token xxhash64 present when gated): all positions, or
-    only those whose leading (k-1)-gram hash survives the previous level."""
+    (with `_hs` = per-token xxhash64 and `_bf` = packed gate bitmap in scope
+    when gated): all positions, or only those whose leading (k-1)-gram hash
+    probes set in the previous level's bitmap."""
     pos = (
         f"slice(sequence(1, greatest(size(_tk) - {k} + 1, 1)), "
         f"1, greatest(size(_tk) - {k} + 1, 0))"
     )
-    if gate_hashes is not None:
-        gh = _gramhash_sql("_hs", "i", k - 1)
-        hset = ", ".join(str(h) for h in gate_hashes) or "0"
-        pos = f"filter({pos}, i -> ({gh}) IN ({hset}))"
+    if gate_bits is not None:
+        b = f"pmod({_gramhash_sql('_hs', 'i', k - 1)}, {gate_bits})"
+        probe = (
+            f"(shiftright(element_at(_bf, cast(shiftright({b}, 6) AS int) + 1), "
+            f"cast({b} & 63 AS int)) & 1) = 1"
+        )
+        pos = f"filter({pos}, i -> {probe})"
     return pos
 
 
-def _with_tokens(txt: DataFrame, gated: bool, extra: list[str]) -> DataFrame:
+def _with_tokens(
+    txt: DataFrame, bitmap_df: DataFrame | None, extra: list[str]
+) -> DataFrame:
     """Two-step select so the split() array (and token hashes, when gated)
     materialize ONCE per row - CollapseProject would otherwise inline the
-    split into every reference."""
+    split into every reference.  When gated, the broadcast 1-row bitmap
+    rides in as a `_bf` column (BroadcastNestedLoopJoin of a 1-row side -
+    effectively free)."""
     base = txt.select(*extra, F.expr(_TOKS).alias("_tk"))
-    if gated:
-        base = base.select(
-            *extra, "_tk", F.expr("transform(_tk, x -> xxhash64(x))").alias("_hs")
+    if bitmap_df is not None:
+        base = base.crossJoin(F.broadcast(bitmap_df)).select(
+            *extra, "_tk", "_bf",
+            F.expr("transform(_tk, x -> xxhash64(x))").alias("_hs"),
         )
     return base
 
 
 def _gram_counts(
-    txt: DataFrame, k: int, min_sup: int, gate_hashes: list[int] | None
+    txt: DataFrame, k: int, min_sup: int, gate: tuple[int, DataFrame] | None
 ) -> DataFrame:
     """(gram, freq): occurrence counts of k-grams with freq >= min_sup,
     enumerated only at gate-surviving positions (see module docstring)."""
-    base = _with_tokens(txt, gate_hashes is not None, [])
+    gate_bits, bitmap_df = gate if gate is not None else (None, None)
+    base = _with_tokens(txt, bitmap_df, [])
     grams = base.select(
         F.explode(
             F.expr(
-                f"transform({_pos_expr(k, gate_hashes)}, "
+                f"transform({_pos_expr(k, gate_bits)}, "
                 f"i -> array_join(slice(_tk, i, {k}), ' '))"
             )
         ).alias("gram")
@@ -152,7 +187,8 @@ def closed_contiguous_patterns(
     k = 1
     try:
         while k <= max_len:
-            gate = _gram_hashes(cur, k, cur_n)
+            hashes = _gram_hashes(cur, k, cur_n)
+            gate = _gate_bitmap(spark, hashes) if hashes is not None else None
             nxt = _gram_counts(txt, k + 1, min_sup, gate).persist()
             nxt_n = nxt.count()
 
@@ -202,19 +238,20 @@ clospan_mine_df = closed_contiguous_patterns
 
 
 def _doc_gram_counts(
-    txt: DataFrame, k: int, id_col: str, gate_hashes: list[int] | None
+    txt: DataFrame, k: int, id_col: str, gate: tuple[int, DataFrame] | None
 ) -> DataFrame:
     """(gram, df, ext_docs): distinct-doc frequency of gate-surviving
     k-grams, plus the distinct-doc count of EXTENDABLE occurrences (not at
     doc end) - the reference PrefixSpan emits a pattern only if its projected
     database is non-empty (corpus_miner.cpp:170-182), i.e. some occurrence
     can extend."""
-    base = _with_tokens(txt, gate_hashes is not None, [id_col])
+    gate_bits, bitmap_df = gate if gate is not None else (None, None)
+    base = _with_tokens(txt, bitmap_df, [id_col])
     pairs = base.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"array_distinct(transform({_pos_expr(k, gate_hashes)}, "
+                f"array_distinct(transform({_pos_expr(k, gate_bits)}, "
                 f"i -> struct(array_join(slice(_tk, i, {k}), ' ') AS gram, "
                 f"IF(i + {k} <= size(_tk), 1, 0) AS ext)))"
             )
@@ -266,7 +303,8 @@ def prefixspan_patterns(
     k = 1
     try:
         while k <= max_len:
-            gate = _gram_hashes(cur, k, cur_n)
+            hashes = _gram_hashes(cur, k, cur_n)
+            gate = _gate_bitmap(spark, hashes) if hashes is not None else None
             nxt = (
                 _doc_gram_counts(txt, k + 1, id_col, gate)
                 .filter(F.col("df") >= min_docs)

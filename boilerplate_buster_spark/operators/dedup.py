@@ -198,19 +198,21 @@ def duplicate_clusters(
     Small edge sets (<= driver_threshold, known exactly from the persisted
     count) collect to a driver union-find - iterative Spark rounds cost ~2s
     of fixed job latency EACH, which dwarfs a tiny graph.  Larger graphs run
-    iterative min-label propagation WITH POINTER JUMPING: each round (a)
-    takes the min over neighbor labels, then (b) replaces every label by the
-    label OF its label (label values are node ids, so this is one
-    self-join) - pointer jumping halves the remaining distance to the
-    component minimum, so convergence is O(log diameter) rounds and
-    max_iters=50 covers any graph that fits in storage.  Near-dup components
-    are clique-ish (diameter ~1-2), so 2-3 rounds in practice.  Each round
-    is two shuffle joins + one min-aggregate, with `localCheckpoint` per
-    round to cut lineage growth (plan-string OOM after ~30 iterative rounds
-    otherwise - measured).  Termination is an exact count of changed labels;
-    exhausting max_iters unconverged RAISES instead of silently returning
-    split clusters (the documented contract is cluster_id = min doc_id in
-    the component)."""
+    iterative min-label propagation with ADAPTIVE POINTER JUMPING: the first
+    two rounds are plain min-over-neighbor-labels (near-dup components are
+    clique-ish, diameter ~1-2, so these graphs converge here with no extra
+    joins - the jump join was pure overhead on them, measured 3x on the
+    round-3 bench); from round 3 on, each round additionally replaces every
+    label by the label OF its label (label values are node ids, so this is
+    one self-join) - pointer jumping halves the remaining distance to the
+    component minimum, so convergence on pathological long-chain graphs is
+    still O(log diameter) rounds and max_iters=50 covers any graph that fits
+    in storage.  Each round is one or two shuffle joins + one min-aggregate,
+    with `localCheckpoint` per round to cut lineage growth (plan-string OOM
+    after ~30 iterative rounds otherwise - measured).  Termination is an
+    exact count of changed labels; exhausting max_iters unconverged RAISES
+    instead of silently returning split clusters (the documented contract is
+    cluster_id = min doc_id in the component)."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -248,7 +250,7 @@ def duplicate_clusters(
     )
     labels = labels.localCheckpoint(eager=True)
     changed = -1
-    for _ in range(max_iters):
+    for round_idx in range(max_iters):
         neigh = (
             edges.join(labels, edges["dst"] == labels["id"])
             .select(F.col("src").alias("id"), "label")
@@ -258,17 +260,20 @@ def duplicate_clusters(
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        # pointer jump: label <- label(label).  Every label value is a node
-        # id present in `propagated` (labels start as ids and min() only
-        # moves between them), so the inner join is total.
-        lut = propagated.select(
-            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
-        )
-        new_labels = (
-            propagated.join(lut, propagated["label"] == lut["_lid"])
-            .select("id", F.col("_llabel").alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        if round_idx >= 2:
+            # Not converged after two plain rounds -> a long-chain component
+            # exists; add pointer jumping: label <- label(label).  Every
+            # label value is a node id present in `propagated` (labels start
+            # as ids and min() only moves between them), so the inner join
+            # is total.
+            lut = propagated.select(
+                F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+            )
+            propagated = (
+                propagated.join(lut, propagated["label"] == lut["_lid"])
+                .select("id", F.col("_llabel").alias("label"))
+            )
+        new_labels = propagated.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

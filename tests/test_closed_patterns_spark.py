@@ -89,14 +89,16 @@ def test_gate_equivalence_and_plan(spark, monkeypatch):
     assert gated == ungated
     monkeypatch.undo()
 
-    # plan shape: a gated level filters window positions by the hash IN-set
-    # inside the projection feeding the explode
+    # plan shape: a gated level filters window positions by a packed-bitmap
+    # probe (pmod + element_at on the broadcast _bf row) inside the
+    # projection feeding the explode - NOT a literal IN-list (linear scan)
     txt = df.select(tokens_col_to_text(df))
-    lvl = cp._gram_counts(txt, 2, 3, gate_hashes=[123, 456])
+    lvl = cp._gram_counts(txt, 2, 3, gate=cp._gate_bitmap(spark, [123, 456]))
     plan = lvl._jdf.queryExecution().optimizedPlan().toString()
-    gen_at = plan.index("Generate")
+    assert "Generate" in plan
     assert "xxhash64" in plan
-    assert " IN (123,456)" in plan.replace(", ", ",")
+    assert "pmod" in plan and "element_at" in plan
+    assert " IN " not in plan
 
 
 def tokens_col_to_text(df):
