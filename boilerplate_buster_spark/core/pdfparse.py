@@ -19,7 +19,9 @@ Supported when parsing:
     concatenated — the Adobe-viewer-visible text);
   * ``Td  TD  T*``  line moves -> newline;
   * literal-string escapes  \\\\ \\( \\) \\n \\r \\t \\b \\f, octal \\ddd,
-    and line-continuation backslash-newline.
+    and line-continuation backslash-newline;
+  * BALANCED unescaped parentheses inside literal strings (7.3.4.2), to
+    8 nesting levels — deeper nesting is outside the honest subset.
 
 ``make_pdf`` emits a complete single-page PDF-1.4 file (catalog, page
 tree, font, content stream, byte-accurate xref + trailer) whose text
@@ -38,13 +40,28 @@ from __future__ import annotations
 import re
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+
+
+def _nested_string_pat(depth: int) -> bytes:
+    """Literal-string body pattern supporting BALANCED unescaped parens to
+    ``depth`` levels (ISO 32000-1 7.3.4.2: balanced parens inside a string
+    are literal characters, no escape required).  The three alternatives are
+    disjoint on their first byte (backslash / non-paren / open-paren), so
+    matching is deterministic - no backtracking blowup.  Nesting deeper than
+    ``depth`` is out of the documented honest subset."""
+    pat = rb"(?:\\(?:.|\n)|[^\\()])*"
+    for _ in range(depth):
+        pat = rb"(?:\\(?:.|\n)|[^\\()]|\((?:" + pat + rb")\))*"
+    return pat
+
+
 # one literal string (escapes handled post-hoc) OR an operator token.
 # Strings are matched ATOMICALLY and first, so operator names occurring
 # inside string data (e.g. a text containing "ET" or "Td") can never be
 # mistaken for operators — the BT/ET text-block state machine in
 # parse_pdf_text runs over THIS token stream, not over raw bytes.
 _TOKEN_RE = re.compile(
-    rb"\((?P<str>(?:\\(?:.|\n)|[^\\()])*)\)\s*(?P<op>Tj|')?"  # (s) Tj  (s) '
+    rb"\((?P<str>" + _nested_string_pat(8) + rb")\)\s*(?P<op>Tj|')?"  # (s) Tj  (s) '
     rb"|\](?P<tj>\s*TJ)"  # end of a TJ array
     rb"|(?<![A-Za-z])(?P<nl>T\*|Td|TD)(?![A-Za-z])"  # line moves
     rb"|(?<![A-Za-z])(?P<bt>BT)(?![A-Za-z])"

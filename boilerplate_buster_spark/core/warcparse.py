@@ -60,11 +60,15 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
         head_end = data.find(b"\r\n\r\n", pos)
         if head_end < 0:
             break
+        # ISO 28500 4.2: field names are case-insensitive - lowercase keys on
+        # parse (as split_http does for HTTP); a 'content-length' spelled any
+        # other way must still frame the record or every later record in the
+        # file silently desynchronizes and drops
         headers: dict[str, str] = {}
         for line in data[pos:head_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
-            headers[k.strip().decode("latin-1")] = v.strip().decode("latin-1")
-        length = int(headers.get("Content-Length", "0"))
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+        length = int(headers.get("content-length", "0"))
         body_start = head_end + 4
         yield headers, data[body_start : body_start + length]
         pos = body_start + length
@@ -90,12 +94,12 @@ def split_http(payload: bytes) -> tuple[int, dict, bytes]:
 def iter_warc_pages(data: bytes) -> Iterator[dict]:
     """response records -> {url, warc_ts (ISO string), status, html (bytes)}."""
     for headers, payload in iter_warc_records(data):
-        if headers.get("WARC-Type") != "response":
+        if headers.get("warc-type") != "response":
             continue
         status, _http_headers, body = split_http(payload)
         yield {
-            "url": headers.get("WARC-Target-URI", ""),
-            "warc_ts": headers.get("WARC-Date", ""),
+            "url": headers.get("warc-target-uri", ""),
+            "warc_ts": headers.get("warc-date", ""),
             "status": status,
             "html": body,
         }

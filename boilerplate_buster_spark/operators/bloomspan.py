@@ -204,9 +204,12 @@ def candidate_grams(
         # df.observe() (CollectMetrics blocks the threshold-filter pushdown,
         # so `total` counts pre-filter grams) - a separate .first() here
         # would run the most expensive pass-1 scan+shuffle TWICE per
-        # pipeline.  The caller harvests the Observation after its first
-        # action on the returned plan (mine() does, right after the
-        # candidate collect) via harvest_seed_stats().
+        # pipeline.  CONTRACT for direct callers passing `stats`: call
+        # harvest_seed_stats(stats) ONLY AFTER an action has executed the
+        # returned plan (mine() does, right after the candidate collect,
+        # popping the Observation on failure) - until then stats holds a
+        # live non-JSON-serializable Observation under '_seed_obs', and
+        # obs.get on a never-executed plan blocks forever.
         from pyspark.sql import Observation
 
         obs = Observation()
@@ -475,16 +478,24 @@ def mine(
         )
     # one tiny collect serves strategy choice, candidate ids, seed supports
     # and the rolling seed hash (the chain value of the gram itself)
-    cand_rows = (
-        cands.withColumn(
-            "h0",
-            F.expr(
-                "aggregate(transform(split(gram, ' '), x -> xxhash64(x)), cast(0 AS bigint), (acc, h) -> xxhash64(acc, h))"
-            ),
+    try:
+        cand_rows = (
+            cands.withColumn(
+                "h0",
+                F.expr(
+                    "aggregate(transform(split(gram, ' '), x -> xxhash64(x)), cast(0 AS bigint), (acc, h) -> xxhash64(acc, h))"
+                ),
+            )
+            .withColumn("cid", F.expr("row_number() OVER (ORDER BY gram)"))
+            .collect()
         )
-        .withColumn("cid", F.expr("row_number() OVER (ORDER BY gram)"))
-        .collect()
-    )
+    except Exception:
+        # the observed plan never ran: drop the live Observation so the
+        # caller's stats dict stays JSON-serializable and no later
+        # harvest_seed_stats blocks forever on obs.get
+        if stats is not None:
+            stats.pop("_seed_obs", None)
+        raise
     harvest_seed_stats(stats)  # the collect above ran the observed plan
     if stats is not None:
         stats.setdefault("candidates_after_merge", len(cand_rows))

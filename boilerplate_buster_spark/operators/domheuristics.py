@@ -89,13 +89,28 @@ def extract_by_heuristics(
     min_tokens: int = 3,
 ) -> DataFrame:
     """(url, html) -> (url, extracted_text): content blocks joined by \\n in
-    document order.  Parse is a map; one shuffle on url; reassembly via
+    document order.  Parse is a map; shuffles are all on url; reassembly via
     array_sort over collected (block_id, text) structs — no window, order
-    deterministic regardless of partitioning."""
+    deterministic regardless of partitioning.
+
+    Emits ONE ROW PER DISTINCT INPUT URL: a page whose every block is
+    boilerplate (or that has no text blocks at all) yields
+    extracted_text = '' instead of disappearing — downstream joins and
+    per-url metrics rely on the row count being stable under
+    classification.  Implemented by unioning a block_id=-1 SENTINEL row per
+    input page into the SAME url aggregate (filtered back out of the joined
+    text), so the guarantee costs zero extra shuffles — still exactly one
+    Exchange, on url."""
     blocks = dom_blocks(pages, html_col)
-    kept = blocks.where(is_content(max_link_density_pct, min_tokens))
+    kept = blocks.where(is_content(max_link_density_pct, min_tokens)).select(
+        "url", "block_id", "text"
+    )
+    sentinels = pages.select(
+        "url", F.lit(-1).alias("block_id"), F.lit("").alias("text")
+    )
     return (
-        kept.groupBy("url")
+        kept.unionByName(sentinels)
+        .groupBy("url")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("block_id", "text"))
@@ -103,6 +118,9 @@ def extract_by_heuristics(
         )
         .select(
             "url",
-            F.array_join(F.col("ordered.text"), "\n").alias("extracted_text"),
+            F.array_join(
+                F.expr("transform(filter(ordered, s -> s.block_id >= 0), s -> s.text)"),
+                "\n",
+            ).alias("extracted_text"),
         )
     )

@@ -377,39 +377,48 @@ def decode_bytes(payload: bytes, kind: str) -> list[float]:
     All values are integers well inside float32's 2^24 exact range at
     supported sizes, so the DuckDB oracle recomputes them bit-exactly.
 
-    STUB fallback (anything else, e.g. plain text bytes): deterministic 8-dim
-    sha256-derived vector - the documented stand-in for compressed formats
-    until a production decoder is added to _decode_media."""
+    STUB fallback (anything else, e.g. plain text bytes OR a payload that
+    starts like a supported container but is malformed - truncated GIF
+    sub-blocks, empty WAV data chunk, a P6 stream with varying frame sizes):
+    deterministic 8-dim sha256-derived vector - the documented stand-in for
+    compressed formats until a production decoder is added to _decode_media.
+    The ENTIRE decode + statistic computation sits inside the fallback's
+    try (and IndexError is caught alongside ValueError/struct.error, the
+    escape a truncated GIF's sub-block walk takes): one malformed record
+    must degrade to the stub, never kill the Spark job."""
     try:
         what, obj = _decode_media(payload, kind)
-    except (ValueError, struct.error):
+        if what == "image":
+            rgb = obj.astype(np.int64)
+            h, w = obj.shape[0], obj.shape[1]
+            r = rgb[:, :, 0]
+            return [
+                float(w), float(h),
+                float(r.sum()), float(rgb[:, :, 1].sum()), float(rgb[:, :, 2].sum()),
+                float(r.min()), float(r.max()), float(w * h),
+            ]
+        if what == "audio":
+            rate, s = obj
+            s64 = s.astype(np.int64)
+            if len(s64) == 0:  # legal WAV, zero-length data chunk
+                return [0.0, float(rate), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+            return [
+                float(len(s)), float(rate), float(s64.sum()),
+                float(s64.min()), float(s64.max()),
+                float(s64[0]), 0.0, 0.0,
+            ]
+        frames = obj
+        # np.stack raises ValueError on varying frame sizes -> stub fallback
+        all_px = np.stack(frames).astype(np.int64)
+        h, w = frames[0].shape[0], frames[0].shape[1]
+        return [
+            float(len(frames)), float(w), float(h),
+            float(all_px.sum()), float(all_px.min()), float(all_px.max()),
+            float(all_px.size), 0.0,
+        ]
+    except (ValueError, struct.error, IndexError):
         digest = hashlib.sha256(kind.encode() + payload).digest()
         return [b / 255.0 for b in digest[:FEATURE_DIM]]
-    if what == "image":
-        rgb = obj.astype(np.int64)
-        h, w = obj.shape[0], obj.shape[1]
-        r = rgb[:, :, 0]
-        return [
-            float(w), float(h),
-            float(r.sum()), float(rgb[:, :, 1].sum()), float(rgb[:, :, 2].sum()),
-            float(r.min()), float(r.max()), float(w * h),
-        ]
-    if what == "audio":
-        rate, s = obj
-        s64 = s.astype(np.int64)
-        return [
-            float(len(s)), float(rate), float(s64.sum()),
-            float(s64.min()), float(s64.max()),
-            float(s64[0]) if len(s) else 0.0, 0.0, 0.0,
-        ]
-    frames = obj
-    all_px = np.stack(frames).astype(np.int64)
-    h, w = frames[0].shape[0], frames[0].shape[1]
-    return [
-        float(len(frames)), float(w), float(h),
-        float(all_px.sum()), float(all_px.min()), float(all_px.max()),
-        float(all_px.size), 0.0,
-    ]
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -482,7 +491,7 @@ def resize_one(payload: bytes, width: int, height: int) -> bytes:
         what, obj = _decode_media(payload, "image")
         if what != "image":
             raise ValueError("not a still image")
-    except (ValueError, struct.error):
+    except (ValueError, struct.error, IndexError):
         return resize_stub(payload, width, height)
     return encode_ppm(nearest_resize(obj, width, height))
 
@@ -532,7 +541,9 @@ def sample_frames(media: DataFrame, n_frames: int = 4, fps: int = 25) -> DataFra
                 raw = bytes(p) if p is not None else b""
                 try:
                     src = decode_ppm_stream(raw)
-                except (ValueError, struct.error):
+                    if not src:
+                        src = None
+                except (ValueError, struct.error, IndexError):
                     src = None
                 if src is not None:
                     for i in range(n_frames):

@@ -101,7 +101,7 @@ def test_extract_by_heuristics(spark, pages_df):
            for r in extract_by_heuristics(pages_df).collect()}
     # u1: nav/footer = bad tag, h1 = 2 tokens, div = 50% links -> only <p>
     assert got["u1"] == "some long paragraph of real content here"
-    assert "u2" not in got
+    assert got["u2"] == ""  # all-boilerplate page keeps its row
     assert got["u3"] == "first good paragraph kept\nsecond good paragraph kept"
 
 
@@ -114,3 +114,25 @@ def test_parse_is_a_pure_map(spark, pages_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert eplan.count("Exchange") == 1
+
+
+def test_extract_one_row_per_url_even_all_boilerplate(spark):
+    """ADVICE round-3: a page whose every block is boilerplate (or with no
+    text blocks) must still yield a row with extracted_text='' - downstream
+    one-row-per-url joins rely on it."""
+    from boilerplate_buster_spark.operators.domheuristics import (
+        extract_by_heuristics,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "<html><body><nav><a href='/'>Home nav here</a></nav></body></html>"),
+            ("u2", "<html><body></body></html>"),
+            ("u3", "<html><body><p>real content body three tokens</p></body></html>"),
+        ],
+        ["url", "html"],
+    )
+    rows = {r["url"]: r["extracted_text"] for r in extract_by_heuristics(pages).collect()}
+    assert set(rows) == {"u1", "u2", "u3"}
+    assert rows["u1"] == "" and rows["u2"] == ""
+    assert rows["u3"] == "real content body three tokens"

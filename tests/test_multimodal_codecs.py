@@ -221,3 +221,42 @@ def test_gif_dispatches_into_features():
     feats = mm.decode_bytes(mm.encode_gif(img), "image")
     # [w, h, sum_r, sum_g, sum_b, min_r, max_r, n_pixels]
     assert feats == [2.0, 2.0, 100.0, 140.0, 180.0, 10.0, 40.0, 4.0]
+
+
+def test_malformed_payloads_degrade_to_stub_not_crash():
+    """ADVICE round-3: reachable exceptions must take the stub fallback, not
+    kill the job - truncated GIF (IndexError in the sub-block walk), empty
+    WAV data chunk, P6 stream with varying frame sizes."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    img = _rand_rgb(rng, 9, 7)
+    truncated_gif = mm.encode_gif(img)[:20]  # cuts mid color table/blocks
+    for cut in (8, 14, 20, len(mm.encode_gif(img)) - 3):
+        payload = mm.encode_gif(img)[:cut]
+        v = mm.decode_bytes(payload, "image")
+        assert len(v) == mm.FEATURE_DIM
+        out = mm.resize_one(payload, 4, 4)
+        assert len(out) in (16, len(mm.encode_ppm(np.zeros((4, 4, 3), np.uint8))))
+
+    # empty WAV data chunk: decodes for real, stats must not crash
+    empty_wav = mm.encode_wav(8000, np.array([], np.int16))
+    v = mm.decode_bytes(empty_wav, "audio")
+    assert v == [0.0, 8000.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+
+    # P6 stream with varying frame sizes: np.stack would raise -> stub
+    mixed = mm.encode_ppm(_rand_rgb(rng, 4, 4)) + mm.encode_ppm(_rand_rgb(rng, 5, 5))
+    v = mm.decode_bytes(mixed, "video")
+    assert len(v) == mm.FEATURE_DIM
+
+
+def test_sample_frames_truncated_stream_takes_stub(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    good = mm.encode_ppm(_rand_rgb(rng, 4, 4))
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(good[:10]))], "media_id long, kind string, payload binary"
+    )
+    rows = mm.sample_frames(media, n_frames=2).collect()
+    assert len(rows) == 2  # stub path emitted the full frame contract

@@ -164,3 +164,24 @@ def test_operator_names_inside_strings_do_not_terminate():
     # lines — regression for the BT(.*?)ET regex bug the fuzzer caught
     t = "we MET at Td junction NEXT TJ BT ET end"
     assert parse_pdf_text(make_pdf(t, width=200)) == t
+
+
+def test_literal_string_balanced_parens():
+    """ISO 32000-1 7.3.4.2: balanced unescaped parens inside a literal
+    string are literal characters - '(a (b) c) Tj' shows 'a (b) c'
+    (ADVICE round-3: the old pattern ended the string at the first ')')."""
+    from boilerplate_buster_spark.core.pdfparse import parse_pdf_text
+
+    body = b"BT (a (b) c) Tj ET"
+    pdf = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(body), body)
+    )
+    assert parse_pdf_text(pdf) == "a (b) c"
+    # two levels + escapes mixed
+    body2 = rb"BT (x (y (z)) \(esc\)) Tj ET"
+    pdf2 = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(body2), body2)
+    )
+    assert parse_pdf_text(pdf2) == "x (y (z)) (esc)"

@@ -109,3 +109,31 @@ def test_warc_roundtrip_property(pages, gz):
     data = make_warc(pages, gzip_members=gz)
     got = [(g["url"], g["warc_ts"], g["html"]) for g in iter_warc_pages(data)]
     assert got == pages
+
+
+def test_warc_header_names_case_insensitive():
+    """ISO 28500 field names are case-insensitive; a lowercase
+    'content-length' must still frame the record (ADVICE round-3: a
+    mis-cased length desynchronized framing and dropped every later
+    record)."""
+    from boilerplate_buster_spark.core.warcparse import iter_warc_pages
+
+    body = b"<html>ok</html>"
+    http = b"HTTP/1.1 200 OK\r\ncontent-length: %d\r\n\r\n%s" % (len(body), body)
+    rec = (
+        b"WARC/1.0\r\nwarc-type: response\r\n"
+        b"WARC-TARGET-URI: https://ex.com/a\r\n"
+        b"warc-date: 2026-01-01T00:00:00Z\r\n"
+        b"CONTENT-LENGTH: %d\r\n\r\n%s\r\n\r\n" % (len(http), http)
+    )
+    tail_body = b"<html>second</html>"
+    tail_http = b"HTTP/1.1 200 OK\r\n\r\n" + tail_body
+    rec2 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://ex.com/b\r\n"
+        b"WARC-Date: 2026-01-01T00:00:01Z\r\n"
+        b"Content-Length: %d\r\n\r\n%s\r\n\r\n" % (len(tail_http), tail_http)
+    )
+    pages = list(iter_warc_pages(rec + rec2))
+    assert [p["url"] for p in pages] == ["https://ex.com/a", "https://ex.com/b"]
+    assert pages[0]["html"] == body and pages[1]["html"] == tail_body
