@@ -682,6 +682,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
 
+    def media_png_decode(spark, sf):
+        # real PNG encode (filter type y%5 per scanline: None/Sub/Up/
+        # Average/Paeth all exercised at h=5) -> real decode (zlib inflate
+        # + filter reconstruction): pixels from a closed-form truecolor
+        # formula, so DuckDB recomputes the decoded-image stats without
+        # parsing a byte of PNG
+        import pandas as pd
+
+        from boilerplate_buster_spark.operators import multimodal
+
+        ids = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id").filter(F.col("doc_id") < 60)
+        )
+
+        def make(batches):
+            import numpy as np
+
+            xs = np.arange(6)[None, :]
+            ys = np.arange(5)[:, None]
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    rgb = np.stack(
+                        [
+                            (d + 7 * xs + 13 * ys) % 256,
+                            (2 * d + 11 * xs + 3 * ys) % 256,
+                            (5 * d + xs + ys) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    rows.append((d, "image", multimodal.encode_png(rgb)))
+                yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+        media = ids.mapInPandas(
+            make, "media_id long, kind string, payload binary"
+        )
+        feats = multimodal.extract_features(media)
+        cols = ["w", "h", "sum_r", "sum_g", "sum_b", "min_r", "max_r", "n_pixels"]
+        return feats.select(
+            "media_id",
+            *[
+                F.expr(f"cast(element_at(feature, {i + 1}) AS bigint)").alias(c)
+                for i, c in enumerate(cols)
+            ],
+        )
+
     def skew_salted_count(spark, sf):
         # explicit skew toolkit under the contract: per-event-type distinct
         # users via salted reducers (event_type is low-cardinality = the
@@ -737,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         warc_extract=warc_extract,
         skew_salted_count=skew_salted_count,
         media_gif_decode=media_gif_decode,
+        media_png_decode=media_png_decode,
     )
     return q
 
@@ -1219,6 +1268,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM((idx * 83) % 256) AS BIGINT) AS sum_b,
                    CAST(MIN((idx * 37) % 256) AS BIGINT) AS min_r,
                    CAST(MAX((idx * 37) % 256) AS BIGINT) AS max_r,
+                   CAST(30 AS BIGINT) AS n_pixels
+            FROM px GROUP BY doc_id
+        """,
+        # pixel (x,y) of doc d is rgb((d+7x+13y)%256, (2d+11x+3y)%256,
+        # (5d+x+y)%256) on a 6x5 canvas -> decoded-image stats are pure
+        # arithmetic; the Spark side round-trips a real PNG (zlib IDAT,
+        # scanline filters y%5 = None/Sub/Up/Average/Paeth)
+        "media_png_decode": """
+            WITH px AS (
+              SELECT d.doc_id,
+                     (d.doc_id + 7 * x.g + 13 * y.g) % 256 AS r,
+                     (2 * d.doc_id + 11 * x.g + 3 * y.g) % 256 AS g,
+                     (5 * d.doc_id + x.g + y.g) % 256 AS b
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d,
+                   (SELECT generate_series AS g FROM generate_series(0, 5)) x,
+                   (SELECT generate_series AS g FROM generate_series(0, 4)) y
+            )
+            SELECT doc_id AS media_id,
+                   CAST(6 AS BIGINT) AS w, CAST(5 AS BIGINT) AS h,
+                   CAST(SUM(r) AS BIGINT) AS sum_r,
+                   CAST(SUM(g) AS BIGINT) AS sum_g,
+                   CAST(SUM(b) AS BIGINT) AS sum_b,
+                   CAST(MIN(r) AS BIGINT) AS min_r,
+                   CAST(MAX(r) AS BIGINT) AS max_r,
                    CAST(30 AS BIGINT) AS n_pixels
             FROM px GROUP BY doc_id
         """,

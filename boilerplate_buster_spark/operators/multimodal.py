@@ -348,10 +348,149 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     return rate, np.frombuffer(data, "<i2", count=len(data) // 2)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(rgb: np.ndarray, cycle_filters: bool = True) -> bytes:
+    """Real PNG (8-bit truecolor, non-interlaced) of an (h, w, 3) uint8
+    array: IHDR + one zlib IDAT + IEND, CRC-correct.  With cycle_filters,
+    scanline y uses filter type y % 5, so every decoder filter path
+    (None/Sub/Up/Average/Paeth) is exercised by any image >= 5 rows."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[0], rgb.shape[1]
+    bpp = 3
+    raw = rgb.reshape(h, w * bpp).astype(np.int32)
+    lines = bytearray()
+    for y in range(h):
+        ft = (y % 5) if cycle_filters else 0
+        cur = raw[y]
+        prev = raw[y - 1] if y else np.zeros(w * bpp, np.int32)
+        a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        c = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - a
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - (a + prev) // 2
+        else:  # Paeth
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
+            enc = cur - pred
+        lines.append(ft)
+        lines += (enc & 0xFF).astype(np.uint8).tobytes()
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(data: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters -> (h, stride) uint8 matrix."""
+    out = np.zeros((h, stride), np.int32)
+    pos = 0
+    for y in range(h):
+        if pos >= len(data):
+            raise ValueError("truncated PNG scanlines")
+        ft = data[pos]
+        pos += 1
+        if len(data) - pos < stride:
+            raise ValueError("truncated PNG scanline")
+        row = np.frombuffer(data, np.uint8, count=stride, offset=pos).astype(np.int32)
+        pos += stride
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            out[y] = row
+        elif ft == 2:
+            out[y] = (row + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            cur = out[y]
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+    return out.astype(np.uint8)
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """(h, w, 3) RGB uint8 from a PNG: 8-bit depth, color types 0 (gray,
+    replicated), 2 (RGB), 3 (palette via PLTE), 6 (RGBA, alpha dropped),
+    non-interlaced; all five scanline filters (stdlib zlib inflate +
+    Sub/Up/Average/Paeth reconstruction).  Adam7 and 16-bit depth raise
+    ValueError (honest boundary - the caller's stub fallback takes over)."""
+    import zlib
+
+    buf = bytes(buf)
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not PNG")
+    pos, w, h, ctype, plte, idat = 8, None, None, None, None, bytearray()
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or comp != 0 or filt != 0:
+                raise ValueError(f"unsupported PNG (depth={depth})")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+            if ctype not in (0, 2, 3, 6):
+                raise ValueError(f"unsupported PNG color type {ctype}")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    mat = _png_unfilter(zlib.decompress(bytes(idat)), h, w * channels, channels)
+    if ctype == 2:
+        return mat.reshape(h, w, 3).copy()
+    if ctype == 6:
+        return np.ascontiguousarray(mat.reshape(h, w, 4)[:, :, :3])
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[mat.reshape(h, w)].copy()
+    return np.repeat(mat.reshape(h, w, 1), 3, axis=2)
+
+
 def _decode_media(payload: bytes, kind: str):
     """Dispatch: ('image', rgb) | ('audio', (rate, samples)) |
     ('video', [rgb, ...]) for parseable payloads; raises ValueError
-    otherwise.  A production JPEG/PNG/MP3 decoder plugs in HERE."""
+    otherwise.  A production JPEG/MP3 decoder plugs in HERE (PNG is real,
+    below)."""
+    if payload[:8] == _PNG_SIG:
+        return "image", decode_png(payload)
     if payload[:2] == b"BM":
         return "image", decode_bmp(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):

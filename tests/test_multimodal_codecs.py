@@ -260,3 +260,66 @@ def test_sample_frames_truncated_stream_takes_stub(spark):
     )
     rows = mm.sample_frames(media, n_frames=2).collect()
     assert len(rows) == 2  # stub path emitted the full frame contract
+
+
+# ------------------------------------------------------------------ PNG
+
+def test_png_roundtrip_all_filters():
+    rng = np.random.RandomState(5)
+    for shape in [(7, 9), (1, 1), (5, 3), (32, 17)]:
+        img = _rand_rgb(rng, shape[1], shape[0])
+        for cyc in (True, False):
+            out = mm.decode_png(mm.encode_png(img, cycle_filters=cyc))
+            assert out.shape == img.shape and (out == img).all(), (shape, cyc)
+
+
+def _png_chunk(t, d):
+    import struct, zlib
+    return struct.pack(">I", len(d)) + t + d + struct.pack(
+        ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+
+def _hand_png(w, h, ctype, raw, extra=b""):
+    import struct, zlib
+    return (
+        mm._PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + extra
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_gray_rgba_palette_variants():
+    rng = np.random.RandomState(6)
+    gray = np.array([[0, 128], [255, 7]], np.uint8)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(2))
+    out = mm.decode_png(_hand_png(2, 2, 0, raw))
+    assert (out[..., 0] == gray).all() and (out[..., 2] == gray).all()
+    rgba = rng.randint(0, 256, (3, 4, 4)).astype(np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    assert (mm.decode_png(_hand_png(4, 3, 6, raw)) == rgba[:, :, :3]).all()
+    pal = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    png = _hand_png(2, 2, 3, raw, extra=_png_chunk(b"PLTE", pal.tobytes()))
+    assert (mm.decode_png(png) == pal[idx]).all()
+
+
+def test_png_boundaries_and_dispatch():
+    import pytest as _pt
+
+    rng = np.random.RandomState(8)
+    img = _rand_rgb(rng, 6, 5)
+    # interlaced refused, truncated degrades to stub through decode_bytes
+    import struct
+    with _pt.raises(ValueError):
+        mm.decode_png(_hand_png(2, 2, 2, b"", extra=b"")[:8] + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)))
+    v = mm.decode_bytes(mm.encode_png(img), "image")
+    assert v[0] == 6.0 and v[1] == 5.0 and v[7] == 30.0
+    assert v[2] == float(img[:, :, 0].sum())
+    assert len(mm.decode_bytes(mm.encode_png(img)[:30], "image")) == mm.FEATURE_DIM
+    # resize_one takes the REAL path on PNG input (P6 output, not stub)
+    out = mm.resize_one(mm.encode_png(img), 4, 4)
+    assert out[:2] == b"P6"
