@@ -193,20 +193,11 @@ def ivf_fit_centroids(
     return centroids
 
 
-def ivf_topk(
-    emb: DataFrame,
-    query_vec: list[float],
-    centroids: list[list[float]],
-    k: int = 10,
-    n_probe: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF search: exact cosine only inside the n_probe nearest centroid
-    cells.  At scale the assignment column is precomputed/partitioned-by once
-    (write `withColumn('c', assign)` bucketed by c) so a query scans only its
-    probed cells via partition pruning; here the filter expresses the same
-    cell restriction in-scan."""
+def probed_cells(
+    query_vec: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The n_probe centroid cells nearest the query by cosine (driver-side,
+    deterministic tie-break on cell id)."""
     import math
 
     def cos(a, b):
@@ -218,7 +209,69 @@ def ivf_topk(
     ranked = sorted(
         range(len(centroids)), key=lambda c: (-cos(query_vec, centroids[c]), c)
     )
-    probe = ", ".join(str(c) for c in ranked[: max(1, n_probe)])
+    return ranked[: max(1, n_probe)]
+
+
+def ivf_write_partitioned(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """The 100-TB IVF layout: materialize the cell assignment once and
+    partitionBy(c), so every later query reads ONLY its probed cells - the
+    parquet scan gets `PartitionFilters: [c IN (...)]` with no data-level
+    filter, i.e. non-probed cells are never opened (directory-level
+    pruning, same mechanism as a date-partitioned fact table)."""
+    assign = _centroid_assign_expr(vec_col, centroids)
+    emb.withColumn("c", F.expr(assign)).write.mode(mode).partitionBy("c").parquet(path)
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over an ivf_write_partitioned layout: the probed-cell
+    restriction is a PARTITION filter (pruned at planning, asserted in
+    test_plans.py), and the exact cosine runs only over those cells'
+    files."""
+    probe = ", ".join(str(c) for c in probed_cells(query_vec, centroids, n_probe))
+    q = "array(" + ", ".join(f"cast({float(v)} AS float)" for v in query_vec) + ")"
+    return (
+        spark.read.parquet(path)
+        .filter(F.expr(f"c IN ({probe})"))
+        .select(
+            F.col(id_col),
+            F.expr(f"round({cosine_expr(vec_col, q)}, 4)").alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: exact cosine only inside the n_probe nearest centroid
+    cells.  At scale the assignment column is precomputed/partitioned-by once
+    (ivf_write_partitioned) so a query scans only its probed cells via
+    partition pruning (ivf_topk_partitioned - plan-asserted in
+    test_plans.py); here the filter expresses the same cell restriction
+    in-scan."""
+    probe = ", ".join(str(c) for c in probed_cells(query_vec, centroids, n_probe))
     assign = _centroid_assign_expr(vec_col, centroids)
     q = "array(" + ", ".join(f"cast({float(v)} AS float)" for v in query_vec) + ")"
     return (

@@ -41,19 +41,23 @@ def results_csv(df: DataFrame, path: str | None = None) -> str:
 def export_spmf(docs: DataFrame, path: str, tokens_col: str = "tokens") -> None:
     """SPMF sequence-file writer: items are token ids (first-seen order is
     irrelevant to SPMF - we use a deterministic sorted dictionary), `-1`
-    itemset separator, `-2` sequence terminator (corpus_miner.cpp:563-579)."""
+    itemset separator, `-2` sequence terminator (corpus_miner.cpp:563-579).
+
+    As an interop bridge writing ONE local file for a single-machine Java
+    tool this is inherently driver-bounded, but it need not be
+    corpus-bounded: documents stream through `toLocalIterator()` (driver
+    holds one partition at a time), only the DICTIONARY is collected whole
+    (vocabulary-sized, the part SPMF itself must hold in memory anyway)."""
     vocab = {
         r["w"]: i + 1
         for i, r in enumerate(
             docs.select(F.explode(tokens_col).alias("w")).distinct().orderBy("w").collect()
         )
     }
-    lines = []
-    for r in docs.select(tokens_col).collect():
-        toks = r[0] or []
-        lines.append(" ".join(f"{vocab[t]} -1" for t in toks) + " -2")
     with open(path, "w", encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
+        for r in docs.select(tokens_col).toLocalIterator():
+            toks = r[0] or []
+            f.write(" ".join(f"{vocab[t]} -1" for t in toks) + " -2\n")
     with open(path + ".dict", "w", encoding="utf-8") as f:
         for w, i in vocab.items():
             f.write(f"{i}\t{w}\n")

@@ -184,3 +184,39 @@ def test_bucketed_layout_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_ivf_partitioned_scan_prunes_to_probed_cells(spark, tmp_path):
+    """The IVF at-scale layout claim, plan-asserted: a query over an
+    ivf_write_partitioned layout restricts the parquet scan with a
+    PARTITION filter on the probed cells (no data-level filter) - Spark
+    never opens non-probed cell directories."""
+    from boilerplate_buster_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ann.ivf_fit_centroids(emb, n_centroids=8, iters=1)
+    path = str(tmp_path / "ivf_cells")
+    ann.ivf_write_partitioned(emb, cents, path)
+
+    q_vec = [float(x) for x in emb.select("embedding").first()["embedding"]]
+    n_probe = 2
+    out = ann.ivf_topk_partitioned(spark, path, q_vec, cents, k=5, n_probe=n_probe)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    cells = ann.probed_cells(q_vec, cents, n_probe)
+    in_set = ",".join(str(c) for c in cells)
+    # the cell restriction is a PartitionFilter (directory pruning), with
+    # NO leftover data filter on c
+    assert f"PartitionFilters: [c#" in plan or "PartitionFilters: [" in plan
+    assert in_set in plan.replace(", ", ",").split("PartitionFilters")[1].split("]")[0]
+    scan_line = next(l for l in plan.split("\n") if "FileScan" in l)
+    assert "DataFilters: []" in scan_line
+    # semantics: scan output == rows of exactly the probed cells
+    probed_rows = sum(
+        spark.read.parquet(f"{path}/c={c}").count() for c in cells
+    )
+    assert spark.read.parquet(path).filter(
+        F.col("c").isin(cells)).count() == probed_rows
+    # and the partitioned search returns the same top-k as the in-scan form
+    a = [tuple(r) for r in out.collect()]
+    b = [tuple(r) for r in ann.ivf_topk(emb, q_vec, cents, k=5, n_probe=n_probe).collect()]
+    assert a == b
