@@ -682,6 +682,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
 
+    def strip_fixed_counts(spark, sf):
+        # oracle-able projection of the pass-2 strip (VERDICT r3 stretch):
+        # with a FIXED phrase list the marked-token union is plain SQL, so
+        # DuckDB pins per-url (n_tokens_in, n_tokens_out, n_spans) of the
+        # REAL vectorized strip kernel (core/extract_vec.strip_batch) - the
+        # full byte-level semantics stay pytest-pinned via the goldens
+        from boilerplate_buster_spark.operators.extraction import strip_text_pass
+
+        phrases = ["table table", "fast key scan", "agg row", "the line sort"]
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.col("text").alias("text_repr"),
+        )
+        stripped = strip_text_pass(docs, phrases)
+        counts = stripped.select(
+            "url",
+            F.size(
+                F.expr("filter(split(extracted_text, ' '), x -> x != '')")
+            ).cast("long").alias("n_tokens_out"),
+            F.size("removed_spans").cast("long").alias("n_spans"),
+        )
+        base = docs.select(
+            "url", F.size(F.split("text_repr", " ")).cast("long").alias("n_tokens_in")
+        )
+        return base.join(counts, "url").select(
+            "url", "n_tokens_in", "n_tokens_out", "n_spans"
+        )
+
     def media_png_decode(spark, sf):
         # real PNG encode (filter type y%5 per scanline: None/Sub/Up/
         # Average/Paeth all exercised at h=5) -> real decode (zlib inflate
@@ -786,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         skew_salted_count=skew_salted_count,
         media_gif_decode=media_gif_decode,
         media_png_decode=media_png_decode,
+        strip_fixed_counts=strip_fixed_counts,
     )
     return q
 
@@ -1294,5 +1323,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(r) AS BIGINT) AS max_r,
                    CAST(30 AS BIGINT) AS n_pixels
             FROM px GROUP BY doc_id
+        """,
+        # fixed-phrase strip projection: marked tokens = union over phrase
+        # occurrences of covered indices (core/extract.py spec step 2);
+        # n_spans = maximal covered runs (an index with no covered
+        # predecessor starts a run); n_tokens_out = in - covered (the strip
+        # deletes exactly the covered tokens' characters)
+        "strip_fixed_counts": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            ph(phr, l) AS (SELECT * FROM (VALUES
+                ('table table', 2), ('fast key scan', 3),
+                ('agg row', 2), ('the line sort', 3))),
+            cov AS (
+              SELECT DISTINCT toks.doc_id, u.i + o.off AS idx
+              FROM toks, ph,
+                   unnest(generate_series(1, len(t))) AS u(i),
+                   unnest(generate_series(0, 2)) AS o(off)
+              WHERE o.off < ph.l AND u.i + ph.l - 1 <= len(t)
+                AND array_to_string(t[u.i:u.i+ph.l-1], ' ') = ph.phr
+            ),
+            runs AS (
+              SELECT c1.doc_id, count(*) AS n_spans
+              FROM cov c1 LEFT JOIN cov c2
+                ON c1.doc_id = c2.doc_id AND c2.idx = c1.idx - 1
+              WHERE c2.idx IS NULL GROUP BY c1.doc_id
+            ),
+            ncov AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id)
+            SELECT CAST(toks.doc_id AS VARCHAR) AS url,
+                   CAST(len(t) AS BIGINT) AS n_tokens_in,
+                   CAST(len(t) - COALESCE(ncov.n_cov, 0) AS BIGINT) AS n_tokens_out,
+                   CAST(COALESCE(runs.n_spans, 0) AS BIGINT) AS n_spans
+            FROM toks
+            LEFT JOIN ncov ON toks.doc_id = ncov.doc_id
+            LEFT JOIN runs ON toks.doc_id = runs.doc_id
         """,
     }

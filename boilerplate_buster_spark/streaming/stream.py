@@ -41,6 +41,38 @@ def stream_strip(pages_stream: DataFrame, phrases: list[str]) -> DataFrame:
     return strip_pass(pages_stream, phrases)
 
 
+def run_extraction_stream(
+    spark,
+    src_dir: str,
+    phrases: list[str],
+    out_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+    available_now: bool = True,
+):
+    """The composed end-to-end streaming extraction job: file source ->
+    frozen-phrase strip -> parquet sink with a checkpoint.  Restarting with
+    the SAME checkpoint_dir resumes exactly where the last run committed
+    (new source files only, no re-emits) - the streaming twin of the batch
+    pipeline's checkpoint/resume (plans/pipeline.py).  Returns the started
+    StreamingQuery; with available_now the query drains the current source
+    contents and stops."""
+    from boilerplate_buster_spark.sources import pages as pages_src
+
+    stream = spark.readStream.schema(schema or pages_src.PAGES_SCHEMA).parquet(src_dir)
+    writer = (
+        stream_strip(stream, phrases)
+        .select("url", "extracted_text")  # parquet-friendly projection
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_ngram_doc_freq(
     docs_stream: DataFrame,
     n: int,

@@ -124,3 +124,36 @@ def test_stream_dedup_first_seen_stateful(spark, tmp_path):
     for r in rows:
         assert r["doc_id"].startswith("doc")
         assert r["n_seen"] >= 1
+
+
+def test_extraction_stream_end_to_end_with_checkpoint_resume(spark, tmp_path):
+    """Full readStream -> strip -> writeStream(parquet) job (VERDICT r3
+    stretch): batch 1 drains to the sink, a RESTART with the same
+    checkpoint picks up only batch 2's new files - every url exactly once,
+    text identical to the batch kernel."""
+    from boilerplate_buster_spark.streaming.stream import run_extraction_stream
+
+    rows, golden = pages_src.generate_pages_local(N_PAGES, seed=9)
+    pages = spark.createDataFrame(rows, schema=pages_src.PAGES_SCHEMA)
+    _, phrases = extract_main_content(spark, pages, min_docs=5, ngrams=3)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half = N_PAGES // 2
+    urls = sorted(golden)[:half]
+    pages.filter(F.col("url").isin(urls)).write.mode("append").parquet(src)
+
+    q = run_extraction_stream(spark, src, phrases, out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).count()
+    assert first == half
+
+    pages.filter(~F.col("url").isin(urls)).write.mode("append").parquet(src)
+    q2 = run_extraction_stream(spark, src, phrases, out, ckpt)
+    q2.awaitTermination(120)
+
+    got = {r["url"]: r["extracted_text"] for r in spark.read.parquet(out).collect()}
+    assert len(got) == N_PAGES  # no re-emits on resume
+    for url, (want, _) in golden.items():
+        assert got[url] == want, url
