@@ -38,6 +38,12 @@ frequent phrase):
     that fails (or legitimately passes) the exact min_sup threshold.  Gate
     sets above `_INSCAN_MAX` fall back to the ungated full enumeration
     (bounds the driver collect; levels that big prune little anyway).
+    ADAPTIVE: the gate only engages when the corpus has at least
+    `_GATE_MIN_WINDOWS` token positions - below that the gate's FIXED
+    per-level cost (one survivor-hash collect job + a bitmap broadcast,
+    ~0.3-0.5 s of Spark job latency each level) exceeds what a full small
+    scan costs, measured 1.7x on the sf0.1 bench; above it the per-level
+    fixed cost is noise and the pruning dominates.
   * STRING-PERSISTED CORPUS: the corpus is cached as ONE space-joined string
     column and re-split per level - Spark's columnar cache of array<string>
     re-reads ~8x slower than recomputing split() (measured; see
@@ -70,6 +76,11 @@ CLOSED_SCHEMA = T.StructType(
 #: driver-collect cap for the gate hash set; above it levels run ungated.
 _INSCAN_MAX = 65536
 
+#: minimum corpus token-position count before the in-scan gate engages;
+#: below this the per-level fixed overhead (collect job + broadcast) beats
+#: the pruning.  Tests monkeypatch to 0 to force-exercise the gated path.
+_GATE_MIN_WINDOWS = 2_000_000
+
 #: re-split the persisted string form; '' round-trips to an EMPTY array
 #: (split('') is ['']).
 _TOKS = "CASE WHEN _t = '' THEN array() ELSE split(_t, ' ') END"
@@ -89,6 +100,18 @@ def _gram_hashes(level: DataFrame, k: int, n_rows: int) -> list[int] | None:
         .select(F.expr(gh).alias("gh"))
         .collect()
     ]
+
+
+def _corpus_big_enough(txt: DataFrame) -> bool:
+    """Engage the in-scan gate only above `_GATE_MIN_WINDOWS` token
+    positions (see module docstring ADAPTIVE note); one cheap agg over the
+    persisted string column."""
+    if _GATE_MIN_WINDOWS <= 0:
+        return True
+    n = txt.select(
+        F.sum(F.size(F.expr(_TOKS))).alias("n")
+    ).first()["n"]
+    return (n or 0) >= _GATE_MIN_WINDOWS
 
 
 def _gate_bitmap(spark: SparkSession, hashes: list[int]) -> tuple[int, DataFrame]:
@@ -184,10 +207,13 @@ def closed_contiguous_patterns(
 
     cur = _gram_counts(txt, 1, min_sup, None).persist()
     cur_n = cur.count()
+    # corpus size (token positions) decides whether gating pays; one cheap
+    # agg over the already-persisted string column
+    gate_on = _corpus_big_enough(txt)
     k = 1
     try:
         while k <= max_len:
-            hashes = _gram_hashes(cur, k, cur_n)
+            hashes = _gram_hashes(cur, k, cur_n) if gate_on else None
             gate = _gate_bitmap(spark, hashes) if hashes is not None else None
             nxt = _gram_counts(txt, k + 1, min_sup, gate).persist()
             nxt_n = nxt.count()
@@ -300,10 +326,11 @@ def prefixspan_patterns(
         .persist()
     )
     cur_n = cur.count()
+    gate_on = _corpus_big_enough(txt)
     k = 1
     try:
         while k <= max_len:
-            hashes = _gram_hashes(cur, k, cur_n)
+            hashes = _gram_hashes(cur, k, cur_n) if gate_on else None
             gate = _gate_bitmap(spark, hashes) if hashes is not None else None
             nxt = (
                 _doc_gram_counts(txt, k + 1, id_col, gate)

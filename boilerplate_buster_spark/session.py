@@ -51,16 +51,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow batch size is a memory-BANDWIDTH knob, not just latency: at
-        # Spark's 10k-row default each Python worker streams a tens-of-MB
-        # working set (token objects, factorize tables, uint64 hash windows)
-        # through DRAM, and ~8 concurrent streams saturate a typical node's
-        # bandwidth - measured here: strip phase 2.8x faster at local[32]
-        # and 1.14x at local[8] with small batches (BENCH/BASELINE.md,
-        # round-3 attribution). Keep batches cache-resident.
+        # Arrow batch size is a memory-BANDWIDTH knob at saturated scale AND
+        # a fixed-overhead knob at small scale - both measured here:
+        #   * 3.84M pages, local[32] (bandwidth-bound): 1000-row batches make
+        #     the strip phase 2.8x faster (each Python worker's working set
+        #     stays cache-resident; ~8 concurrent 10k-row streams saturate
+        #     node DRAM - BENCH/BASELINE.md round-3 attribution);
+        #   * 20k pages, sf0.1 bench (latency-bound): 1000-row batches cost
+        #     ~25% on the same stage (more Arrow round trips, corpus far
+        #     below bandwidth saturation - round-4 A/B).
+        # Default stays Spark's 10000; big bandwidth-bound runs opt in via
+        # SPARK_GRAFT_ARROW_BATCH=1000 (tools/submit_extract.py does).
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1000"),
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         # 16g measured sweet spot for multi-million-page local runs: 8g OOMs

@@ -77,6 +77,7 @@ def test_gate_equivalence_and_plan(spark, monkeypatch):
     from boilerplate_buster_spark.operators import closed_patterns as cp
 
     df = corpus_df(spark, "test1")
+    monkeypatch.setattr(cp, "_GATE_MIN_WINDOWS", 0)  # force-gate small corpus
     gated = {
         (r["phrase"], r["freq"], r["length"])
         for r in closed_contiguous_patterns(spark, df, min_sup=3, min_l=2).collect()
@@ -119,6 +120,7 @@ def test_prefixspan_gate_equivalence(spark, monkeypatch):
         .select("doc_id", tokens("text").alias("tokens"))
     )
     runs = {}
+    monkeypatch.setattr(cp, "_GATE_MIN_WINDOWS", 0)  # force-gate small corpus
     for label, cap in (("gated", 65536), ("ungated", 0)):
         monkeypatch.setattr(cp, "_INSCAN_MAX", cap)
         runs[label] = {
