@@ -758,6 +758,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
 
+    def media_jpeg_decode(spark, sf):
+        # real baseline-JPEG encode -> decode (FDCT, quantize, Huffman,
+        # IDCT, YCbCr): at quality=100 every quant divisor is 1, so an
+        # image of CONSTANT 8x8 blocks round-trips BIT-EXACTLY (DC carries
+        # the block, AC quantizes to 0) - DuckDB recomputes the decoded
+        # stats from the closed-form block formula without touching JPEG
+        import pandas as pd
+
+        from boilerplate_buster_spark.core.jpeg import encode_jpeg
+        from boilerplate_buster_spark.operators import multimodal
+
+        ids = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id").filter(F.col("doc_id") < 60)
+        )
+
+        def make(batches):
+            import numpy as np
+
+            bx = np.arange(2)[None, :]
+            by = np.arange(2)[:, None]
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    blocks = np.stack(
+                        [
+                            (3 * d + 40 * bx + 80 * by) % 256,
+                            (5 * d + 60 * bx + 20 * by) % 256,
+                            (7 * d + 10 * bx + 50 * by) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                    rows.append((d, "image", encode_jpeg(img, quality=100)))
+                yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+        media = ids.mapInPandas(
+            make, "media_id long, kind string, payload binary"
+        )
+        feats = multimodal.extract_features(media)
+        cols = ["w", "h", "sum_r", "sum_g", "sum_b", "min_r", "max_r", "n_pixels"]
+        return feats.select(
+            "media_id",
+            *[
+                F.expr(f"cast(element_at(feature, {i + 1}) AS bigint)").alias(c)
+                for i, c in enumerate(cols)
+            ],
+        )
+
     def skew_salted_count(spark, sf):
         # explicit skew toolkit under the contract: per-event-type distinct
         # users via salted reducers (event_type is low-cardinality = the
@@ -814,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         skew_salted_count=skew_salted_count,
         media_gif_decode=media_gif_decode,
         media_png_decode=media_png_decode,
+        media_jpeg_decode=media_jpeg_decode,
         strip_fixed_counts=strip_fixed_counts,
     )
     return q
@@ -1322,6 +1373,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(r) AS BIGINT) AS min_r,
                    CAST(MAX(r) AS BIGINT) AS max_r,
                    CAST(30 AS BIGINT) AS n_pixels
+            FROM px GROUP BY doc_id
+        """,
+        # block (bx,by) of doc d is a CONSTANT 8x8 block with
+        # rgb((3d+40bx+80by)%256, (5d+60bx+20by)%256, (7d+10bx+50by)%256)
+        # on a 2x2 block grid (16x16 px); at quality=100 the real JPEG
+        # pipeline round-trips these bit-exactly, so each block contributes
+        # 64 pixels of its formula color
+        "media_jpeg_decode": """
+            WITH px AS (
+              SELECT d.doc_id,
+                     (3 * d.doc_id + 40 * bx.g + 80 * by.g) % 256 AS r,
+                     (5 * d.doc_id + 60 * bx.g + 20 * by.g) % 256 AS g,
+                     (7 * d.doc_id + 10 * bx.g + 50 * by.g) % 256 AS b
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d,
+                   (SELECT generate_series AS g FROM generate_series(0, 1)) bx,
+                   (SELECT generate_series AS g FROM generate_series(0, 1)) by
+            )
+            SELECT doc_id AS media_id,
+                   CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+                   CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+                   CAST(64 * SUM(g) AS BIGINT) AS sum_g,
+                   CAST(64 * SUM(b) AS BIGINT) AS sum_b,
+                   CAST(MIN(r) AS BIGINT) AS min_r,
+                   CAST(MAX(r) AS BIGINT) AS max_r,
+                   CAST(256 AS BIGINT) AS n_pixels
             FROM px GROUP BY doc_id
         """,
         # fixed-phrase strip projection: marked tokens = union over phrase

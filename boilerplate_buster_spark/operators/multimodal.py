@@ -487,10 +487,14 @@ def decode_png(buf: bytes) -> np.ndarray:
 def _decode_media(payload: bytes, kind: str):
     """Dispatch: ('image', rgb) | ('audio', (rate, samples)) |
     ('video', [rgb, ...]) for parseable payloads; raises ValueError
-    otherwise.  A production JPEG/MP3 decoder plugs in HERE (PNG is real,
-    below)."""
+    otherwise.  PNG and baseline JPEG are REAL decoders (core/jpeg.py);
+    a production MP3/MP4 decoder plugs in HERE."""
     if payload[:8] == _PNG_SIG:
         return "image", decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from boilerplate_buster_spark.core.jpeg import decode_jpeg
+
+        return "image", decode_jpeg(payload)
     if payload[:2] == b"BM":
         return "image", decode_bmp(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):

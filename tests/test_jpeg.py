@@ -1,0 +1,110 @@
+"""Baseline JPEG codec: constant-block q100 EXACT round trip (the oracle
+property), smooth-image error bounds across 4:4:4 / 4:2:0 / restart
+markers, grayscale single-component decode, honest boundaries
+(progressive/12-bit refused), and the multimodal dispatch integration."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from boilerplate_buster_spark.core import jpeg
+from boilerplate_buster_spark.operators import multimodal as mm
+
+
+def _const_block_img(rng, bx, by):
+    blocks = rng.randint(0, 256, (by, bx, 3)).astype(np.uint8)
+    return np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+
+
+def test_constant_blocks_quality100_exact():
+    rng = np.random.RandomState(3)
+    for shape in [(1, 1), (2, 2), (3, 5)]:
+        img = _const_block_img(rng, *shape)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=100))
+        assert (dec == img).all(), shape
+
+
+def test_smooth_error_bounds_all_paths():
+    xs = np.arange(48)[None, :]
+    ys = np.arange(32)[:, None]
+    img = np.stack(
+        [(xs * 3 + ys * 2) % 256, ((xs + ys) % 256) // 2 + 60,
+         np.full((32, 48), 77)],
+        axis=2,
+    ).astype(np.uint8)
+    for sub in (False, True):
+        for ri in (0, 2):
+            dec = jpeg.decode_jpeg(
+                jpeg.encode_jpeg(img, quality=92, subsample=sub,
+                                 restart_interval=ri)
+            )
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(int) - img.astype(int)).max()
+            assert err <= 8, (sub, ri, err)
+
+
+def test_odd_sizes_and_edge_padding():
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (17, 19, 3)).astype(np.uint8)
+    for sub in (False, True):
+        dec = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=90, subsample=sub, restart_interval=1)
+        )
+        assert dec.shape == img.shape
+
+
+def test_grayscale_single_component():
+    # hand-assemble a 1-component baseline JPEG from the module's own
+    # primitives; decoder must replicate gray into RGB
+    gray = np.full((8, 8), 200.0) - 128.0
+    qlum, _ = jpeg._quality_tables(100)
+    bw = jpeg._BitWriter()
+    jpeg._encode_block(bw, gray, qlum.reshape(8, 8),
+                       jpeg._build_codes(*jpeg._STD_DC_LUM),
+                       jpeg._build_codes(*jpeg._STD_AC_LUM), 0)
+    scan = bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    buf = bytearray(b"\xff\xd8")
+    buf += seg(0xFFDB, b"\x00" + bytes(int(v) for v in qlum[jpeg._ZIGZAG]))
+    buf += seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + struct.pack(">BBB", 1, 0x11, 0))
+    for tc_th, (bits, vals) in (((0, 0), jpeg._STD_DC_LUM), ((1, 0), jpeg._STD_AC_LUM)):
+        tc, th = tc_th
+        buf += seg(0xFFC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+    buf += seg(0xFFDA, struct.pack(">B", 1) + struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00")
+    buf += scan + b"\xff\xd9"
+    dec = jpeg.decode_jpeg(bytes(buf))
+    assert dec.shape == (8, 8, 3)
+    assert (dec == 200).all()
+
+
+def test_honest_boundaries():
+    rng = np.random.RandomState(5)
+    img = _const_block_img(rng, 2, 2)
+    enc = bytearray(jpeg.encode_jpeg(img, quality=90))
+    # flip SOF0 -> SOF2 (progressive): must refuse, not garble
+    sof_at = bytes(enc).find(b"\xff\xc0")
+    enc[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xd9")  # no scan
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"not a jpeg")
+
+
+def test_dispatch_and_stub_fallback():
+    rng = np.random.RandomState(6)
+    img = _const_block_img(rng, 2, 2)  # 16x16
+    enc = jpeg.encode_jpeg(img, quality=100)
+    v = mm.decode_bytes(enc, "image")
+    assert v[0] == 16.0 and v[1] == 16.0 and v[7] == 256.0
+    assert v[2] == float(img[:, :, 0].sum())
+    assert v[5] == float(img[:, :, 0].min()) and v[6] == float(img[:, :, 0].max())
+    # truncated payload degrades to the deterministic stub, not a crash
+    assert len(mm.decode_bytes(enc[:40], "image")) == mm.FEATURE_DIM
+    # resize takes the real path
+    assert mm.resize_one(enc, 4, 4)[:2] == b"P6"
