@@ -682,6 +682,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
 
+    def web_pipeline(spark, sf):
+        # the composed LLM-training-data chain over Common-Crawl-shaped
+        # input, every stage the REAL operator: gzip-member WARC ingest ->
+        # DOM-heuristic boilerplate strip -> tokenize -> language ID +
+        # quality score + token stats + exact-dedup survivor flag.  Each
+        # stage is closed-form (extracted text == documents.text by the
+        # dom_extract invariant), so DuckDB pins the whole chain end-to-end.
+        import pandas as pd
+
+        from boilerplate_buster_spark.core.warcparse import make_warc
+        from boilerplate_buster_spark.operators.domheuristics import (
+            extract_by_heuristics,
+        )
+        from boilerplate_buster_spark.sources.warc import pages_from_warc_bytes
+
+        heur = _heur_pages(spark, sf)
+
+        def build(batches):
+            for pdf in batches:
+                recs = [
+                    (u, "2026-01-01T00:00:00Z", h.encode())
+                    for u, h in zip(pdf["url"], pdf["html"])
+                ]
+                yield pd.DataFrame(
+                    {"content": [make_warc(recs, gzip_members=True)]}
+                )
+
+        ingested = pages_from_warc_bytes(heur.mapInPandas(build, "content binary"))
+        extracted = extract_by_heuristics(ingested)
+        t = extracted.select(
+            "url",
+            F.col("extracted_text").alias("text"),
+            F.split("extracted_text", " ").alias("tokens"),
+        )
+        st = text_stats.token_stats(t, id_col="url").select(
+            "url",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_unique").cast("long").alias("n_unique"),
+        )
+        lid = text_stats.language_id(t, id_col="url").select("url", "lang_pred")
+        q = text_stats.quality_score(t, id_col="url").select(
+            "url", F.col("quality_e6").cast("long").alias("quality_e6")
+        )
+        fp = t.select("url", F.md5("text").alias("fp"))
+        groups = fp.groupBy("fp").agg(
+            F.min("url").alias("keep_url"), F.count("*").alias("n_dups")
+        )
+        return (
+            st.join(lid, "url").join(q, "url").join(fp, "url")
+            .join(groups, "fp")
+            .select(
+                "url", "n_tokens", "n_unique", "lang_pred", "quality_e6",
+                (F.col("url") == F.col("keep_url")).cast("long").alias("is_kept"),
+                F.col("n_dups").cast("long").alias("n_dups"),
+            )
+        )
+
     def strip_fixed_counts(spark, sf):
         # oracle-able projection of the pass-2 strip (VERDICT r3 stretch):
         # with a FIXED phrase list the marked-token union is plain SQL, so
@@ -865,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_gif_decode=media_gif_decode,
         media_png_decode=media_png_decode,
         media_jpeg_decode=media_jpeg_decode,
+        web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
     )
     return q
@@ -1399,6 +1457,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(r) AS BIGINT) AS max_r,
                    CAST(256 AS BIGINT) AS n_pixels
             FROM px GROUP BY doc_id
+        """,
+        # composed pipeline: WARC ingest + DOM strip recover documents.text
+        # per url (the dom_extract invariant), then the per-stage closed
+        # forms (langid case, integer quality, md5 dedup) compose directly
+        "web_pipeline": f"""
+            WITH base AS (
+              SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+                     text, string_split(text, ' ') AS t
+              FROM documents
+            ),
+            fp AS (SELECT url, t, md5(text) AS fp FROM base),
+            g AS (SELECT fp, min(url) AS keep_url, count(*) AS n_dups
+                  FROM fp GROUP BY fp)
+            SELECT fp.url,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
+                   {langid_case} AS lang_pred,
+                   CAST({quality_int} AS BIGINT) AS quality_e6,
+                   CAST(CASE WHEN fp.url = g.keep_url THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_kept,
+                   CAST(g.n_dups AS BIGINT) AS n_dups
+            FROM fp JOIN g ON fp.fp = g.fp
         """,
         # fixed-phrase strip projection: marked tokens = union over phrase
         # occurrences of covered indices (core/extract.py spec step 2);
