@@ -682,6 +682,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
 
+    def media_mjpeg_frames(spark, sf):
+        # MJPEG-style concatenated-JPEG video stream: 3 frames per doc,
+        # each frame a 16x16 constant-block q100 JPEG (bit-exact per the
+        # media_jpeg_decode property), decoded through the real video path
+        import pandas as pd
+
+        from boilerplate_buster_spark.core.jpeg import encode_jpeg
+        from boilerplate_buster_spark.operators import multimodal
+
+        ids = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id").filter(F.col("doc_id") < 40)
+        )
+
+        def make(batches):
+            import numpy as np
+
+            bx = np.arange(2)[None, :]
+            by = np.arange(2)[:, None]
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    stream = b""
+                    for k in range(3):
+                        blocks = np.stack(
+                            [
+                                (3 * d + 40 * bx + 80 * by + 11 * k) % 256,
+                                (5 * d + 60 * bx + 20 * by + 13 * k) % 256,
+                                (7 * d + 10 * bx + 50 * by + 17 * k) % 256,
+                            ],
+                            axis=2,
+                        ).astype(np.uint8)
+                        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                        stream += encode_jpeg(img, quality=100)
+                    rows.append((d, "video", stream))
+                yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+        media = ids.mapInPandas(
+            make, "media_id long, kind string, payload binary"
+        )
+        feats = multimodal.extract_features(media)
+        cols = ["n_frames", "w", "h", "sum_rgb", "min_rgb", "max_rgb", "n_values"]
+        return feats.select(
+            "media_id",
+            *[
+                F.expr(f"cast(element_at(feature, {i + 1}) AS bigint)").alias(c)
+                for i, c in enumerate(cols)
+            ],
+        )
+
     def web_pipeline(spark, sf):
         # the composed LLM-training-data chain over Common-Crawl-shaped
         # input, every stage the REAL operator: gzip-member WARC ingest ->
@@ -922,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_gif_decode=media_gif_decode,
         media_png_decode=media_png_decode,
         media_jpeg_decode=media_jpeg_decode,
+        media_mjpeg_frames=media_mjpeg_frames,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
     )
@@ -1457,6 +1509,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(r) AS BIGINT) AS max_r,
                    CAST(256 AS BIGINT) AS n_pixels
             FROM px GROUP BY doc_id
+        """,
+        # frame k of doc d: constant blocks rgb((3d+40bx+80by+11k)%256,
+        # (5d+60bx+20by+13k)%256, (7d+10bx+50by+17k)%256) on 2x2 blocks of
+        # 8x8 px; video stats = [n_frames, w, h, sum, min, max, n_values]
+        # over ALL channels of ALL frames (64 px per block value)
+        "media_mjpeg_frames": """
+            WITH vals AS (
+              SELECT d.doc_id, v.v
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 40) d,
+                   (SELECT generate_series AS g FROM generate_series(0, 1)) bx,
+                   (SELECT generate_series AS g FROM generate_series(0, 1)) by,
+                   (SELECT generate_series AS g FROM generate_series(0, 2)) k,
+                   LATERAL (
+                     SELECT unnest(ARRAY[
+                       (3 * d.doc_id + 40 * bx.g + 80 * by.g + 11 * k.g) % 256,
+                       (5 * d.doc_id + 60 * bx.g + 20 * by.g + 13 * k.g) % 256,
+                       (7 * d.doc_id + 10 * bx.g + 50 * by.g + 17 * k.g) % 256
+                     ]) AS v
+                   ) v
+            )
+            SELECT doc_id AS media_id,
+                   CAST(3 AS BIGINT) AS n_frames,
+                   CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+                   CAST(64 * SUM(v) AS BIGINT) AS sum_rgb,
+                   CAST(MIN(v) AS BIGINT) AS min_rgb,
+                   CAST(MAX(v) AS BIGINT) AS max_rgb,
+                   CAST(3 * 16 * 16 * 3 AS BIGINT) AS n_values
+            FROM vals GROUP BY doc_id
         """,
         # composed pipeline: WARC ingest + DOM strip recover documents.text
         # per url (the dom_extract invariant), then the per-stage closed

@@ -425,6 +425,56 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def jpeg_end(buf: bytes, start: int = 0) -> int:
+    """Index just past the EOI of the JPEG starting at `start` - walks the
+    marker structure (segments by length, entropy data by FF-escape scan),
+    so an EOI-looking byte pair inside a table or stuffed entropy data can
+    never mis-frame.  Raises ValueError if no well-formed JPEG starts
+    there."""
+    if buf[start : start + 2] != b"\xff\xd8":
+        raise ValueError("not JPEG")
+    pos = start + 2
+    n = len(buf)
+    while pos + 2 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError("marker desync")
+        marker = buf[pos + 1]
+        if marker == 0xD9:
+            return pos + 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            break
+        (ln,) = struct.unpack_from(">H", buf, pos + 2)
+        pos += 2 + ln
+        if marker == 0xDA:  # entropy data until next real marker
+            while pos + 1 < n:
+                if buf[pos] == 0xFF and buf[pos + 1] not in (0x00,) and not (
+                    0xD0 <= buf[pos + 1] <= 0xD7
+                ):
+                    break
+                pos += 1
+            else:
+                break
+    raise ValueError("unterminated JPEG")
+
+
+def split_mjpeg(buf: bytes) -> list[bytes]:
+    """Frames of a concatenated-JPEG (MJPEG-style) stream, each a complete
+    SOI..EOI file; >= 1 frame or ValueError."""
+    buf = bytes(buf)
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(buf) and buf[pos : pos + 2] == b"\xff\xd8":
+        end = jpeg_end(buf, pos)
+        frames.append(buf[pos:end])
+        pos = end
+    if not frames or pos != len(buf):
+        raise ValueError("not a tight concatenated-JPEG stream")
+    return frames
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """(h, w, 3) RGB uint8 from a baseline JPEG (see module docstring for
     the supported subset)."""

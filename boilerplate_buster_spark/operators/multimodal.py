@@ -492,9 +492,13 @@ def _decode_media(payload: bytes, kind: str):
     if payload[:8] == _PNG_SIG:
         return "image", decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        from boilerplate_buster_spark.core.jpeg import decode_jpeg
+        from boilerplate_buster_spark.core.jpeg import decode_jpeg, split_mjpeg
 
-        return "image", decode_jpeg(payload)
+        parts = split_mjpeg(payload)
+        if kind == "video" or len(parts) > 1:
+            # MJPEG-style concatenated-JPEG stream
+            return "video", [decode_jpeg(p) for p in parts]
+        return "image", decode_jpeg(parts[0])
     if payload[:2] == b"BM":
         return "image", decode_bmp(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -683,8 +687,16 @@ def sample_frames(media: DataFrame, n_frames: int = 4, fps: int = 25) -> DataFra
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(p) if p is not None else b""
                 try:
-                    src = decode_ppm_stream(raw)
-                    if not src:
+                    if raw[:2] == b"\xff\xd8":
+                        from boilerplate_buster_spark.core.jpeg import (
+                            decode_jpeg,
+                            split_mjpeg,
+                        )
+
+                        src = [decode_jpeg(p) for p in split_mjpeg(raw)]
+                    else:
+                        src = decode_ppm_stream(raw)
+                    if not src or len({f.shape for f in src}) != 1:
                         src = None
                 except (ValueError, struct.error, IndexError):
                     src = None
