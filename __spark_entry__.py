@@ -733,6 +733,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
 
+    def _ml_docs(spark, sf):
+        # deterministic MULTI-LINE corpus from documents.text: 8-token
+        # chunks as lines, plus injected boilerplate lines - 'the cookie
+        # banner line' in every doc (df=200), 'please accept cookies' in
+        # even docs (df=100), 'repeat me' TWICE in docs % 3 == 0 (in-doc
+        # duplicate, df=67)
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+        )
+        chunked = F.array_join(
+            F.expr(
+                "transform(sequence(0, greatest(cast(ceil(size(split(text, ' ')) / 8.0) AS int), 1) - 1), "
+                "j -> array_join(slice(split(text, ' '), j * 8 + 1, 8), ' '))"
+            ),
+            "\n",
+        )
+        ml = F.concat(
+            chunked,
+            F.lit("\nthe cookie banner line"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("\nplease accept cookies")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nrepeat me\nrepeat me")).otherwise(F.lit("")),
+        )
+        return docs.select("doc_id", ml.alias("mltext"), "text")
+
+    def line_dedup_docs(spark, sf):
+        # CCNet-style cross-corpus duplicate-line removal: lines in >= 80
+        # distinct docs are boilerplate (kills the two injected banners,
+        # keeps 'repeat me' at df=67)
+        from boilerplate_buster_spark.operators.lines import (
+            remove_boilerplate_lines,
+        )
+
+        return remove_boilerplate_lines(
+            _ml_docs(spark, sf), min_df=80, text_col="mltext"
+        )
+
+    def repetition_signals_q(spark, sf):
+        # Gopher-style repetition quality signals over the multi-line
+        # corpus: lines from mltext, word 2-grams from the original text
+        from boilerplate_buster_spark.operators.lines import repetition_signals
+
+        d = _ml_docs(spark, sf).select(
+            "doc_id", "mltext", F.split("text", " ").alias("tokens")
+        )
+        return repetition_signals(d, ngram=2, text_col="mltext")
+
     def web_pipeline(spark, sf):
         # the composed LLM-training-data chain over Common-Crawl-shaped
         # input, every stage the REAL operator: gzip-member WARC ingest ->
@@ -974,6 +1022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_png_decode=media_png_decode,
         media_jpeg_decode=media_jpeg_decode,
         media_mjpeg_frames=media_mjpeg_frames,
+        line_dedup_docs=line_dedup_docs,
+        repetition_signals=repetition_signals_q,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
     )
@@ -1537,6 +1587,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(v) AS BIGINT) AS max_rgb,
                    CAST(3 * 16 * 16 * 3 AS BIGINT) AS n_values
             FROM vals GROUP BY doc_id
+        """,
+        # multi-line corpus (8-token chunk lines + injected banners, see
+        # _ml_docs) -> lines in >= 80 distinct docs removed, order kept,
+        # one row per doc ('' when everything was boilerplate)
+        "line_dedup_docs": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 200),
+            ml AS (SELECT doc_id,
+                   array_to_string(list_transform(
+                     range(0, greatest(CAST(ceil(len(t) / 8.0) AS int), 1)),
+                     j -> array_to_string(t[j*8+1:j*8+8], ' ')), chr(10))
+                   || chr(10) || 'the cookie banner line'
+                   || CASE WHEN doc_id % 2 = 0
+                        THEN chr(10) || 'please accept cookies' ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || 'repeat me' || chr(10) || 'repeat me'
+                        ELSE '' END AS mltext
+                   FROM base),
+            lx AS (SELECT doc_id, i AS pos, ls[i] AS line
+                   FROM (SELECT doc_id,
+                           list_filter(string_split(mltext, chr(10)),
+                                       x -> x <> '') AS ls FROM ml) s,
+                        unnest(generate_series(1, len(ls))) AS u(i)),
+            df AS (SELECT line, count(DISTINCT doc_id) AS df
+                   FROM lx GROUP BY line),
+            keep AS (SELECT lx.doc_id, lx.pos, lx.line
+                     FROM lx JOIN df USING (line) WHERE df.df < 80)
+            SELECT ml.doc_id,
+                   coalesce(string_agg(keep.line, chr(10) ORDER BY keep.pos),
+                            '') AS clean_text
+            FROM ml LEFT JOIN keep ON ml.doc_id = keep.doc_id
+            GROUP BY ml.doc_id
+        """,
+        # Gopher repetition signals over the same multi-line corpus: exact
+        # integer millionths; top 2-gram tie-break = lexicographic smallest
+        "repetition_signals": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 200),
+            ml AS (SELECT doc_id, t,
+                   array_to_string(list_transform(
+                     range(0, greatest(CAST(ceil(len(t) / 8.0) AS int), 1)),
+                     j -> array_to_string(t[j*8+1:j*8+8], ' ')), chr(10))
+                   || chr(10) || 'the cookie banner line'
+                   || CASE WHEN doc_id % 2 = 0
+                        THEN chr(10) || 'please accept cookies' ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || 'repeat me' || chr(10) || 'repeat me'
+                        ELSE '' END AS mltext
+                   FROM base),
+            ls AS (SELECT doc_id,
+                     list_filter(string_split(mltext, chr(10)), x -> x <> '') AS l
+                   FROM ml),
+            g AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+                  FROM ml, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+            gc AS (SELECT doc_id, gram, count(*) AS cnt
+                   FROM g GROUP BY doc_id, gram),
+            top AS (SELECT doc_id, gram, cnt FROM (
+                      SELECT *, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+                      FROM gc) WHERE rn = 1)
+            SELECT ml.doc_id,
+                   CAST((1000000 * (len(ls.l) - len(list_distinct(ls.l))))
+                        // greatest(len(ls.l), 1) AS BIGINT) AS dup_line_frac_e6,
+                   CAST(coalesce((1000000 * length(top.gram) * top.cnt)
+                        // greatest(length(array_to_string(ml.t, '')), 1), 0)
+                        AS BIGINT) AS top_ngram_char_frac_e6
+            FROM ml JOIN ls ON ml.doc_id = ls.doc_id
+            LEFT JOIN top ON ml.doc_id = top.doc_id
         """,
         # composed pipeline: WARC ingest + DOM strip recover documents.text
         # per url (the dom_extract invariant), then the per-stage closed

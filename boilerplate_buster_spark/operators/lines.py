@@ -1,0 +1,159 @@
+"""Line-level corpus dedup + repetition quality signals - the industrial
+complements of the phrase miner (SURVEY.md's LLM-data-pipeline bar).
+
+Two operator families, both pure Catalyst:
+
+* CCNet-style LINE dedup (`line_doc_freq`, `remove_boilerplate_lines`):
+  a line that appears in >= min_df distinct documents is boilerplate
+  (cookie banners, nav text, footers) and is dropped from every document.
+  This is the cheap industrial variant of what the BloomSpan miner does
+  statistically for phrases: exact match at line granularity, two shuffles
+  total (line-hash DF aggregate + per-doc reconstruction), frequent-line
+  set df-thresholded so the join side is corpus-statistics-bounded
+  (#frequent lines <= total_lines / min_df), never vocabulary-bounded.
+
+* Gopher-style repetition signals (`repetition_signals`): per document,
+  the fraction of duplicate lines and the character share of the most
+  frequent word n-gram - the quality-filter signals of Rae et al. 2021
+  (Gopher) sections A1.1, as exact integer ratios (scaled 1e6) so a SQL
+  oracle reproduces them bit-for-bit.
+
+Scale posture (100 TB): every aggregate is a hash-aggregate on a uniform
+key (line hash / (doc, gram)); the only broadcast is the frequent-line
+set, bounded by df-threshold; reconstruction is one shuffle on doc_id with
+array_sort (no window).  No reference anchor - the reference is the phrase
+miner; these mirror public Common-Crawl pipeline practice (CCNet, Gopher,
+FineWeb).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _lines_expr(text_col: str, sep: str) -> str:
+    return f"filter(split({text_col}, '{sep}'), x -> x != '')"
+
+
+def line_doc_freq(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """(line, df): per-line DISTINCT-document frequency.  Empty lines are
+    ignored; intra-doc repeats count once (array_distinct before the
+    explode, so the shuffle carries each (line, doc) pair at most once)."""
+    return (
+        docs.select(
+            F.explode(F.expr(f"array_distinct({_lines_expr(text_col, sep)})")).alias("line")
+        )
+        .groupBy("line")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_df: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """(id, clean_text): every line appearing in >= min_df distinct docs is
+    removed from every doc; remaining lines keep their original order and
+    separator.  ONE ROW PER INPUT DOC - a doc whose every line is
+    boilerplate yields '' (sentinel trick, same as domheuristics).
+
+    Plan: line-DF aggregate (one shuffle on line), frequent set broadcast
+    LEFT-ANTI joined against the exploded (doc, pos, line) rows - EXACT
+    (a Bloom probe would delete legit lines on false positives, so no
+    bitmap here), O(1) per line via the broadcast hash table - then one
+    per-doc reconstruction shuffle with array_sort (no window).  The
+    broadcast side is df-thresholded: <= total_lines/min_df rows, a
+    corpus-statistics bound, never data-sized."""
+    frequent = (
+        line_doc_freq(docs, id_col, text_col, sep)
+        .filter(F.col("df") >= min_df)
+        .select("line")
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(_lines_expr(text_col, sep))).alias("pos", "line"),
+    )
+    # sentinel keeps empty/fully-boilerplate docs in the output; '' can
+    # never be in `frequent` (empty lines are filtered before the DF agg)
+    sentinels = docs.select(
+        F.col(id_col), F.lit(-1).alias("pos"), F.lit("").alias("line")
+    )
+    kept = exploded.unionByName(sentinels).join(
+        F.broadcast(frequent), "line", "left_anti"
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ordered"))
+        .select(
+            id_col,
+            F.array_join(
+                F.expr("transform(filter(ordered, s -> s.pos >= 0), s -> s.line)"),
+                sep,
+            ).alias("clean_text"),
+        )
+    )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    ngram: int = 2,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """(id, dup_line_frac_e6, top_ngram_char_frac_e6): Gopher-style
+    repetition quality signals, exact integer millionths:
+
+      dup_line_frac_e6     = 1e6 * (n_lines - n_distinct_lines) / n_lines
+      top_ngram_char_frac_e6 = 1e6 * chars(most frequent word n-gram)
+                                   * count(most frequent word n-gram)
+                                   / total token chars
+    Ties on the top n-gram resolve to the LEXICOGRAPHICALLY SMALLEST gram
+    (deterministic, oracle-reproducible).  All arithmetic is integer `div`
+    (no doubles), so the oracle matches bit-for-bit.
+
+    Plan shape: line fraction is a pure map; the top n-gram is one
+    LINEAR explode + two-level hash-aggregate (per-(doc,gram) count, then
+    per-doc argmax via min(struct(-count, gram))) + one join back on id -
+    O(tokens) total, no per-row quadratic scan (a pure-expression argmax
+    would rescan the doc's gram list once per distinct gram)."""
+    t = tokens_col
+    lines = _lines_expr(text_col, sep)
+    grams = (
+        f"transform(slice(sequence(1, greatest(size({t}) - {ngram} + 1, 1)), "
+        f"1, greatest(size({t}) - {ngram} + 1, 0)), "
+        f"i -> array_join(slice({t}, i, {ngram}), ' '))"
+    )
+    per_gram = (
+        docs.select(F.col(id_col), F.explode(F.expr(grams)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = per_gram.groupBy(id_col).agg(
+        F.min(F.struct(F.expr("-cnt").alias("nc"), F.col("gram").alias("g"))).alias("t")
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"(1000000 * (size({lines}) - size(array_distinct({lines})))) "
+            f"div greatest(size({lines}), 1)"
+        ).alias("dup_line_frac_e6"),
+        F.expr(f"length(array_join({t}, ''))").alias("_chars"),
+    )
+    return base.join(top, id_col, "left").select(
+        id_col,
+        "dup_line_frac_e6",
+        F.expr(
+            "coalesce((1000000 * length(t.g) * (-t.nc)) div greatest(_chars, 1), 0)"
+        ).alias("top_ngram_char_frac_e6"),
+    )

@@ -1,0 +1,81 @@
+"""CCNet-style line dedup + Gopher repetition signals: hand-computed
+fixtures, one-row-per-doc guarantee, order preservation, exact integer
+ratios."""
+
+from pyspark.sql import functions as F
+
+from boilerplate_buster_spark.operators.lines import (
+    line_doc_freq,
+    remove_boilerplate_lines,
+    repetition_signals,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "unique alpha\ncookie banner\nunique beta"),
+            (2, "cookie banner\nunique gamma\ncookie banner"),
+            (3, "cookie banner"),
+            (4, "unique delta\n\nunique epsilon"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_line_doc_freq_distinct_docs(spark):
+    got = {r["line"]: r["df"] for r in line_doc_freq(_docs(spark)).collect()}
+    # intra-doc repeat in doc 2 counts once; empty line in doc 4 ignored
+    assert got["cookie banner"] == 3
+    assert got["unique alpha"] == 1 and got["unique epsilon"] == 1
+    assert "" not in got
+
+
+def test_remove_boilerplate_lines_order_and_sentinel(spark):
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(_docs(spark), min_df=3).collect()
+    }
+    assert out[1] == "unique alpha\nunique beta"  # order preserved
+    assert out[2] == "unique gamma"
+    assert out[3] == ""  # all-boilerplate doc keeps its row
+    assert out[4] == "unique delta\nunique epsilon"  # empty line dropped
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_remove_no_frequent_lines_is_identity_modulo_empties(spark):
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(_docs(spark), min_df=10).collect()
+    }
+    assert out[1] == "unique alpha\ncookie banner\nunique beta"
+
+
+def test_repetition_signals_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            # lines: [a, a, b] -> dup frac = 1e6 * 1 div 3
+            # tokens: x y x y -> top 2-gram "x y" cnt 2... grams: "x y","y x","x y"
+            (1, "a\na\nb", ["x", "y", "x", "y"]),
+            # no dup lines; single token -> no grams -> 0
+            (2, "only", ["solo"]),
+        ],
+        ["doc_id", "text", "tokens"],
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs, ngram=2).collect()}
+    assert got[1]["dup_line_frac_e6"] == 1000000 // 3
+    # top gram "x y" (cnt 2, ties none), chars = len("xy")*2... formula:
+    # 1e6 * len("x y") * 2 div len("xyxy") = 1e6*3*2 div 4
+    assert got[1]["top_ngram_char_frac_e6"] == (1000000 * 3 * 2) // 4
+    assert got[2]["dup_line_frac_e6"] == 0
+    assert got[2]["top_ngram_char_frac_e6"] == 0
+
+
+def test_repetition_tie_breaks_lexicographic(spark):
+    # grams "b b" and "a a" both cnt 1 -> smallest gram "a a" wins
+    docs = spark.createDataFrame(
+        [(1, "t", ["a", "a", "b", "b"])], ["doc_id", "text", "tokens"]
+    )
+    r = repetition_signals(docs, ngram=2).collect()[0]
+    # grams: "a a", "a b", "b b" each cnt 1 -> top = "a a" (len 3, cnt 1)
+    assert r["top_ngram_char_frac_e6"] == (1000000 * 3 * 1) // 4
