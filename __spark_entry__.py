@@ -781,6 +781,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return repetition_signals(d, ngram=2, text_col="mltext")
 
+    def decontaminate(spark, sf):
+        # benchmark-decontamination: the "benchmark set" = the first
+        # 3-gram of docs 0-9 (deterministic, so SQL rebuilds it); flags
+        # every doc position matching one
+        from boilerplate_buster_spark.operators.lines import contamination_flags
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", F.split("text", " ").alias("tokens"))
+        )
+        bench = [
+            r[0]
+            for r in docs.filter(F.col("doc_id") < 10)
+            .select(F.expr("array_join(slice(tokens, 1, 3), ' ')"))
+            .collect()
+        ]
+        out = contamination_flags(docs, bench, ngram=3)
+        return out.select(
+            "doc_id",
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            "contaminated",
+        )
+
     def web_pipeline(spark, sf):
         # the composed LLM-training-data chain over Common-Crawl-shaped
         # input, every stage the REAL operator: gzip-member WARC ingest ->
@@ -1024,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_mjpeg_frames=media_mjpeg_frames,
         line_dedup_docs=line_dedup_docs,
         repetition_signals=repetition_signals_q,
+        decontaminate=decontaminate,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
     )
@@ -1655,6 +1680,23 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS top_ngram_char_frac_e6
             FROM ml JOIN ls ON ml.doc_id = ls.doc_id
             LEFT JOIN top ON ml.doc_id = top.doc_id
+        """,
+        # decontamination: benchmark set = DISTINCT first 3-grams of docs
+        # 0-9; n_contaminated counts matching POSITIONS per doc
+        "decontaminate": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 200),
+            bench AS (SELECT DISTINCT array_to_string(t[1:3], ' ') AS gram
+                      FROM base WHERE doc_id < 10),
+            g AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+                  FROM base,
+                       unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+            c AS (SELECT g.doc_id, count(*) AS n
+                  FROM g JOIN bench USING (gram) GROUP BY g.doc_id)
+            SELECT base.doc_id,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminated,
+                   coalesce(c.n, 0) > 0 AS contaminated
+            FROM base LEFT JOIN c ON base.doc_id = c.doc_id
         """,
         # composed pipeline: WARC ingest + DOM strip recover documents.text
         # per url (the dom_extract invariant), then the per-stage closed

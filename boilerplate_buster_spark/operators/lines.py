@@ -82,14 +82,16 @@ def remove_boilerplate_lines(
         F.col(id_col),
         F.posexplode(F.expr(_lines_expr(text_col, sep))).alias("pos", "line"),
     )
-    # sentinel keeps empty/fully-boilerplate docs in the output; '' can
-    # never be in `frequent` (empty lines are filtered before the DF agg)
+    # sentinel keeps empty/fully-boilerplate docs in the output; it unions
+    # in AFTER the anti-join ('' can never be frequent anyway, and joining
+    # the union would push the anti-join into both branches and compute the
+    # line-DF aggregate TWICE - no CSE across union branches)
     sentinels = docs.select(
         F.col(id_col), F.lit(-1).alias("pos"), F.lit("").alias("line")
     )
-    kept = exploded.unionByName(sentinels).join(
+    kept = exploded.join(
         F.broadcast(frequent), "line", "left_anti"
-    )
+    ).select(id_col, "pos", "line").unionByName(sentinels)
     return (
         kept.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ordered"))
@@ -156,4 +158,47 @@ def repetition_signals(
         F.expr(
             "coalesce((1000000 * length(t.g) * (-t.nc)) div greatest(_chars, 1), 0)"
         ).alias("top_ngram_char_frac_e6"),
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark_grams: list[str],
+    ngram: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, n_contaminated, contaminated): benchmark-decontamination check -
+    how many of the doc's word n-gram POSITIONS match the benchmark n-gram
+    set (the standard n-gram-overlap test-set leakage filter of public LLM
+    data pipelines: GPT-3 appendix C uses 13-grams, FineWeb/lm-eval
+    decontamination 8-grams).  EXACT string membership, no hashing.
+
+    Plan: the benchmark set is test-set-sized (thousands, never
+    corpus-sized), so it broadcasts; gram enumeration explodes in the scan
+    and hits a BroadcastHashJoin - no shuffle for the matching itself.  The
+    per-doc count shuffle carries ONLY matched rows (contaminated docs are
+    rare by construction), and the final id join broadcasts that tiny count
+    table back onto the corpus - the full corpus is never shuffled."""
+    t = tokens_col
+    spark = docs.sparkSession
+    # set semantics: duplicate benchmark grams must not multiply matches
+    bench = spark.createDataFrame(
+        [(g,) for g in sorted(set(benchmark_grams))], "gram string"
+    )
+    grams = (
+        f"transform(slice(sequence(1, greatest(size({t}) - {ngram} + 1, 1)), "
+        f"1, greatest(size({t}) - {ngram} + 1, 0)), "
+        f"i -> array_join(slice({t}, i, {ngram}), ' '))"
+    )
+    counts = (
+        docs.select(F.col(id_col), F.explode(F.expr(grams)).alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return docs.select(id_col).join(F.broadcast(counts), id_col, "left").select(
+        id_col,
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
     )

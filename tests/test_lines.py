@@ -79,3 +79,44 @@ def test_repetition_tie_breaks_lexicographic(spark):
     r = repetition_signals(docs, ngram=2).collect()[0]
     # grams: "a a", "a b", "b b" each cnt 1 -> top = "a a" (len 3, cnt 1)
     assert r["top_ngram_char_frac_e6"] == (1000000 * 3 * 1) // 4
+
+
+def test_contamination_flags_exact(spark):
+    from boilerplate_buster_spark.operators.lines import contamination_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["the", "quick", "brown", "fox"]),
+            (2, ["quick", "brown", "cat", "runs"]),
+            (3, ["totally", "clean", "doc", "here"]),
+        ],
+        ["doc_id", "tokens"],
+    )
+    out = {
+        r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+        for r in contamination_flags(
+            docs, ["the quick brown", "quick brown cat"], ngram=3
+        ).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (1, True)
+    assert out[3] == (0, False)
+    # overlapping matches each count per POSITION
+    d2 = spark.createDataFrame([(9, ["a", "b", "a", "b", "a", "b"])], ["doc_id", "tokens"])
+    r = contamination_flags(d2, ["a b"], ngram=2).collect()[0]
+    assert r["n_contaminated"] == 3
+
+
+def test_line_dedup_plan_shape(spark):
+    """Scale posture, plan-asserted: the anti-join side is broadcast (no
+    shuffle of the corpus for matching) and the whole operator has at most
+    two Exchanges (line-DF aggregate + per-doc rebuild)."""
+    docs = _docs(spark)
+    plan = (
+        remove_boilerplate_lines(docs, min_df=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # shuffle exchanges only: one for the line-DF aggregate, one for the
+    # per-doc rebuild; the corpus is never shuffled for the matching
+    assert plan.count("Exchange hashpartitioning") <= 2
