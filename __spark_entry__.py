@@ -805,6 +805,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "contaminated",
         )
 
+    def lm_scores(spark, sf):
+        # corpus-trained add-one bigram LM (CCNet-style self-supervised
+        # quality filter); oracle compares the INTEGER likelihood surface
+        # (log-perplexity is transcendental, not bit-reproducible across
+        # engines - operators/lm.py docstring)
+        from boilerplate_buster_spark.operators.lm import lm_quality_scores
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", F.split("text", " ").alias("tokens"))
+        )
+        return lm_quality_scores(docs).select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("lik_e6").cast("long").alias("lik_e6"),
+        )
+
     def web_pipeline(spark, sf):
         # the composed LLM-training-data chain over Common-Crawl-shaped
         # input, every stage the REAL operator: gzip-member WARC ingest ->
@@ -1049,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         line_dedup_docs=line_dedup_docs,
         repetition_signals=repetition_signals_q,
         decontaminate=decontaminate,
+        lm_scores=lm_scores,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
     )
@@ -1697,6 +1716,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminated,
                    coalesce(c.n, 0) > 0 AS contaminated
             FROM base LEFT JOIN c ON base.doc_id = c.doc_id
+        """,
+        # add-one bigram LM trained on the same subset; integer surface:
+        # lik_e6 = mean of (1e6*(c(bigram)+1)) div (c(prev)+V)
+        "lm_scores": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 200),
+            big AS (SELECT doc_id, t[i] AS prev,
+                           array_to_string(t[i:i+1], ' ') AS big
+                    FROM base,
+                         unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+            cb AS (SELECT big, count(*) AS cb FROM big GROUP BY big),
+            cu AS (SELECT w, count(*) AS cu
+                   FROM (SELECT unnest(t) AS w FROM base) GROUP BY w),
+            v AS (SELECT count(*) AS v FROM cu),
+            sc AS (SELECT big.doc_id,
+                          coalesce(cb.cb, 0) + 1 AS num,
+                          coalesce(cu.cu, 0) + v.v AS den
+                   FROM big LEFT JOIN cb USING (big)
+                   LEFT JOIN cu ON big.prev = cu.w CROSS JOIN v),
+            agg AS (SELECT doc_id, count(*) AS nb,
+                           SUM((1000000 * num) // den) // count(*) AS lik
+                    FROM sc GROUP BY doc_id)
+            SELECT base.doc_id,
+                   CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(agg.lik, 0) AS BIGINT) AS lik_e6
+            FROM base LEFT JOIN agg USING (doc_id)
         """,
         # composed pipeline: WARC ingest + DOM strip recover documents.text
         # per url (the dom_extract invariant), then the per-stage closed
