@@ -140,6 +140,38 @@ def main() -> None:
             .collect()),
     ]
 
+    # round-4 LLM-pipeline operators at pages scale
+    from boilerplate_buster_spark.operators.lines import (
+        contamination_flags,
+        remove_boilerplate_lines,
+    )
+    from boilerplate_buster_spark.operators.lm import lm_quality_scores
+
+    # multi-line view of the page corpus: 10-token chunks as lines
+    pages_ml = pages.select(
+        F.col("url").alias("doc_id"),
+        F.array_join(
+            F.expr(
+                "transform(sequence(0, greatest(cast(ceil(size(split(text, ' ')) / 10.0) AS int), 1) - 1), "
+                "j -> array_join(slice(split(text, ' '), j * 10 + 1, 10), ' '))"
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    bench_grams_src = pages_tok.limit(64).select(
+        F.expr("array_join(slice(tokens, 1, 8), ' ')").alias("g")
+    )
+    queries += [
+        ("line_dedup_pages", lambda: remove_boilerplate_lines(
+            pages_ml, min_df=max(20, n_pages // 100)
+        ).agg(F.sum(F.length("clean_text"))).collect()),
+        ("lm_score_pages", lambda: lm_quality_scores(pages_tok)
+            .agg(F.avg("lik_e6"), F.count("*")).collect()),
+        ("decontaminate_pages", lambda: contamination_flags(
+            pages_tok, [r["g"] for r in bench_grams_src.collect()], ngram=8
+        ).agg(F.sum("n_contaminated"), F.count("*")).collect()),
+    ]
+
     samples: dict[str, list[float]] = {name: [] for name, _ in queries}
     loads: list[float] = []
     for _rep in range(REPS):
