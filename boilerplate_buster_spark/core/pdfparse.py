@@ -2,14 +2,17 @@
 
 The north rule names "PDF/layout parse" as part of the extraction surface.
 No PDF library ships in this container, so this module implements the
-honest subset that needs none: uncompressed content streams AND
-/FlateDecode (zlib) streams — the compression real-world PDFs actually
-use — with the standard text-showing operators.  That is a REAL decode
+honest subset that needs none: uncompressed content streams,
+/FlateDecode (zlib) — the compression real-world PDFs actually use —
+plus /ASCIIHexDecode and /ASCII85Decode (and in-order filter CHAINS of
+these, e.g. [/ASCII85Decode /FlateDecode]), with the standard
+text-showing operators.  That is a REAL decode
 path: the parser walks actual PDF object/stream structure byte-by-byte,
 frames stream bodies by their exact /Length when the dict declares a
 direct one (regex framing would mis-split compressed bytes containing
 "endstream"), and inflates via stdlib zlib.  Crisply documented boundary:
-streams with any OTHER filter (LZW, DCT, ...) are skipped, never faked.
+streams with any OTHER filter (LZW, DCT, JBIG2, ...) are skipped, never
+faked.
 
 Supported when parsing:
   * object scan for ``stream ... endstream`` bodies (any object order);
@@ -105,28 +108,61 @@ def _unescape(body: bytes) -> str:
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
 
 
-def _stream_info(data: bytes, stream_start: int) -> tuple[bool, int | None]:
-    """(is_flate, direct_length) from the dict immediately before a stream.
-    is_flate is None-ish False for unfiltered; unknown filters return
-    (False, ...) with a /Filter present -> caller skips them (honest
-    boundary, never faked)."""
+#: decodable stream filters (ISO 32000-1 7.4); LZW/DCT/... stay an honest
+#: skip.  Abbreviated names are the inline-image forms, accepted anyway.
+_SUPPORTED_FILTERS = {
+    "FlateDecode", "Fl", "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85",
+}
+
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+
+
+def _stream_info(data: bytes, stream_start: int) -> tuple[list[str] | None, int | None]:
+    """(filter_chain, direct_length) from the dict immediately before a
+    stream.  filter_chain is [] for unfiltered, the in-order name list when
+    every filter is decodable, or None when any filter is unsupported ->
+    caller skips the stream (honest boundary, never faked)."""
     head = data[max(0, stream_start - 512) : stream_start]
     dict_start = head.rfind(b"<<")
     d = head[dict_start if dict_start >= 0 else 0 :]
     lm = _LENGTH_RE.search(d)
     length = int(lm.group(1)) if lm else None
-    if b"/Filter" not in d:
-        return False, length
-    if b"/FlateDecode" in d:
-        return True, length
-    return None, length  # unknown filter -> skip
+    fm = _FILTER_RE.search(d)
+    if fm is None:
+        return ([], length) if b"/Filter" not in d else (None, length)
+    names = [n.decode("ascii") for n in re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))]
+    if not names or any(n not in _SUPPORTED_FILTERS for n in names):
+        return None, length
+    return names, length
+
+
+def _apply_filter(name: str, body: bytes) -> bytes:
+    import base64
+    import zlib
+
+    if name in ("FlateDecode", "Fl"):
+        return zlib.decompress(body)
+    if name in ("ASCIIHexDecode", "AHx"):
+        hexpart = body.split(b">")[0]
+        digits = b"".join(hexpart.split())
+        if len(digits) % 2:  # odd count: final digit padded with 0 (7.4.2)
+            digits += b"0"
+        return bytes.fromhex(digits.decode("ascii"))
+    if name in ("ASCII85Decode", "A85"):
+        payload = b"".join(body.split())
+        if payload.startswith(b"<~"):
+            payload = payload[2:]
+        if payload.endswith(b"~>"):
+            payload = payload[:-2]
+        return base64.a85decode(payload)
+    raise ValueError(f"unsupported filter {name}")
 
 
 def parse_pdf_text(data: bytes | bytearray | memoryview | None) -> str | None:
-    """Extract the text layer of a PDF: uncompressed streams and
-    /FlateDecode (zlib) streams are parsed; streams with any other filter
-    are skipped.  None if the input has no PDF header or no parseable
-    content stream."""
+    """Extract the text layer of a PDF: uncompressed, /FlateDecode,
+    /ASCIIHexDecode, /ASCII85Decode streams (and chains of these) are
+    parsed; streams with any other filter are skipped.  None if the input
+    has no PDF header or no parseable content stream."""
     import zlib
 
     if data is None:
@@ -141,8 +177,8 @@ def parse_pdf_text(data: bytes | bytearray | memoryview | None) -> str | None:
     for m in _STREAM_RE.finditer(data):
         if m.start(1) < prev_end:
             continue  # spurious match inside a previous /Length-framed body
-        is_flate, length = _stream_info(data, m.start())
-        if is_flate is None:
+        filters, length = _stream_info(data, m.start())
+        if filters is None:
             continue
         body = m.group(1)
         if length is not None:
@@ -151,15 +187,15 @@ def parse_pdf_text(data: bytes | bytearray | memoryview | None) -> str | None:
             start = m.start(1)
             body = data[start : start + length]
             prev_end = start + length
-            if not is_flate:
+            if not filters:
                 body = body.rstrip(b"\r\n")
         else:
             prev_end = m.end(1)
-        if is_flate:
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:
-                continue
+        try:
+            for fname in filters:
+                body = _apply_filter(fname, body)
+        except (zlib.error, ValueError):
+            continue  # malformed encoded body: skip, never garble
         in_text = False
         for tok in _TOKEN_RE.finditer(body):
             if tok.group("bt"):

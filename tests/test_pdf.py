@@ -185,3 +185,36 @@ def test_literal_string_balanced_parens():
         % (len(body2), body2)
     )
     assert parse_pdf_text(pdf2) == "x (y (z)) (esc)"
+
+
+def test_asciihex_ascii85_and_filter_chain():
+    import base64
+    import zlib
+
+    content = b"BT (hex and 85) Tj ET"
+    hx = content.hex().encode() + b">"
+    pdf = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Filter /ASCIIHexDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(hx), hx)
+    )
+    assert parse_pdf_text(pdf) == "hex and 85"
+    a85 = base64.a85encode(content) + b"~>"
+    pdf = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Filter /ASCII85Decode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(a85), a85)
+    )
+    assert parse_pdf_text(pdf) == "hex and 85"
+    # chain: A85 applied first, then Flate (the common belt-and-braces form)
+    chained = base64.a85encode(zlib.compress(content)) + b"~>"
+    pdf = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Filter [/ASCII85Decode /FlateDecode] /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(chained), chained)
+    )
+    assert parse_pdf_text(pdf) == "hex and 85"
+    # odd hex digit count pads with 0 per 7.4.2; garbage a85 skips cleanly
+    bad = b"zzzz not a85 \xff\xff~>"
+    pdf = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Filter /ASCII85Decode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(bad), bad)
+    )
+    assert parse_pdf_text(pdf) is None
