@@ -4,15 +4,16 @@ The north rule names "PDF/layout parse" as part of the extraction surface.
 No PDF library ships in this container, so this module implements the
 honest subset that needs none: uncompressed content streams,
 /FlateDecode (zlib) — the compression real-world PDFs actually use —
-plus /ASCIIHexDecode and /ASCII85Decode (and in-order filter CHAINS of
-these, e.g. [/ASCII85Decode /FlateDecode]), with the standard
-text-showing operators.  That is a REAL decode
+plus /ASCIIHexDecode, /ASCII85Decode, /LZWDecode (the TIFF/PDF MSB
+flavor with EarlyChange, distinct from GIF's LSB variant) and in-order
+filter CHAINS of these (e.g. [/ASCII85Decode /FlateDecode]), with the
+standard text-showing operators.  That is a REAL decode
 path: the parser walks actual PDF object/stream structure byte-by-byte,
 frames stream bodies by their exact /Length when the dict declares a
 direct one (regex framing would mis-split compressed bytes containing
 "endstream"), and inflates via stdlib zlib.  Crisply documented boundary:
-streams with any OTHER filter (LZW, DCT, JBIG2, ...) are skipped, never
-faked.
+streams with any OTHER filter (DCT, JBIG2, JPX, Crypt, ...) are skipped,
+never faked.
 
 Supported when parsing:
   * object scan for ``stream ... endstream`` bodies (any object order);
@@ -108,11 +109,100 @@ def _unescape(body: bytes) -> str:
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
 
 
-#: decodable stream filters (ISO 32000-1 7.4); LZW/DCT/... stay an honest
+#: decodable stream filters (ISO 32000-1 7.4); DCT/JBIG2/... stay an honest
 #: skip.  Abbreviated names are the inline-image forms, accepted anyway.
 _SUPPORTED_FILTERS = {
     "FlateDecode", "Fl", "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85",
+    "LZWDecode", "LZW",
 }
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (7.4.4): MSB-first variable-width codes 9->12 bits,
+    256 = clear table, 257 = EOD, EarlyChange=1 (width grows one code
+    early) - the TIFF/PDF LZW flavor, distinct from GIF's LSB-packed
+    variant (operators/multimodal.py)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + width <= nbits:
+        code = 0
+        for _ in range(width):
+            code = (code << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        if code == 256:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("LZW: code out of range")
+        if prev is not None:
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        # the decoder's table is ONE entry behind the encoder's next_code
+        # (no add on the first code after a clear), hence the -1
+        if width < 12 and len(table) >= (1 << width) - early - 1:
+            width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode-compatible encoder (test/synthesis aid): clear code
+    first, EOD last, EarlyChange=1."""
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if width < 12 and next_code >= (1 << width) - early:
+            width += 1
+        elif next_code > 4095:  # table full: clear and restart
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
 
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 
@@ -155,14 +245,16 @@ def _apply_filter(name: str, body: bytes) -> bytes:
         if payload.endswith(b"~>"):
             payload = payload[:-2]
         return base64.a85decode(payload)
+    if name in ("LZWDecode", "LZW"):
+        return _lzw_decode(body)
     raise ValueError(f"unsupported filter {name}")
 
 
 def parse_pdf_text(data: bytes | bytearray | memoryview | None) -> str | None:
     """Extract the text layer of a PDF: uncompressed, /FlateDecode,
-    /ASCIIHexDecode, /ASCII85Decode streams (and chains of these) are
-    parsed; streams with any other filter are skipped.  None if the input
-    has no PDF header or no parseable content stream."""
+    /ASCIIHexDecode, /ASCII85Decode, /LZWDecode streams (and chains of
+    these) are parsed; streams with any other filter are skipped.  None if
+    the input has no PDF header or no parseable content stream."""
     import zlib
 
     if data is None:

@@ -144,11 +144,27 @@ def test_flatedecode_roundtrip_and_exact_length_framing():
 
 
 def test_unknown_filter_skipped():
-    lzw = (
-        b"%PDF-1.4\n1 0 obj\n<< /Filter /LZWDecode /Length 5 >>\n"
+    dct = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /DCTDecode /Length 5 >>\n"
         b"stream\nABCDE\nendstream\nendobj\n"
     )
-    assert parse_pdf_text(lzw) is None
+    assert parse_pdf_text(dct) is None
+
+
+def test_lzw_filter_roundtrip():
+    from boilerplate_buster_spark.core.pdfparse import _lzw_decode, _lzw_encode
+
+    content = b"BT (lzw text layer) Tj T* (second line here) Tj ET"
+    assert _lzw_decode(_lzw_encode(content)) == content
+    body = _lzw_encode(content)
+    pdf = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Filter /LZWDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(body), body)
+    )
+    assert parse_pdf_text(pdf) == "lzw text layer\nsecond line here"
+    # malformed LZW body skips cleanly
+    bad = pdf.replace(body, b"\xff" * len(body))
+    assert parse_pdf_text(bad) is None
 
 
 @settings(max_examples=30, deadline=None)
