@@ -1694,7 +1694,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT ml.doc_id,
                    CAST((1000000 * (len(ls.l) - len(list_distinct(ls.l))))
                         // greatest(len(ls.l), 1) AS BIGINT) AS dup_line_frac_e6,
-                   CAST(coalesce((1000000 * length(top.gram) * top.cnt)
+                   CAST(coalesce((1000000 * (length(top.gram) - 1) * top.cnt)
                         // greatest(length(array_to_string(ml.t, '')), 1), 0)
                         AS BIGINT) AS top_ngram_char_frac_e6
             FROM ml JOIN ls ON ml.doc_id = ls.doc_id

@@ -5,7 +5,10 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32),
      BBS_BENCH_PAGES    (override synthetic page-corpus size; default 4x the
                          documents row count of the chosen sf),
-     BBS_BENCH_REPS     (interleaved repetitions per query; default 2).
+     BBS_BENCH_REPS     (interleaved repetitions per query; default 2),
+     BBS_BENCH_MAX_EXTRA (extra load-triggered reps cap; default 2 - extra
+                         interleaved reps run while the recorded 1-min
+                         loadavg mean exceeds half the advertised cores).
 
 Measurement protocol (round-4): every query is timed BBS_BENCH_REPS times in
 INTERLEAVED round-robin order (q1 q2 ... qN, q1 q2 ... qN) and the reported
@@ -174,12 +177,27 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {name: [] for name, _ in queries}
     loads: list[float] = []
-    for _rep in range(REPS):
+
+    def run_rep() -> None:
         for name, fn in queries:
             loads.append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             fn()
             samples[name].append(round(time.perf_counter() - t0, 3))
+
+    for _rep in range(REPS):
+        run_rep()
+    # load-aware extension (round-5): when ambient load during the run
+    # averaged above half the advertised cores, every rep so far is suspect
+    # (neighbor tenants - see BENCH/BASELINE.md), so the min-of-REPS is
+    # likely still contaminated; take up to BBS_BENCH_MAX_EXTRA more
+    # interleaved reps so the artifact converges toward the quiet-window
+    # number even on a contended box
+    max_extra = max(0, int(os.environ.get("BBS_BENCH_MAX_EXTRA", 2)))
+    extra_reps = 0
+    while extra_reps < max_extra and sum(loads) / len(loads) > CPUS / 2:
+        run_rep()
+        extra_reps += 1
 
     timings = {name: min(vals) for name, vals in samples.items()}
     total = round(sum(timings.values()), 3)
@@ -195,6 +213,7 @@ def main() -> None:
         "dom_pages_per_sec": round(n_pages / timings["dom_extract_pages"], 1),
         "cpus": CPUS,
         "reps": REPS,
+        "extra_reps": extra_reps,
         "samples": samples,
         "loadavg_1m": {
             "min": min(loads), "max": max(loads),

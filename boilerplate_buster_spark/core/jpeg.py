@@ -438,6 +438,8 @@ def jpeg_end(buf: bytes, start: int = 0) -> int:
     while pos + 2 <= n:
         if buf[pos] != 0xFF:
             raise ValueError("marker desync")
+        while pos + 2 < n and buf[pos + 1] == 0xFF:  # fill bytes (B.1.1.2)
+            pos += 1
         marker = buf[pos + 1]
         if marker == 0xD9:
             return pos + 2
@@ -489,9 +491,17 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("marker desync")
+        # legal 0xFF fill bytes before a marker (T.81 B.1.1.2): the marker
+        # byte is the first non-FF after the run
+        while pos + 2 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone TEM / RSTn: no length payload
+            pos += 2
+            continue
         (ln,) = struct.unpack_from(">H", buf, pos + 2)
         payload = buf[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT (may hold several tables)
@@ -517,6 +527,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise ValueError("12-bit JPEG unsupported")
+            if nc not in (1, 3):
+                # 4-component (Adobe CMYK/YCCK) etc. would silently decode
+                # through the 3-component YCbCr path - degrade to the stub
+                raise ValueError(f"{nc}-component JPEG unsupported")
             comps = []
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from(

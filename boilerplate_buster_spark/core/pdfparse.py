@@ -213,7 +213,23 @@ def _stream_info(data: bytes, stream_start: int) -> tuple[list[str] | None, int 
     every filter is decodable, or None when any filter is unsupported ->
     caller skips the stream (honest boundary, never faked)."""
     head = data[max(0, stream_start - 512) : stream_start]
-    dict_start = head.rfind(b"<<")
+    # last TOP-LEVEL << before the stream: a plain rfind would land on a
+    # nested dict (/DecodeParms << ... >>) and miss the outer /Filter
+    depth = 0
+    dict_start = -1
+    i = 0
+    while i < len(head) - 1:
+        pair = head[i : i + 2]
+        if pair == b"<<":
+            if depth == 0:
+                dict_start = i
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth = max(depth - 1, 0)
+            i += 2
+        else:
+            i += 1
     d = head[dict_start if dict_start >= 0 else 0 :]
     lm = _LENGTH_RE.search(d)
     length = int(lm.group(1)) if lm else None
@@ -223,6 +239,19 @@ def _stream_info(data: bytes, stream_start: int) -> tuple[list[str] | None, int 
     names = [n.decode("ascii") for n in re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))]
     if not names or any(n not in _SUPPORTED_FILTERS for n in names):
         return None, length
+    # /DecodeParms we can't honor (Predictor > 1 delta-codes the bytes,
+    # EarlyChange 0 shifts LZW code widths) would decompress into garbage
+    # the token scan then "extracts" - skip such streams instead (the
+    # honest boundary: skip, never garble)
+    pm = re.search(rb"/(?:DecodeParms|DP)\b", d)
+    if pm is not None:
+        parms = d[pm.end() :]
+        pred = re.search(rb"/Predictor\s+(\d+)", parms)
+        if pred is not None and int(pred.group(1)) > 1:
+            return None, length
+        ec = re.search(rb"/EarlyChange\s+(\d+)", parms)
+        if ec is not None and int(ec.group(1)) == 0:
+            return None, length
     return names, length
 
 

@@ -32,8 +32,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sep_regex_sql(sep: str) -> str:
+    """SQL string literal holding `sep` as a LITERAL Java regex: split()'s
+    second argument is a regex, so a separator containing . | ( etc. would
+    otherwise split on every character.  \\Q...\\E quotes the whole
+    separator (re-opened around any embedded \\E), then backslashes and
+    quotes are escaped for the SQL literal itself."""
+    pat = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    lit = pat.replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{lit}'"
+
+
 def _lines_expr(text_col: str, sep: str) -> str:
-    return f"filter(split({text_col}, '{sep}'), x -> x != '')"
+    return f"filter(split({text_col}, {_sep_regex_sql(sep)}), x -> x != '')"
 
 
 def line_doc_freq(
@@ -117,9 +128,12 @@ def repetition_signals(
     repetition quality signals, exact integer millionths:
 
       dup_line_frac_e6     = 1e6 * (n_lines - n_distinct_lines) / n_lines
-      top_ngram_char_frac_e6 = 1e6 * chars(most frequent word n-gram)
+      top_ngram_char_frac_e6 = 1e6 * token-chars(most frequent word n-gram)
                                    * count(most frequent word n-gram)
                                    / total token chars
+    (token-chars excludes the n-1 joining spaces, matching the
+    denominator's separator-free concatenation - Gopher's character
+    fraction, always <= 1e6 per occurrence set)
     Ties on the top n-gram resolve to the LEXICOGRAPHICALLY SMALLEST gram
     (deterministic, oracle-reproducible).  All arithmetic is integer `div`
     (no doubles), so the oracle matches bit-for-bit.
@@ -156,7 +170,8 @@ def repetition_signals(
         id_col,
         "dup_line_frac_e6",
         F.expr(
-            "coalesce((1000000 * length(t.g) * (-t.nc)) div greatest(_chars, 1), 0)"
+            f"coalesce((1000000 * (length(t.g) - {ngram - 1}) * (-t.nc)) "
+            "div greatest(_chars, 1), 0)"
         ).alias("top_ngram_char_frac_e6"),
     )
 

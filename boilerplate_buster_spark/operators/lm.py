@@ -52,10 +52,14 @@ def train_bigram_counts(
     bigrams = pairs.groupBy(F.col("p.big").alias("big")).agg(
         F.count("*").alias("cb")
     )
+    # Cache the unigram aggregate: it feeds BOTH the V-count action here and
+    # the scoring join later - without the cache the full corpus explode+agg
+    # runs twice (round-4 verdict item).
     unigrams = (
         docs.select(F.explode(tokens_col).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cu"))
+        .persist()
     )
     vocab = unigrams.count()
     return bigrams, unigrams.select(F.col("w").alias("prev"), "cu"), vocab
@@ -73,24 +77,40 @@ def score_docs(
     trained counts (see module docstring).  Unseen bigrams/contexts get the
     add-one floor.  Exactly one shuffle join per count table (gram-keyed,
     uniform) + the per-doc aggregate."""
-    occ = docs.select(
-        F.col(id_col), F.explode(F.expr(_bigram_expr(tokens_col))).alias("p")
-    ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.big").alias("big"))
+    # Pre-aggregate occurrences per (doc, prev, big) BEFORE the model joins:
+    # both joins then carry one row per DISTINCT per-doc bigram instead of one
+    # row per token position, shrinking the two gram-keyed shuffles by the
+    # within-doc repetition factor (same trick as lines.line_doc_freq).  The
+    # weighted mean below is integer-exact and identical to the per-occurrence
+    # formulation.
+    occ = (
+        docs.select(
+            F.col(id_col), F.explode(F.expr(_bigram_expr(tokens_col))).alias("p")
+        )
+        .select(
+            id_col, F.col("p.prev").alias("prev"), F.col("p.big").alias("big")
+        )
+        .groupBy(id_col, "prev", "big")
+        .agg(F.count("*").alias("k"))
+    )
     joined = (
         occ.join(bigrams, "big", "left")
         .join(unigrams, "prev", "left")
         .select(
             F.col(id_col),
+            F.col("k"),
             (F.coalesce("cb", F.lit(0)) + 1).alias("num"),
             (F.coalesce("cu", F.lit(0)) + vocab).alias("den"),
         )
     )
     per_doc = joined.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.expr("CAST(sum((1000000 * num) div den) div count(*) AS bigint)").alias(
-            "lik_e6"
-        ),
-        F.expr("pow(2.0, avg(-log2(num / CAST(den AS double))))").alias("log2_ppl"),
+        F.expr("sum(k)").alias("n_bigrams"),
+        F.expr(
+            "CAST(sum(k * ((1000000 * num) div den)) div sum(k) AS bigint)"
+        ).alias("lik_e6"),
+        F.expr(
+            "pow(2.0, sum(k * -log2(num / CAST(den AS double))) / sum(k))"
+        ).alias("log2_ppl"),
     )
     base = docs.select(id_col)
     return base.join(per_doc, id_col, "left").select(

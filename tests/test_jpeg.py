@@ -159,3 +159,29 @@ def test_decoder_fuzz_never_crashes():
         for kind in ("image", "video", "audio"):
             v = mm.decode_bytes(magic + body, kind)
             assert len(v) == mm.FEATURE_DIM
+
+
+def test_fill_bytes_and_standalone_markers_in_header():
+    # 0xFF fill bytes before a marker and a standalone TEM (0xFF01) between
+    # segments are legal per T.81 B.1.1.2 - the decoder must step over them
+    rng = np.random.RandomState(7)
+    img = _const_block_img(rng, 2, 2)
+    enc = jpeg.encode_jpeg(img, quality=100)
+    # inject after SOI: two fill bytes + TEM before the first APP0 marker
+    patched = enc[:2] + b"\xff\x01" + b"\xff" + enc[2:]
+    out = jpeg.decode_jpeg(patched)
+    assert np.array_equal(out, jpeg.decode_jpeg(enc))
+    assert jpeg.jpeg_end(patched) == len(patched)
+
+
+def test_four_component_sof_refused():
+    # Adobe CMYK (4-component) baseline must raise -> stub fallback, never
+    # decode through the 3-component YCbCr path
+    rng = np.random.RandomState(8)
+    img = _const_block_img(rng, 2, 2)
+    enc = bytearray(jpeg.encode_jpeg(img, quality=90))
+    sof_at = bytes(enc).find(b"\xff\xc0")
+    assert enc[sof_at + 9] == 3  # component count byte
+    enc[sof_at + 9] = 4
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(enc))

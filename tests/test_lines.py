@@ -65,8 +65,8 @@ def test_repetition_signals_exact(spark):
     got = {r["doc_id"]: r for r in repetition_signals(docs, ngram=2).collect()}
     assert got[1]["dup_line_frac_e6"] == 1000000 // 3
     # top gram "x y" (cnt 2, ties none), chars = len("xy")*2... formula:
-    # 1e6 * len("x y") * 2 div len("xyxy") = 1e6*3*2 div 4
-    assert got[1]["top_ngram_char_frac_e6"] == (1000000 * 3 * 2) // 4
+    # 1e6 * token-chars("x y")=2 * 2 div len("xyxy") = 1e6*2*2 div 4
+    assert got[1]["top_ngram_char_frac_e6"] == (1000000 * 2 * 2) // 4
     assert got[2]["dup_line_frac_e6"] == 0
     assert got[2]["top_ngram_char_frac_e6"] == 0
 
@@ -77,8 +77,8 @@ def test_repetition_tie_breaks_lexicographic(spark):
         [(1, "t", ["a", "a", "b", "b"])], ["doc_id", "text", "tokens"]
     )
     r = repetition_signals(docs, ngram=2).collect()[0]
-    # grams: "a a", "a b", "b b" each cnt 1 -> top = "a a" (len 3, cnt 1)
-    assert r["top_ngram_char_frac_e6"] == (1000000 * 3 * 1) // 4
+    # grams: "a a", "a b", "b b" each cnt 1 -> top = "a a" (token-chars 2, cnt 1)
+    assert r["top_ngram_char_frac_e6"] == (1000000 * 2 * 1) // 4
 
 
 def test_contamination_flags_exact(spark):
@@ -120,3 +120,22 @@ def test_line_dedup_plan_shape(spark):
     # shuffle exchanges only: one for the line-DF aggregate, one for the
     # per-doc rebuild; the corpus is never shuffled for the matching
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_separator_with_regex_metachar_is_literal(spark):
+    # split()'s second arg is a Java regex: a '.' separator must split on
+    # literal dots only, not on every character
+    docs = spark.createDataFrame(
+        [(1, "dup.dup.keep", ["x"]), (2, "a|b.a|b", ["x"])],
+        ["doc_id", "text", "tokens"],
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(
+            docs, min_df=2, sep="."
+        ).collect()
+    }
+    # "dup" appears in one doc twice (counts once) -> df 1; "a|b" df 1; no
+    # line reaches df>=2, so reconstruction is identity with '.' separator
+    assert out[1] == "dup.dup.keep"
+    assert out[2] == "a|b.a|b"

@@ -234,3 +234,41 @@ def test_asciihex_ascii85_and_filter_chain():
         % (len(bad), bad)
     )
     assert parse_pdf_text(pdf) is None
+
+
+def test_decodeparms_predictor_and_earlychange_skipped():
+    import zlib
+
+    # Predictor > 1 delta-codes bytes before compression: decompressing
+    # without applying the predictor yields garble, so the stream is SKIPPED
+    content = b"BT (would be garbled) Tj ET"
+    raw = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n"
+        + (b"<< /Filter /FlateDecode /DecodeParms << /Predictor 12 "
+           b"/Columns 4 >> /Length %d >>\nstream\n" % len(raw))
+        + raw
+        + b"\nendstream\nendobj\ntrailer\n%%EOF\n"
+    )
+    assert parse_pdf_text(pdf) is None
+    # EarlyChange 0 shifts LZW code-width boundaries -> also skipped
+    from boilerplate_buster_spark.core.pdfparse import _lzw_encode
+
+    body = _lzw_encode(b"BT (lzw) Tj ET")
+    pdf2 = (
+        b"%PDF-1.4\n1 0 obj\n"
+        + (b"<< /Filter /LZWDecode /DP << /EarlyChange 0 >> /Length %d >>"
+           b"\nstream\n" % len(body))
+        + body
+        + b"\nendstream\nendobj\ntrailer\n%%EOF\n"
+    )
+    assert parse_pdf_text(pdf2) is None
+    # Predictor 1 (none) + EarlyChange 1 are the defaults we DO honor
+    pdf3 = (
+        b"%PDF-1.4\n1 0 obj\n"
+        + (b"<< /Filter /FlateDecode /DecodeParms << /Predictor 1 >> "
+           b"/Length %d >>\nstream\n" % len(raw))
+        + raw
+        + b"\nendstream\nendobj\ntrailer\n%%EOF\n"
+    )
+    assert parse_pdf_text(pdf3) == "would be garbled"
