@@ -83,14 +83,17 @@ def _d_langid_case() -> str:
     return case, f"round(greatest({best}), 4)"
 
 
-def _d_minhash_sig_sql(source_cte: str, k: int = dedup.DEFAULT_K) -> str:
+def _d_minhash_sig_sql(source_cte: str | None, k: int = dedup.DEFAULT_K) -> str:
+    """sh + sig CTEs over a `toks(doc_id, t)` CTE; source_cte=None when the
+    caller's WITH-chain already defines toks."""
     parts = []
     for j in range(k):
         salted = _dh60(f"x||'#{j}'")
         parts.append(f"list_min(list_transform(s, x -> {salted})) AS mh_{j}")
     mh = ", ".join(parts)
+    prefix = f"{source_cte}, " if source_cte is not None else ""
     return (
-        f"{source_cte}, "
+        f"{prefix}"
         f"sh AS (SELECT doc_id, {_D_SHINGLES} AS s FROM toks WHERE len(t) >= 3), "
         f"sig AS (SELECT doc_id, {mh} FROM sh)"
     )
@@ -880,6 +883,196 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def llm_corpus_pipeline(spark, sf):
+        # THE composed FineWeb/CCNet-style training-data job, end-to-end,
+        # every stage the real operator (round-4 verdict item #1):
+        #   WARC ingest -> DOM-heuristic boilerplate strip -> CCNet line
+        #   dedup -> benchmark decontamination -> langID + quality +
+        #   corpus-LM scoring -> MinHash-LSH near-dup clustering ->
+        #   survivor selection, emitting per-url keep/drop + reasons.
+        # Corpus: docs 0-199 as https://ex.com/<id> PLUS mirror copies of
+        # docs 0-49 as https://mirror.ex.com/<id> (a mirrored site), so the
+        # near-dup stage provably bites; injected banner lines (same scheme
+        # as line_dedup_docs) make the line-dedup stage bite.  Every stage
+        # is closed-form, so one DuckDB WITH-chain pins the whole job.
+        import pandas as pd
+
+        from boilerplate_buster_spark.core.warcparse import make_warc
+        from boilerplate_buster_spark.operators import dedup as dd
+        from boilerplate_buster_spark.operators.domheuristics import (
+            extract_by_heuristics,
+        )
+        from boilerplate_buster_spark.operators.lines import (
+            contamination_flags,
+            remove_boilerplate_lines,
+        )
+        from boilerplate_buster_spark.operators.lm import lm_quality_scores
+        from boilerplate_buster_spark.sources.warc import pages_from_warc_bytes
+
+        base = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+        )
+        corp = base.select(
+            F.concat(F.lit("https://ex.com/"), F.col("doc_id")).alias("url"),
+            "doc_id",
+            "text",
+        ).unionByName(
+            base.filter(F.col("doc_id") < 50).select(
+                F.concat(
+                    F.lit("https://mirror.ex.com/"), F.col("doc_id")
+                ).alias("url"),
+                "doc_id",
+                "text",
+            )
+        )
+        # stage 0: page synthesis (same escaped-HTML skeleton as
+        # _heur_pages, so the dom_extract invariant extracted == text holds)
+        esc = F.regexp_replace(
+            F.regexp_replace(F.regexp_replace("text", "&", "&amp;"), "<", "&lt;"),
+            ">", "&gt;",
+        )
+        html = F.concat(
+            F.lit(
+                '<html><head><title>t</title></head><body>'
+                '<nav><a href="/">Home</a> <a href="/a">About</a></nav><h1>Doc '
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            esc,
+            F.lit(
+                '</p><div><a href="#">share</a> like</div>'
+                '<footer><a href="#">Privacy</a> copyright 2026</footer>'
+                "</body></html>"
+            ),
+        )
+        pages = corp.select("url", html.alias("html"))
+
+        # stage 1-2: gzip-member WARC ingest -> DOM-heuristic extraction
+        def build(batches):
+            for pdf in batches:
+                recs = [
+                    (u, "2026-01-01T00:00:00Z", h.encode())
+                    for u, h in zip(pdf["url"], pdf["html"])
+                ]
+                yield pd.DataFrame(
+                    {"content": [make_warc(recs, gzip_members=True)]}
+                )
+
+        ingested = pages_from_warc_bytes(pages.mapInPandas(build, "content binary"))
+        extracted = extract_by_heuristics(ingested)
+
+        # stage 3: CCNet line dedup over the chunked-line view + injected
+        # banners (cookie df=250, accept df=125, repeat-me df=84 -> all
+        # three removed at min_df=80; natural chunks stay, df <= 2)
+        docid = F.expr("CAST(regexp_extract(url, '([0-9]+)$', 1) AS bigint)")
+        chunked = F.array_join(
+            F.expr(
+                "transform(sequence(0, greatest(cast(ceil("
+                "size(split(extracted_text, ' ')) / 8.0) AS int), 1) - 1), "
+                "j -> array_join(slice(split(extracted_text, ' '), j * 8 + 1, 8), ' '))"
+            ),
+            "\n",
+        )
+        mldocs = extracted.select(
+            "url",
+            F.concat(
+                chunked,
+                F.lit("\nthe cookie banner line"),
+                F.when(docid % 2 == 0, F.lit("\nplease accept cookies")).otherwise(
+                    F.lit("")
+                ),
+                F.when(docid % 3 == 0, F.lit("\nrepeat me\nrepeat me")).otherwise(
+                    F.lit("")
+                ),
+            ).alias("mltext"),
+        )
+        cleaned = remove_boilerplate_lines(
+            mldocs, min_df=80, id_col="url", text_col="mltext"
+        )
+        nlr = mldocs.join(cleaned, "url").select(
+            "url",
+            (
+                F.expr("size(filter(split(mltext, '\\n'), x -> x != ''))")
+                - F.when(F.col("clean_text") == "", F.lit(0)).otherwise(
+                    F.expr("size(split(clean_text, '\\n'))")
+                )
+            ).cast("long").alias("n_lines_removed"),
+        )
+        ctoks = cleaned.select(
+            "url",
+            F.expr(
+                "filter(split(replace(clean_text, '\\n', ' '), ' '), x -> x != '')"
+            ).alias("tokens"),
+        )
+
+        # stage 4: benchmark decontamination (benchmark set = first 3-gram
+        # of ORIGINAL docs 0-9, deterministic so SQL rebuilds it)
+        bench = [
+            r[0]
+            for r in base.filter(F.col("doc_id") < 10)
+            .select(F.expr("array_join(slice(split(text, ' '), 1, 3), ' ')"))
+            .collect()
+        ]
+        cont = contamination_flags(ctoks, bench, ngram=3, id_col="url").select(
+            "url", F.col("n_contaminated").cast("long").alias("n_contaminated")
+        )
+
+        # stage 5: language ID + quality + corpus-trained LM scoring, all
+        # over the CLEANED tokens
+        lid = text_stats.language_id(ctoks, id_col="url").select("url", "lang_pred")
+        q5 = text_stats.quality_score(ctoks, id_col="url").select(
+            "url", F.col("quality_e6").cast("long").alias("quality_e6")
+        )
+        lm5 = lm_quality_scores(ctoks, id_col="url").select(
+            "url", F.col("lik_e6").cast("long").alias("lik_e6")
+        )
+
+        # stage 6: MinHash-LSH near-dup clustering (portable hash ->
+        # bit-exact oracle); survivor = lexicographically smallest url in
+        # the connected component ('https://ex.com/N' < mirror url)
+        pairs = dd.lsh_candidate_pairs(ctoks, id_col="url")
+        clusters = dd.duplicate_clusters(pairs).select(
+            F.col("doc_id").alias("url"), "cluster_id"
+        )
+
+        out = (
+            ctoks.select("url", F.size("tokens").cast("long").alias("n_tokens"))
+            .join(nlr, "url")
+            .join(lid, "url")
+            .join(q5, "url")
+            .join(lm5, "url")
+            .join(cont, "url")
+            .join(clusters, "url", "left")
+        )
+        cid = F.coalesce("cluster_id", F.col("url"))
+        is_surv = cid == F.col("url")
+        keep = (
+            is_surv
+            & (F.col("n_contaminated") == 0)
+            & (F.col("lang_pred") == "en")
+            & (F.col("quality_e6") >= 320000)
+        )
+        return out.select(
+            "url",
+            "n_tokens",
+            "n_lines_removed",
+            "lang_pred",
+            "quality_e6",
+            "lik_e6",
+            "n_contaminated",
+            cid.alias("cluster_id"),
+            is_surv.alias("is_survivor"),
+            keep.alias("keep"),
+            F.when(~is_surv, F.lit("duplicate"))
+            .when(F.col("n_contaminated") > 0, F.lit("contaminated"))
+            .when(F.col("lang_pred") != "en", F.lit("language"))
+            .when(F.col("quality_e6") < 320000, F.lit("low_quality"))
+            .otherwise(F.lit(""))
+            .alias("drop_reason"),
+        )
+
     def strip_fixed_counts(spark, sf):
         # oracle-able projection of the pass-2 strip (VERDICT r3 stretch):
         # with a FIXED phrase list the marked-token union is plain SQL, so
@@ -1070,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lm_scores=lm_scores,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
+        llm_corpus_pipeline=llm_corpus_pipeline,
     )
     return q
 
@@ -1798,5 +1992,115 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
             LEFT JOIN ncov ON toks.doc_id = ncov.doc_id
             LEFT JOIN runs ON toks.doc_id = runs.doc_id
+        """,
+        # the composed FineWeb-style job: every stage's closed form chained
+        # in one WITH-block - WARC+DOM recover text per url (dom_extract
+        # invariant), then line dedup, decontamination, langid/quality/LM
+        # over the CLEANED tokens, minhash-LSH banding + recursive-CTE
+        # connected components for the survivor flag
+        "llm_corpus_pipeline": f"""
+            WITH RECURSIVE
+            base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            corp AS (
+              SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id, string_split(text, ' ') AS t0
+              FROM base
+              UNION ALL
+              SELECT 'https://mirror.ex.com/' || CAST(doc_id AS VARCHAR),
+                     doc_id, string_split(text, ' ')
+              FROM base WHERE doc_id < 50
+            ),
+            ml AS (SELECT url, doc_id,
+                   array_to_string(list_transform(
+                     range(0, greatest(CAST(ceil(len(t0) / 8.0) AS int), 1)),
+                     j -> array_to_string(t0[j*8+1:j*8+8], ' ')), chr(10))
+                   || chr(10) || 'the cookie banner line'
+                   || CASE WHEN doc_id % 2 = 0
+                        THEN chr(10) || 'please accept cookies' ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || 'repeat me' || chr(10) || 'repeat me'
+                        ELSE '' END AS mltext
+                   FROM corp),
+            lx AS (SELECT url, i AS pos, ls[i] AS line
+                   FROM (SELECT url, list_filter(string_split(mltext, chr(10)),
+                                                 x -> x <> '') AS ls FROM ml) s,
+                        unnest(generate_series(1, len(ls))) AS u(i)),
+            ldf AS (SELECT line, count(DISTINCT url) AS df FROM lx GROUP BY line),
+            keep AS (SELECT lx.url, lx.pos, lx.line
+                     FROM lx JOIN ldf USING (line) WHERE ldf.df < 80),
+            nall AS (SELECT url, count(*) AS n_all FROM lx GROUP BY url),
+            nkeep AS (SELECT url, count(*) AS n_keep FROM keep GROUP BY url),
+            ct AS (SELECT url, string_agg(line, ' ' ORDER BY pos) AS ctext
+                   FROM keep GROUP BY url),
+            toks AS (SELECT ml.url AS doc_id,
+                       list_filter(string_split(coalesce(ct.ctext, ''), ' '),
+                                   x -> x <> '') AS t
+                     FROM ml LEFT JOIN ct USING (url)),
+            scored AS (SELECT doc_id AS url, len(t) AS n_tokens,
+                              {langid_case} AS lang_pred,
+                              {quality_int} AS quality_e6
+                       FROM toks),
+            bench AS (SELECT DISTINCT
+                        array_to_string(string_split(text, ' ')[1:3], ' ') AS gram
+                      FROM base WHERE doc_id < 10),
+            gg AS (SELECT doc_id AS url, array_to_string(t[i:i+2], ' ') AS gram
+                   FROM toks,
+                        unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+            cont AS (SELECT url, count(*) AS n_cont
+                     FROM gg JOIN bench USING (gram) GROUP BY url),
+            big AS (SELECT doc_id AS url, t[i] AS prev,
+                           array_to_string(t[i:i+1], ' ') AS big
+                    FROM toks,
+                         unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+            cb AS (SELECT big, count(*) AS cb FROM big GROUP BY big),
+            cu AS (SELECT w, count(*) AS cu
+                   FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+            v AS (SELECT count(*) AS v FROM cu),
+            sc AS (SELECT big.url, coalesce(cb.cb, 0) + 1 AS num,
+                          coalesce(cu.cu, 0) + v.v AS den
+                   FROM big LEFT JOIN cb USING (big)
+                   LEFT JOIN cu ON big.prev = cu.w CROSS JOIN v),
+            lmagg AS (SELECT url, SUM((1000000 * num) // den) // count(*) AS lik
+                      FROM sc GROUP BY url),
+            {_d_minhash_sig_sql(None)},
+            bands AS ({_d_bands_select()}),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket
+                     WHERE a.doc_id < b.doc_id),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                      UNION SELECT doc_b, doc_a FROM cand),
+            reach(id, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+            ),
+            clus AS (SELECT id AS url, min(r) AS cluster_id FROM reach GROUP BY id)
+            SELECT s.url,
+                   CAST(s.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(nall.n_all - coalesce(nkeep.n_keep, 0) AS BIGINT)
+                     AS n_lines_removed,
+                   s.lang_pred,
+                   CAST(s.quality_e6 AS BIGINT) AS quality_e6,
+                   CAST(coalesce(lmagg.lik, 0) AS BIGINT) AS lik_e6,
+                   CAST(coalesce(cont.n_cont, 0) AS BIGINT) AS n_contaminated,
+                   coalesce(clus.cluster_id, s.url) AS cluster_id,
+                   (coalesce(clus.cluster_id, s.url) = s.url) AS is_survivor,
+                   (coalesce(clus.cluster_id, s.url) = s.url
+                    AND coalesce(cont.n_cont, 0) = 0
+                    AND s.lang_pred = 'en'
+                    AND s.quality_e6 >= 320000) AS keep,
+                   CASE WHEN coalesce(clus.cluster_id, s.url) <> s.url
+                          THEN 'duplicate'
+                        WHEN coalesce(cont.n_cont, 0) > 0 THEN 'contaminated'
+                        WHEN s.lang_pred <> 'en' THEN 'language'
+                        WHEN s.quality_e6 < 320000 THEN 'low_quality'
+                        ELSE '' END AS drop_reason
+            FROM scored s
+            JOIN nall ON s.url = nall.url
+            LEFT JOIN nkeep ON s.url = nkeep.url
+            LEFT JOIN cont ON s.url = cont.url
+            LEFT JOIN lmagg ON s.url = lmagg.url
+            LEFT JOIN clus ON s.url = clus.url
         """,
     }
