@@ -1199,6 +1199,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
 
+    def media_jpeg_progressive(spark, sf):
+        # real progressive-JPEG (SOF2) encode -> decode: the 10-scan
+        # spectral-selection + successive-approximation script (DC Al=1 +
+        # refine, split AC bands at Al=2/1 with refinement passes, EOBRUN
+        # coding).  Same q100 constant-block exactness property as
+        # media_jpeg_decode, so DuckDB pins the REAL progressive pipeline
+        # bit-for-bit from the closed-form block formula.
+        import pandas as pd
+
+        from boilerplate_buster_spark.core.jpeg import encode_jpeg_progressive
+        from boilerplate_buster_spark.operators import multimodal
+
+        ids = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id").filter(F.col("doc_id") < 60)
+        )
+
+        def make(batches):
+            import numpy as np
+
+            bx = np.arange(2)[None, :]
+            by = np.arange(2)[:, None]
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    blocks = np.stack(
+                        [
+                            (9 * d + 30 * bx + 70 * by) % 256,
+                            (4 * d + 50 * bx + 90 * by) % 256,
+                            (6 * d + 20 * bx + 45 * by) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                    rows.append(
+                        (d, "image", encode_jpeg_progressive(img, quality=100))
+                    )
+                yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+        media = ids.mapInPandas(
+            make, "media_id long, kind string, payload binary"
+        )
+        feats = multimodal.extract_features(media)
+        cols = ["w", "h", "sum_r", "sum_g", "sum_b", "min_r", "max_r", "n_pixels"]
+        return feats.select(
+            "media_id",
+            *[
+                F.expr(f"cast(element_at(feature, {i + 1}) AS bigint)").alias(c)
+                for i, c in enumerate(cols)
+            ],
+        )
+
     def skew_salted_count(spark, sf):
         # explicit skew toolkit under the contract: per-event-type distinct
         # users via salted reducers (event_type is low-cardinality = the
@@ -1256,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_gif_decode=media_gif_decode,
         media_png_decode=media_png_decode,
         media_jpeg_decode=media_jpeg_decode,
+        media_jpeg_progressive=media_jpeg_progressive,
         media_mjpeg_frames=media_mjpeg_frames,
         line_dedup_docs=line_dedup_docs,
         repetition_signals=repetition_signals_q,
@@ -1784,6 +1838,28 @@ def oracle_sql() -> dict[str, str]:
                      (3 * d.doc_id + 40 * bx.g + 80 * by.g) % 256 AS r,
                      (5 * d.doc_id + 60 * bx.g + 20 * by.g) % 256 AS g,
                      (7 * d.doc_id + 10 * bx.g + 50 * by.g) % 256 AS b
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d,
+                   (SELECT generate_series AS g FROM generate_series(0, 1)) bx,
+                   (SELECT generate_series AS g FROM generate_series(0, 1)) by
+            )
+            SELECT doc_id AS media_id,
+                   CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+                   CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+                   CAST(64 * SUM(g) AS BIGINT) AS sum_g,
+                   CAST(64 * SUM(b) AS BIGINT) AS sum_b,
+                   CAST(MIN(r) AS BIGINT) AS min_r,
+                   CAST(MAX(r) AS BIGINT) AS max_r,
+                   CAST(256 AS BIGINT) AS n_pixels
+            FROM px GROUP BY doc_id
+        """,
+        # same closed form for the PROGRESSIVE (SOF2) pipeline - different
+        # pixel formula so each oracle pins its own codec path
+        "media_jpeg_progressive": """
+            WITH px AS (
+              SELECT d.doc_id,
+                     (9 * d.doc_id + 30 * bx.g + 70 * by.g) % 256 AS r,
+                     (4 * d.doc_id + 50 * bx.g + 90 * by.g) % 256 AS g,
+                     (6 * d.doc_id + 20 * bx.g + 45 * by.g) % 256 AS b
               FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d,
                    (SELECT generate_series AS g FROM generate_series(0, 1)) bx,
                    (SELECT generate_series AS g FROM generate_series(0, 1)) by

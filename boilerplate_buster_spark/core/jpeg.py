@@ -5,16 +5,25 @@ The round-3 verdict's last multimodal gap was compressed web-image decode;
 PNG landed in round 4, and this module covers the dominant LOSSY web
 format.  Honest subset, precisely bounded:
 
-  decode: baseline sequential DCT (SOF0), 8-bit samples, Huffman entropy
-  coding, 1 or 3 components, component sampling factors 1 or 2 (covers
-  4:4:4, 4:2:2, 4:2:0 - what cameras and the web actually emit), restart
-  markers (DRI/RSTn), multi-table DQT/DHT segments, APPn/COM skipped.
-  Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
-  raise ValueError - the caller's stub fallback takes over, never faked.
+  decode: baseline sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2,
+  round 5: spectral selection + successive approximation, DC/AC first and
+  refinement scans, EOBRUN, per-scan restart intervals), 8-bit samples,
+  Huffman entropy coding, 1 or 3 components, component sampling factors 1
+  or 2 (covers 4:4:4, 4:2:2, 4:2:0 - what cameras and the web actually
+  emit), restart markers (DRI/RSTn), multi-table DQT/DHT segments,
+  APPn/COM skipped, 0xFF fill bytes and standalone TEM/RST markers stepped
+  over.  Arithmetic coding, 12-bit, lossless, hierarchical modes and >3
+  components (Adobe CMYK) raise ValueError - the caller's stub fallback
+  takes over, never faked.
 
-  encode: SOF0, 4:4:4, standard Annex K quantization tables scaled by the
-  usual quality formula and standard Annex K Huffman tables, single
-  interleaved scan.  Output is a complete JFIF file any viewer opens.
+  encode: SOF0, 4:4:4 or 4:2:0, standard Annex K quantization tables
+  scaled by the usual quality formula and standard Annex K Huffman tables,
+  single interleaved scan; PLUS encode_jpeg_progressive (SOF2, the classic
+  10-scan spectral-selection + successive-approximation script, custom
+  8-bit-flat AC Huffman table carrying the EOBn symbols Annex K lacks).
+  Both emit complete JFIF files any viewer opens, and both quantize
+  identically, so progressive and baseline encodes of the same image
+  decode to identical pixels (the equality the test suite pins).
 
 Exactness property used by the contract oracle (media_jpeg_decode): at
 quality=100 every quantization divisor is 1, and an 8x8 block of CONSTANT
@@ -488,6 +497,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
+    coef_state: _ProgressiveState | None = None
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("marker desync")
@@ -523,7 +533,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise ValueError("12-bit JPEG unsupported")
@@ -540,8 +550,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise ValueError(f"sampling {hs}x{vs} unsupported")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG mode unsupported")
         elif marker == 0xDD:  # DRI
@@ -555,12 +566,234 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cs, t = payload[1 + 2 * i], payload[2 + 2 * i]
                 scan_sel.append((cs, t >> 4, t & 0x0F))
             data_start = pos + 2 + ln
-            return _decode_scan(
-                buf, data_start, frame, scan_sel, qtables, htables,
-                restart_interval,
+            if not frame.get("progressive"):
+                return _decode_scan(
+                    buf, data_start, frame, scan_sel, qtables, htables,
+                    restart_interval,
+                )
+            # progressive: the SOS header carries Ss/Se/Ah/Al after the
+            # component selectors; the scan updates the shared coefficient
+            # state and the marker walk continues (DHT/DRI/SOS until EOI)
+            ss, se, a = struct.unpack_from(">BBB", payload, 1 + 2 * ns)
+            if coef_state is None:
+                coef_state = _ProgressiveState(frame)
+            pos = _decode_progressive_scan(
+                buf, data_start, coef_state, scan_sel, htables,
+                restart_interval, ss, se, a >> 4, a & 0x0F,
             )
+            continue
         pos += 2 + ln
+    if frame is not None and frame.get("progressive") and coef_state is not None:
+        return _reconstruct(frame, coef_state, qtables)
     raise ValueError("no SOS scan found")
+
+
+class _ProgressiveState:
+    """Per-component ZIGZAG-order coefficient arrays accumulated across
+    progressive scans (T.81 Annex G).  Interleaved (DC) scans cover the
+    MCU-padded grid; non-interleaved (AC) scans cover the component's own
+    ceil(size/8) grid - padded blocks simply keep AC=0 and are cropped."""
+
+    def __init__(self, frame) -> None:
+        comps = frame["comps"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcus_x = -(-frame["w"] // (8 * self.hmax))
+        self.mcus_y = -(-frame["h"] // (8 * self.vmax))
+        self.coef: dict[int, np.ndarray] = {}
+        self.nblocks: dict[int, tuple[int, int]] = {}
+        for c in comps:
+            self.coef[c["id"]] = np.zeros(
+                (self.mcus_y * c["v"], self.mcus_x * c["h"], 64), np.int32
+            )
+            cw = -(-(frame["w"] * c["h"]) // self.hmax)
+            ch = -(-(frame["h"] * c["v"]) // self.vmax)
+            self.nblocks[c["id"]] = (-(-ch // 8), -(-cw // 8))
+        self.by_id = {c["id"]: c for c in comps}
+
+
+def _next_marker(buf: bytes, pos: int) -> int:
+    """First non-stuffed, non-RST marker at/after pos (end of a scan)."""
+    n = len(buf)
+    while pos + 1 < n:
+        if buf[pos] == 0xFF and buf[pos + 1] != 0x00:
+            if 0xD0 <= buf[pos + 1] <= 0xD7:  # stray trailing restart
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("unterminated progressive scan")
+
+
+def _refine_ac(br, act, blk, ss, se, al, eobrun):
+    """One block of an AC successive-approximation refinement scan
+    (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine); returns new eobrun."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode(br, act)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # INCLUDES the current block - its refinement walk and
+                    # decrement happen in the eobrun tail below (the AC-first
+                    # path excludes it instead, since there the current block
+                    # is finished by the break)
+                    eobrun = (1 << r) + (br.read_bits(r) if r else 0)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    buf, pos, st, scan_sel, htables, restart_interval, ss, se, ah, al
+):
+    """Decode one progressive scan into st.coef; returns the buffer index of
+    the marker that terminated the scan."""
+    br = _BitReader(buf, pos)
+    if ss == 0:  # DC band
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if len(scan_sel) > 1:  # interleaved over MCUs
+            order = [(st.by_id[cs], htables.get((0, td))) for cs, td, _ in scan_sel]
+            pred = {c["id"]: 0 for c, _ in order}
+            count = 0
+            for my in range(st.mcus_y):
+                for mx in range(st.mcus_x):
+                    if restart_interval and count and count % restart_interval == 0:
+                        br.sync_rst()
+                        for kk in pred:
+                            pred[kk] = 0
+                    for c, dct in order:
+                        arr = st.coef[c["id"]]
+                        for vy in range(c["v"]):
+                            for vx in range(c["h"]):
+                                by, bx = my * c["v"] + vy, mx * c["h"] + vx
+                                if ah == 0:
+                                    cat = _huff_decode(br, dct)
+                                    pred[c["id"]] += _extend(br.read_bits(cat), cat)
+                                    arr[by, bx, 0] = pred[c["id"]] << al
+                                elif br.read_bit():
+                                    arr[by, bx, 0] |= 1 << al
+                    count += 1
+        else:
+            cs, td, _ = scan_sel[0]
+            arr = st.coef[cs]
+            nby, nbx = st.nblocks[cs]
+            dct = htables.get((0, td))
+            p = 0
+            count = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and count and count % restart_interval == 0:
+                        br.sync_rst()
+                        p = 0
+                    if ah == 0:
+                        cat = _huff_decode(br, dct)
+                        p += _extend(br.read_bits(cat), cat)
+                        arr[by, bx, 0] = p << al
+                    elif br.read_bit():
+                        arr[by, bx, 0] |= 1 << al
+                    count += 1
+    else:  # AC band: always non-interleaved, one component
+        if len(scan_sel) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        cs, _, ta = scan_sel[0]
+        arr = st.coef[cs]
+        nby, nbx = st.nblocks[cs]
+        act = htables[(1, ta)]
+        eobrun = 0
+        count = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and count and count % restart_interval == 0:
+                    br.sync_rst()
+                    eobrun = 0
+                blk = arr[by, bx]
+                if ah != 0:
+                    eobrun = _refine_ac(br, act, blk, ss, se, al, eobrun)
+                elif eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        sym = _huff_decode(br, act)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1 + (br.read_bits(r) if r else 0)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overflow")
+                        blk[k] = _extend(br.read_bits(s), s) << al
+                        k += 1
+                count += 1
+    return _next_marker(buf, br.pos)
+
+
+def _assemble_rgb(comps, planes, fh, fw, hmax, vmax):
+    """Upsample + crop + level-shift + color-convert (shared by the baseline
+    and progressive reconstruction paths)."""
+    full = []
+    for c, plane in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:fh, :fw] + 128.0)
+    if len(full) == 1:
+        ych = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(ych[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _reconstruct(frame, st, qtables):
+    """Dequantize + IDCT every accumulated coefficient block (vectorized
+    einsum over all blocks of a component at once) and assemble RGB."""
+    comps = frame["comps"]
+    planes = []
+    for c in comps:
+        arr = st.coef[c["id"]]
+        by_t, bx_t = arr.shape[:2]
+        nat = np.zeros_like(arr)
+        nat[..., _ZIGZAG] = arr
+        coef = nat.reshape(by_t, bx_t, 8, 8) * qtables[c["tq"]]
+        pix = np.einsum("ui,mnuv,vj->mnij", _C, coef, _C)
+        planes.append(pix.transpose(0, 2, 1, 3).reshape(by_t * 8, bx_t * 8))
+    return _assemble_rgb(comps, planes, frame["h"], frame["w"], st.hmax, st.vmax)
 
 
 def _decode_scan(buf, pos, frame, scan_sel, qtables, htables, restart_interval):
@@ -626,19 +859,255 @@ def _decode_scan(buf, pos, frame, scan_sel, qtables, htables, restart_interval):
                         planes[pi][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
 
-    # upsample to full resolution and crop
-    full = []
-    for c, plane in zip(comps, planes):
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        full.append(plane[:fh, :fw] + 128.0)
-    if len(full) == 1:
-        ych = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return np.repeat(ych[:, :, None], 3, axis=2)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _assemble_rgb(comps, planes, fh, fw, hmax, vmax)
+
+
+# ----------------------------------------------- progressive (SOF2) encoder
+
+# Custom AC Huffman table for progressive scans: Annex K's AC tables carry
+# no EOBn (n >= 1) symbols, so cross-block EOB runs - the heart of
+# progressive AC coding - could not be expressed with them (libjpeg always
+# generates custom tables for progressive output for the same reason).
+# Every symbol we can emit gets an 8-bit code: 176 symbols, canonical
+# assignment 0..175, prefix-free by construction, and the all-ones code
+# (255) is never assigned, as T.81 recommends.
+_PROG_AC_SYMBOLS = sorted(
+    [r << 4 | s for r in range(16) for s in range(1, 11)]
+    + [n << 4 for n in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMBOLS),
+                 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+class _ProgACWriter:
+    """EOBRUN + buffered-correction-bit bookkeeping for progressive AC
+    scans (T.81 G.1.2.2-3; emission order mirrors libjpeg's encoder, which
+    is what the refinement decoder's bit-interleaving expects)."""
+
+    def __init__(self, bw: _BitWriter, codes) -> None:
+        self.bw = bw
+        self.codes = codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def sym(self, s: int) -> None:
+        code, ln = self.codes[s]
+        self.bw.write(code, ln)
+
+    def bits(self, seq) -> None:
+        for b in seq:
+            self.bw.write(b, 1)
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            self.sym(n << 4)
+            if n:
+                self.bw.write(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+        if self.pending:
+            self.bits(self.pending)
+            self.pending = []
+
+
+def _ac_first_block(w: _ProgACWriter, zz, ss: int, se: int, al: int) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        t = (t >> al) if t >= 0 else -((-t) >> al)  # AC point transform
+        if t == 0:
+            r += 1
+            continue
+        w.flush_eob()
+        while r > 15:
+            w.sym(0xF0)
+            r -= 16
+        cat, off = _magnitude(t)
+        w.sym((r << 4) | cat)
+        w.bw.write(off, cat)
+        r = 0
+    if r > 0:
+        w.eobrun += 1
+        if w.eobrun == 0x7FFF:
+            w.flush_eob()
+
+
+def _ac_refine_block(w: _ProgACWriter, zz, ss: int, se: int, al: int) -> None:
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = 0
+    for i, t in enumerate(absv):
+        if t:
+            eob = i + 1
+    r = 0
+    br_bits: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i < eob:
+            w.flush_eob()
+            w.sym(0xF0)
+            r -= 16
+            w.bits(br_bits)
+            br_bits = []
+        if t > 1:  # previously-significant coefficient: correction bit only
+            br_bits.append(t & 1)
+            continue
+        w.flush_eob()
+        w.sym((r << 4) | 1)
+        w.bw.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        w.bits(br_bits)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        w.eobrun += 1
+        w.pending.extend(br_bits)
+        if w.eobrun == 0x7FFF:
+            w.flush_eob()
+
+
+def encode_jpeg_progressive(
+    rgb: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """Progressive JFIF (SOF2) of an (h, w, 3) uint8 array, with the classic
+    spectral-selection + successive-approximation scan script (DC Al=1 +
+    refine; Y AC split 1-5/6-63 at Al=2 with two refinement passes; chroma
+    AC at Al=1 with one).  Quantized coefficients are identical to
+    encode_jpeg's at the same quality/subsampling, so baseline and
+    progressive encodes of the same image decode to identical pixels."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[0], rgb.shape[1]
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    qlum, qchr = _quality_tables(quality)
+    qm_l, qm_c = qlum.reshape(8, 8), qchr.reshape(8, 8)
+
+    mcu = 16 if subsample else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    ypad = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+    cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+    crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+    if subsample:
+        cbp = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        crp = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    cbp -= 128.0
+    crp -= 128.0
+
+    def blocks_of(plane: np.ndarray, qm: np.ndarray) -> np.ndarray:
+        bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        blk = plane.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,mnxy,vy->mnuv", _C, blk, _C)
+        q = np.round(coef / qm).astype(np.int32).reshape(bh, bw_, 64)
+        return q[..., _ZIGZAG]
+
+    ysamp = (2, 2) if subsample else (1, 1)
+    hmax, vmax = ysamp
+    blocks = {1: blocks_of(ypad, qm_l), 2: blocks_of(cbp, qm_c),
+              3: blocks_of(crp, qm_c)}
+    samp = {1: ysamp, 2: (1, 1), 3: (1, 1)}
+    mcus_y, mcus_x = ph // mcu, pw // mcu
+    nblocks = {
+        cid: (
+            -(-(-(-(h * samp[cid][1]) // vmax)) // 8),
+            -(-(-(-(w * samp[cid][0]) // hmax)) // 8),
+        )
+        for cid in (1, 2, 3)
+    }
+
+    dc_codes = {1: _build_codes(*_STD_DC_LUM), 2: _build_codes(*_STD_DC_CHR),
+                3: _build_codes(*_STD_DC_CHR)}
+    ac_codes = _build_codes(_PROG_AC_BITS, _PROG_AC_SYMBOLS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(int(v) for v in qlum[_ZIGZAG]))
+    out += seg(0xFFDB, b"\x01" + bytes(int(v) for v in qchr[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, qid in ((1, 0), (2, 1), (3, 1)):
+        sof += struct.pack(
+            ">BBB", cid, samp[cid][0] << 4 | samp[cid][1], qid
+        )
+    out += seg(0xFFC2, sof)
+    for tc_th, (bits, vals) in (
+        ((0, 0), _STD_DC_LUM), ((0, 1), _STD_DC_CHR),
+        ((1, 0), (_PROG_AC_BITS, _PROG_AC_SYMBOLS)),
+        ((1, 1), (_PROG_AC_BITS, _PROG_AC_SYMBOLS)),
+    ):
+        tc, th = tc_th
+        out += seg(0xFFC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+
+    # scan script: (component ids, Ss, Se, Ah, Al)
+    script = [
+        ((1, 2, 3), 0, 0, 0, 1),   # DC first, interleaved
+        ((1,), 1, 5, 0, 2),        # Y low AC
+        ((2,), 1, 63, 0, 1),       # Cb AC
+        ((3,), 1, 63, 0, 1),       # Cr AC
+        ((1,), 6, 63, 0, 2),       # Y high AC
+        ((1,), 1, 63, 2, 1),       # Y AC refine 2->1
+        ((1, 2, 3), 0, 0, 1, 0),   # DC refine
+        ((2,), 1, 63, 1, 0),       # Cb AC refine
+        ((3,), 1, 63, 1, 0),       # Cr AC refine
+        ((1,), 1, 63, 1, 0),       # Y AC refine 1->0
+    ]
+    tbl_of = {1: 0x00, 2: 0x11, 3: 0x11}
+    for cids, ss, se, ah, al in script:
+        sos = struct.pack(">B", len(cids))
+        for cid in cids:
+            sos += struct.pack(">BB", cid, tbl_of[cid])
+        sos += struct.pack(">BBB", ss, se, ah << 4 | al)
+        out += seg(0xFFDA, sos)
+        bw = _BitWriter()
+        if ss == 0:  # DC scan, interleaved over MCUs
+            if ah == 0:
+                preds = {cid: 0 for cid in cids}
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for cid in cids:
+                            chh, cvv = samp[cid]
+                            for vy in range(cvv):
+                                for vx in range(chh):
+                                    dc = int(
+                                        blocks[cid][my * cvv + vy, mx * chh + vx, 0]
+                                    ) >> al
+                                    diff = dc - preds[cid]
+                                    preds[cid] = dc
+                                    cat, off = _magnitude(diff)
+                                    code, ln = dc_codes[cid][cat]
+                                    bw.write(code, ln)
+                                    bw.write(off, cat)
+            else:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for cid in cids:
+                            chh, cvv = samp[cid]
+                            for vy in range(cvv):
+                                for vx in range(chh):
+                                    bw.write(
+                                        (int(blocks[cid][my * cvv + vy,
+                                                         mx * chh + vx, 0]) >> al) & 1,
+                                        1,
+                                    )
+        else:  # AC scan, non-interleaved single component
+            (cid,) = cids
+            wtr = _ProgACWriter(bw, ac_codes)
+            nby, nbx = nblocks[cid]
+            for by in range(nby):
+                for bx in range(nbx):
+                    zz = blocks[cid][by, bx]
+                    if ah == 0:
+                        _ac_first_block(wtr, zz, ss, se, al)
+                    else:
+                        _ac_refine_block(wtr, zz, ss, se, al)
+            wtr.flush_eob()
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

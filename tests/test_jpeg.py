@@ -85,8 +85,14 @@ def test_honest_boundaries():
     rng = np.random.RandomState(5)
     img = _const_block_img(rng, 2, 2)
     enc = bytearray(jpeg.encode_jpeg(img, quality=90))
-    # flip SOF0 -> SOF2 (progressive): must refuse, not garble
+    # flip SOF0 -> SOF7 (hierarchical): must refuse, not garble.  (SOF2 is
+    # no longer refused - the progressive decoder is real since round 5 -
+    # but a baseline full-band scan under an SOF2 header is still malformed
+    # and must raise, not garble.)
     sof_at = bytes(enc).find(b"\xff\xc0")
+    enc[sof_at + 1] = 0xC7
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(enc))
     enc[sof_at + 1] = 0xC2
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(bytes(enc))
@@ -185,3 +191,54 @@ def test_four_component_sof_refused():
     enc[sof_at + 9] = 4
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(bytes(enc))
+
+
+def test_progressive_roundtrip_exact_and_matches_baseline():
+    rng = np.random.RandomState(21)
+    # constant blocks at q100: the full progressive pipeline (DC first+
+    # refine, AC first+refine over both spectral bands, EOBRUN) must be
+    # BIT-EXACT, same property the baseline oracle uses
+    img = _const_block_img(rng, 3, 4)
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=100)), img
+    )
+    # same quantized coefficients as baseline -> identical decoded pixels,
+    # at every quality/subsampling combination
+    img2 = rng.randint(0, 256, (37, 45, 3)).astype(np.uint8)
+    for q in (90, 75):
+        for ss in (False, True):
+            prog = jpeg.decode_jpeg(
+                jpeg.encode_jpeg_progressive(img2, quality=q, subsample=ss)
+            )
+            base = jpeg.decode_jpeg(jpeg.encode_jpeg(img2, quality=q, subsample=ss))
+            assert np.array_equal(prog, base), (q, ss)
+
+
+def test_progressive_eobrun_and_zrl_paths():
+    # smooth gradients produce long EOB runs; sparse impulses produce ZRL +
+    # scattered refinement bits - both must match the baseline decode
+    xs, ys = np.meshgrid(np.arange(64), np.arange(48))
+    smooth = np.stack(
+        [(xs * 2) % 256, (ys * 3) % 256, (xs + ys) % 256], axis=2
+    ).astype(np.uint8)
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(smooth, quality=85)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, quality=85)),
+    )
+    sp = np.zeros((40, 40, 3), np.uint8)
+    sp[::7, ::5] = 255
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(sp, quality=60, subsample=True)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg(sp, quality=60, subsample=True)),
+    )
+
+
+def test_progressive_dispatches_to_real_decoder():
+    # the multimodal feature path must now take the REAL decode for
+    # progressive payloads (round-4 verdict: majority of web JPEGs are SOF2)
+    rng = np.random.RandomState(22)
+    img = _const_block_img(rng, 2, 2)
+    enc = jpeg.encode_jpeg_progressive(img, quality=100)
+    v = mm.decode_bytes(enc, "image")
+    assert v[0] == 16.0 and v[1] == 16.0
+    assert v[2] == float(img[:, :, 0].sum())
