@@ -826,6 +826,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("lik_e6").cast("long").alias("lik_e6"),
         )
 
+    def lm_trigram_scores(spark, sf):
+        # interpolated add-one trigram LM (weights 4:2:1 over trigram/
+        # bigram/unigram), corpus-trained; all-integer surface so DuckDB
+        # reproduces it bit-for-bit (operators/lm.py round-5 extension)
+        from boilerplate_buster_spark.operators.lm import trigram_quality_scores
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", F.split("text", " ").alias("tokens"))
+        )
+        return trigram_quality_scores(docs).select(
+            "doc_id",
+            F.col("n_trigrams").cast("long").alias("n_trigrams"),
+            F.col("lik3_e6").cast("long").alias("lik3_e6"),
+        )
+
+    def lm_pretrained_scores(spark, sf):
+        # CCNet shape: bigram model trained on a SEPARATE reference corpus
+        # (docs 0-49) and BROADCAST against the target corpus (docs 0-199)
+        # - the target is never shuffled for the model joins (plan-asserted
+        # in tests/test_plans.py)
+        from boilerplate_buster_spark.operators.lm import pretrained_bigram_scores
+
+        all_docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", F.split("text", " ").alias("tokens")
+        )
+        docs = all_docs.filter(F.col("doc_id") < 200)
+        model = all_docs.filter(F.col("doc_id") < 50)
+        return pretrained_bigram_scores(docs, model).select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("lik_e6").cast("long").alias("lik_e6"),
+        )
+
     def web_pipeline(spark, sf):
         # the composed LLM-training-data chain over Common-Crawl-shaped
         # input, every stage the REAL operator: gzip-member WARC ingest ->
@@ -1315,6 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         repetition_signals=repetition_signals_q,
         decontaminate=decontaminate,
         lm_scores=lm_scores,
+        lm_trigram_scores=lm_trigram_scores,
+        lm_pretrained_scores=lm_pretrained_scores,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
         llm_corpus_pipeline=llm_corpus_pipeline,
@@ -1999,6 +2036,79 @@ def oracle_sql() -> dict[str, str]:
             cb AS (SELECT big, count(*) AS cb FROM big GROUP BY big),
             cu AS (SELECT w, count(*) AS cu
                    FROM (SELECT unnest(t) AS w FROM base) GROUP BY w),
+            v AS (SELECT count(*) AS v FROM cu),
+            sc AS (SELECT big.doc_id,
+                          coalesce(cb.cb, 0) + 1 AS num,
+                          coalesce(cu.cu, 0) + v.v AS den
+                   FROM big LEFT JOIN cb USING (big)
+                   LEFT JOIN cu ON big.prev = cu.w CROSS JOIN v),
+            agg AS (SELECT doc_id, count(*) AS nb,
+                           SUM((1000000 * num) // den) // count(*) AS lik
+                    FROM sc GROUP BY doc_id)
+            SELECT base.doc_id,
+                   CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(agg.lik, 0) AS BIGINT) AS lik_e6
+            FROM base LEFT JOIN agg USING (doc_id)
+        """,
+        # interpolated trigram LM: per trigram position the weighted mean
+        # (4*s3 + 2*s2 + s1) // 7 of the millionth-scaled add-one
+        # probabilities, then the per-doc integer mean
+        "lm_trigram_scores": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 200),
+            pos AS (SELECT doc_id, t[i+2] AS w, t[i+1] AS prev,
+                           array_to_string(t[i:i+1], ' ') AS ctx2,
+                           array_to_string(t[i+1:i+2], ' ') AS big,
+                           array_to_string(t[i:i+2], ' ') AS tri
+                    FROM base,
+                         unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+            c3 AS (SELECT tri, count(*) AS c3 FROM pos GROUP BY tri),
+            cb AS (SELECT big, count(*) AS cb
+                   FROM (SELECT array_to_string(t[i:i+1], ' ') AS big
+                         FROM base,
+                              unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i))
+                   GROUP BY big),
+            cu AS (SELECT w, count(*) AS cu
+                   FROM (SELECT unnest(t) AS w FROM base) GROUP BY w),
+            vn AS (SELECT count(*) AS v, sum(cu) AS n FROM cu),
+            sc AS (SELECT pos.doc_id,
+                     (4 * ((1000000 * (coalesce(c3.c3, 0) + 1))
+                           // (coalesce(cbc.cb, 0) + vn.v))
+                    + 2 * ((1000000 * (coalesce(cbb.cb, 0) + 1))
+                           // (coalesce(cup.cu, 0) + vn.v))
+                    + 1 * ((1000000 * (coalesce(cuw.cu, 0) + 1))
+                           // (vn.n + vn.v))) // 7 AS s
+                   FROM pos LEFT JOIN c3 USING (tri)
+                   LEFT JOIN cb cbc ON pos.ctx2 = cbc.big
+                   LEFT JOIN cb cbb ON pos.big = cbb.big
+                   LEFT JOIN cu cup ON pos.prev = cup.w
+                   LEFT JOIN cu cuw ON pos.w = cuw.w
+                   CROSS JOIN vn),
+            agg AS (SELECT doc_id, count(*) AS nt, SUM(s) // count(*) AS lik
+                    FROM sc GROUP BY doc_id)
+            SELECT base.doc_id,
+                   CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_trigrams,
+                   CAST(coalesce(agg.lik, 0) AS BIGINT) AS lik3_e6
+            FROM base LEFT JOIN agg USING (doc_id)
+        """,
+        # pretrained/broadcast bigram LM: counts from the REFERENCE corpus
+        # (docs 0-49), scores over the target corpus (docs 0-199)
+        "lm_pretrained_scores": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 200),
+            mbase AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE doc_id < 50),
+            big AS (SELECT doc_id, t[i] AS prev,
+                           array_to_string(t[i:i+1], ' ') AS big
+                    FROM base,
+                         unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+            cb AS (SELECT big, count(*) AS cb
+                   FROM (SELECT array_to_string(t[i:i+1], ' ') AS big
+                         FROM mbase,
+                              unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i))
+                   GROUP BY big),
+            cu AS (SELECT w, count(*) AS cu
+                   FROM (SELECT unnest(t) AS w FROM mbase) GROUP BY w),
             v AS (SELECT count(*) AS v FROM cu),
             sc AS (SELECT big.doc_id,
                           coalesce(cb.cb, 0) + 1 AS num,

@@ -72,11 +72,20 @@ def score_docs(
     vocab: int,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
+    broadcast_model: bool = False,
 ) -> DataFrame:
     """(id, n_bigrams, lik_e6, log2_ppl): per-document LM score under the
     trained counts (see module docstring).  Unseen bigrams/contexts get the
     add-one floor.  Exactly one shuffle join per count table (gram-keyed,
-    uniform) + the per-doc aggregate."""
+    uniform) + the per-doc aggregate.
+
+    broadcast_model=True is the CCNet/pretrained shape: the model was
+    trained elsewhere with a bounded vocabulary, so both count tables
+    broadcast and the corpus is never shuffled for the joins (the corpus-
+    trained default must NOT broadcast - there the model is corpus-sized)."""
+    if broadcast_model:
+        bigrams = F.broadcast(bigrams)
+        unigrams = F.broadcast(unigrams)
     # Pre-aggregate occurrences per (doc, prev, big) BEFORE the model joins:
     # both joins then carry one row per DISTINCT per-doc bigram instead of one
     # row per token position, shrinking the two gram-keyed shuffles by the
@@ -129,3 +138,158 @@ def lm_quality_scores(
     low lik_e6 / high perplexity)."""
     bigrams, unigrams, vocab = train_bigram_counts(docs, tokens_col)
     return score_docs(docs, bigrams, unigrams, vocab, id_col, tokens_col)
+
+
+# ------------------------------------------------ round-5 LM extensions
+
+
+def _trigram_expr(tokens_col: str) -> str:
+    t = tokens_col
+    return (
+        f"transform(slice(sequence(1, greatest(size({t}) - 2, 1)), "
+        f"1, greatest(size({t}) - 2, 0)), "
+        f"i -> struct(element_at({t}, i + 2) AS w, "
+        f"element_at({t}, i + 1) AS prev, "
+        f"array_join(slice({t}, i, 2), ' ') AS ctx2, "
+        f"array_join(slice({t}, i + 1, 2), ' ') AS big, "
+        f"array_join(slice({t}, i, 3), ' ') AS tri))"
+    )
+
+
+def train_trigram_counts(
+    docs: DataFrame, tokens_col: str = "tokens"
+) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
+    """(trigram_counts(tri, c3), bigram_counts(big, cb), unigram_counts(w,
+    cu), n_tokens, vocab): corpus-wide occurrence counts for the
+    interpolated trigram model.  Three hash-aggregates over the corpus; the
+    unigram aggregate is persisted because it feeds both driver-side counts
+    (V, N) and the scoring joins."""
+    trigrams = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"transform(slice(sequence(1, greatest(size({tokens_col}) - 2, 1)), "
+                    f"1, greatest(size({tokens_col}) - 2, 0)), "
+                    f"i -> array_join(slice({tokens_col}, i, 3), ' '))"
+                )
+            ).alias("tri")
+        )
+        .groupBy("tri")
+        .agg(F.count("*").alias("c3"))
+    )
+    bigrams = (
+        docs.select(F.explode(F.expr(_bigram_expr(tokens_col))).alias("p"))
+        .groupBy(F.col("p.big").alias("big"))
+        .agg(F.count("*").alias("cb"))
+    )
+    unigrams = (
+        docs.select(F.explode(tokens_col).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+        .persist()
+    )
+    row = unigrams.agg(
+        F.count("*").alias("v"), F.sum("cu").alias("n")
+    ).collect()[0]
+    return trigrams, bigrams, unigrams, int(row["n"]), int(row["v"])
+
+
+def score_docs_trigram(
+    docs: DataFrame,
+    trigrams: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    n_tokens: int,
+    vocab: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    weights: tuple[int, int, int] = (4, 2, 1),
+) -> DataFrame:
+    """(id, n_trigrams, lik3_e6): interpolated add-one trigram score - per
+    trigram position the integer millionth-scaled probabilities
+
+        s3 = (1e6*(c3(tri)+1))      div (cb(ctx2)+V)
+        s2 = (1e6*(cb(big)+1))      div (cu(prev)+V)
+        s1 = (1e6*(cu(w)+1))        div (N+V)
+
+    combine as (w3*s3 + w2*s2 + w1*s1) div (w3+w2+w1) and average per doc -
+    ALL integer arithmetic, so a SQL oracle reproduces it bit-for-bit (the
+    same reason lik_e6 exists: transcendental log-interpolation is not
+    cross-engine stable).  Occurrences are pre-aggregated per (doc, tri
+    context) before the model joins, shrinking every gram-keyed shuffle by
+    the within-doc repetition factor.  The model is corpus-sized, so the
+    joins shuffle on the gram keys; see score_docs(broadcast_model=True)
+    for the pretrained/broadcast shape."""
+    w3, w2, w1 = (int(x) for x in weights)
+    wsum = w3 + w2 + w1
+    occ = (
+        docs.select(
+            F.col(id_col), F.explode(F.expr(_trigram_expr(tokens_col))).alias("p")
+        )
+        .select(
+            id_col,
+            F.col("p.w").alias("w"),
+            F.col("p.prev").alias("prev"),
+            F.col("p.ctx2").alias("ctx2"),
+            F.col("p.big").alias("big"),
+            F.col("p.tri").alias("tri"),
+        )
+        .groupBy(id_col, "w", "prev", "ctx2", "big", "tri")
+        .agg(F.count("*").alias("k"))
+    )
+    cb_ctx = bigrams.select(F.col("big").alias("ctx2"), F.col("cb").alias("cb_ctx"))
+    cu_prev = unigrams.select(F.col("w").alias("prev"), F.col("cu").alias("cu_prev"))
+    cu_w = unigrams.select("w", F.col("cu").alias("cu_w"))
+    joined = (
+        occ.join(trigrams, "tri", "left")
+        .join(bigrams, "big", "left")
+        .join(cb_ctx, "ctx2", "left")
+        .join(cu_prev, "prev", "left")
+        .join(cu_w, "w", "left")
+        .select(
+            F.col(id_col),
+            F.col("k"),
+            F.expr(
+                f"({w3} * ((1000000 * (coalesce(c3, 0) + 1)) div (coalesce(cb_ctx, 0) + {vocab}))"
+                f" + {w2} * ((1000000 * (coalesce(cb, 0) + 1)) div (coalesce(cu_prev, 0) + {vocab}))"
+                f" + {w1} * ((1000000 * (coalesce(cu_w, 0) + 1)) div ({n_tokens} + {vocab}))"
+                f") div {wsum}"
+            ).alias("s"),
+        )
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.expr("sum(k)").alias("n_trigrams"),
+        F.expr("CAST(sum(k * s) div sum(k) AS bigint)").alias("lik3_e6"),
+    )
+    base = docs.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        F.coalesce("lik3_e6", F.lit(0)).alias("lik3_e6"),
+    )
+
+
+def trigram_quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Train-on-corpus interpolated trigram scoring in one call."""
+    tri, big, uni, n, v = train_trigram_counts(docs, tokens_col)
+    return score_docs_trigram(docs, tri, big, uni, n, v, id_col, tokens_col)
+
+
+def pretrained_bigram_scores(
+    docs: DataFrame,
+    model_docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """CCNet shape: train the bigram model on a SEPARATE (small, e.g.
+    Wikipedia-like) reference corpus, then score the target corpus with the
+    model BROADCAST - the target never shuffles for the model joins.  The
+    model tables are reference-corpus-sized, which is the precondition for
+    broadcasting; plan-asserted in tests/test_plans.py."""
+    bigrams, unigrams, vocab = train_bigram_counts(model_docs, tokens_col)
+    return score_docs(
+        docs, bigrams, unigrams, vocab, id_col, tokens_col,
+        broadcast_model=True,
+    )

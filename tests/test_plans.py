@@ -220,3 +220,25 @@ def test_ivf_partitioned_scan_prunes_to_probed_cells(spark, tmp_path):
     a = [tuple(r) for r in out.collect()]
     b = [tuple(r) for r in ann.ivf_topk(emb, q_vec, cents, k=5, n_probe=n_probe).collect()]
     assert a == b
+
+
+def test_pretrained_lm_broadcasts_model(spark):
+    # CCNet shape: model tables broadcast, the target corpus is never
+    # shuffled for the model joins; the corpus-trained variant must keep
+    # shuffle joins (model is corpus-sized - broadcasting it would ship
+    # the whole vocabulary to every executor)
+    from boilerplate_buster_spark.operators.lm import (
+        lm_quality_scores,
+        pretrained_bigram_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c", "a", "b"]) for i in range(6)], ["doc_id", "tokens"]
+    )
+    model = spark.createDataFrame(
+        [(100, ["a", "b", "a"]), (101, ["b", "c"])], ["doc_id", "tokens"]
+    )
+    plan = explain_str(pretrained_bigram_scores(docs, model))
+    assert "BroadcastHashJoin" in plan
+    # both model joins broadcast -> no SortMergeJoin against the model
+    assert plan.count("BroadcastHashJoin") >= 2
