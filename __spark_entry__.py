@@ -131,6 +131,48 @@ def _d_cos(a: str, b: str) -> str:
 _EMB_DIM = 64  # driver testdata embedding dimension (identical at every sf)
 
 
+def _d_greedy_expansion_sql(min_docs: int = 5, n: int = 3, max_len: int = 8) -> str:
+    """Static unrolled mirror of bloomspan.greedy_phrase_expansion: one
+    distinct-doc gram CTE per length, one argmax+left-join pair per
+    expansion step (row_number tie-break = support DESC, gram ASC, identical
+    to Spark's min(struct(-sup, gram)))."""
+    parts = [
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+        "FROM documents WHERE doc_id < 200)"
+    ]
+    for L in range(n, max_len + 1):
+        parts.append(
+            f"g{L} AS (SELECT gram, count(*) AS sup FROM ("
+            f"SELECT DISTINCT doc_id, array_to_string(t[i:i+{L - 1}], ' ') AS gram "
+            f"FROM toks, unnest(generate_series(1, greatest(len(t) - {L - 1}, 0))) AS u(i)) "
+            f"GROUP BY gram HAVING count(*) >= {min_docs})"
+        )
+    parts.append(
+        f"s{n} AS (SELECT gram AS seed, gram AS phrase, {n} AS length, "
+        f"sup AS support FROM g{n})"
+    )
+    for L in range(n, max_len):
+        pfx = f"array_to_string(string_split(gram, ' ')[1:{L}], ' ')"
+        parts.append(
+            f"b{L} AS (SELECT phrase, g AS np, s AS ns FROM ("
+            f"SELECT {pfx} AS phrase, gram AS g, sup AS s, "
+            f"row_number() OVER (PARTITION BY {pfx} ORDER BY sup DESC, gram) AS rn "
+            f"FROM g{L + 1}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{L + 1} AS (SELECT s{L}.seed, "
+            f"coalesce(b{L}.np, s{L}.phrase) AS phrase, "
+            f"CASE WHEN b{L}.np IS NULL THEN s{L}.length ELSE {L + 1} END AS length, "
+            f"CASE WHEN b{L}.np IS NULL THEN s{L}.support ELSE b{L}.ns END AS support "
+            f"FROM s{L} LEFT JOIN b{L} ON s{L}.phrase = b{L}.phrase)"
+        )
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT seed, phrase, "
+        f"CAST(length AS BIGINT) AS length, CAST(support AS BIGINT) AS support "
+        f"FROM s{max_len}"
+    )
+
+
 def _d_prefixspan_sql(mode: str) -> str:
     """DuckDB twin of closed_patterns.prefixspan_patterns (doc-distinct
     support, forward-only closure, end-of-doc emit quirk) at the contract
@@ -826,6 +868,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("lik_e6").cast("long").alias("lik_e6"),
         )
 
+    def greedy_expansion(spark, sf):
+        # the M1 miner's greedy right-expansion rule as an oracle-checked
+        # projection (round-4 verdict stretch #7): every frequent seed
+        # 3-gram expanded token-by-token (max support, ties lexicographic)
+        # until support would drop below min_docs or length 8 - a static
+        # unrolled join chain DuckDB mirrors step for step
+        from boilerplate_buster_spark.operators.bloomspan import (
+            greedy_phrase_expansion,
+        )
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", F.split("text", " ").alias("tokens"))
+        )
+        out = greedy_phrase_expansion(docs, min_docs=2, n=3, max_len=8)
+        return out.select(
+            "seed",
+            "phrase",
+            F.col("length").cast("long").alias("length"),
+            F.col("support").cast("long").alias("support"),
+        )
+
     def lm_trigram_scores(spark, sf):
         # interpolated add-one trigram LM (weights 4:2:1 over trigram/
         # bigram/unigram), corpus-trained; all-integer surface so DuckDB
@@ -1352,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lm_scores=lm_scores,
         lm_trigram_scores=lm_trigram_scores,
         lm_pretrained_scores=lm_pretrained_scores,
+        greedy_expansion=greedy_expansion,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
         llm_corpus_pipeline=llm_corpus_pipeline,
@@ -2050,6 +2116,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.lik, 0) AS BIGINT) AS lik_e6
             FROM base LEFT JOIN agg USING (doc_id)
         """,
+        # M1 greedy right-expansion projection: generated unrolled CTE chain
+        "greedy_expansion": _d_greedy_expansion_sql(min_docs=2, n=3, max_len=8),
         # interpolated trigram LM: per trigram position the weighted mean
         # (4*s3 + 2*s2 + s1) // 7 of the millionth-scaled add-one
         # probabilities, then the per-doc integer mean

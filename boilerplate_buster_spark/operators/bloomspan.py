@@ -879,3 +879,76 @@ def phrases_to_df(spark: SparkSession, phrases: list[WCandidate]) -> DataFrame:
 
 def mine_df(spark: SparkSession, docs: DataFrame, **kw) -> DataFrame:
     return phrases_to_df(spark, mine(spark, docs, **kw))
+
+
+def greedy_phrase_expansion(
+    docs: DataFrame,
+    min_docs: int,
+    n: int = 3,
+    max_len: int = 8,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(seed, phrase, length, support): pure greedy right-expansion of every
+    frequent seed n-gram - the SQL-oracle-able projection of the M1 miner's
+    expansion rule (round-4 verdict stretch #7).
+
+    Each seed (distinct-doc support >= min_docs) extends one token at a time:
+    among all (L+1)-grams whose first L tokens equal the current phrase and
+    whose distinct-doc support stays >= min_docs, pick MAX support, ties to
+    the LEXICOGRAPHICALLY SMALLEST next token - exactly the documented
+    expansion tie-break of core/pyref.expand_candidates (bloom_gram_miner.cpp
+    :655-661; the full miner adds score ordering, the occupancy bitmask and
+    backward closure on top, which stay driver-side/rows-only).  Stops when
+    no qualifying extension exists or length reaches max_len.
+
+    Plan shape: one distinct-doc gram aggregate per length (n..max_len) and
+    one left join per expansion step - a STATIC unrolled chain, no iteration
+    whose depth depends on data, so Catalyst sees the whole plan and a SQL
+    twin can mirror it step for step.  Every aggregate is a uniform-key
+    hash-aggregate; the per-prefix argmax is min(struct(-support, gram)),
+    never a window over a skewed key."""
+    t = tokens_col
+
+    def gram_support(length: int) -> DataFrame:
+        g = (
+            f"array_distinct(transform(slice(sequence(1, greatest(size({t}) - {length} + 1, 1)), "
+            f"1, greatest(size({t}) - {length} + 1, 0)), "
+            f"i -> array_join(slice({t}, i, {length}), ' ')))"
+        )
+        return (
+            docs.select(F.explode(F.expr(g)).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count("*").alias("sup"))
+            .filter(F.col("sup") >= min_docs)
+        )
+
+    cur = gram_support(n).select(
+        F.col("gram").alias("seed"),
+        F.col("gram").alias("phrase"),
+        F.lit(n).alias("length"),
+        F.col("sup").alias("support"),
+    )
+    for length in range(n, max_len):
+        ext = gram_support(length + 1).select(
+            F.expr(
+                f"array_join(slice(split(gram, ' '), 1, {length}), ' ')"
+            ).alias("phrase"),
+            F.col("gram").alias("g"),
+            F.col("sup").alias("s"),
+        )
+        best = ext.groupBy("phrase").agg(
+            F.min(F.struct(F.expr("-s").alias("ns"), F.col("g").alias("np"))).alias("b")
+        )
+        # stalled phrases (token count < current step length) never string-
+        # match a longer prefix, so the left join carries them unchanged
+        cur = cur.join(best, "phrase", "left").select(
+            "seed",
+            F.coalesce(F.col("b.np"), F.col("phrase")).alias("phrase"),
+            F.when(F.col("b").isNull(), F.col("length"))
+            .otherwise(F.lit(length + 1))
+            .alias("length"),
+            F.when(F.col("b").isNull(), F.col("support"))
+            .otherwise(-F.col("b.ns"))
+            .alias("support"),
+        )
+    return cur

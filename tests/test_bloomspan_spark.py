@@ -106,3 +106,63 @@ def test_driver_and_distributed_strategies_equal(spark):
     b = {(p.text, p.support, len(p.tokens))
          for p in mine(spark, df, min_docs=3, ngrams=2, strategy="distributed")}
     assert a == b
+
+
+def test_greedy_phrase_expansion_matches_python_reference(spark):
+    """The SQL-oracle-able M1 expansion projection must follow the
+    documented rule: extend right while some (L+1)-gram with the current
+    phrase as prefix keeps distinct-doc support >= min_docs; pick max
+    support, ties to the lexicographically smallest next token."""
+    from collections import defaultdict
+
+    from boilerplate_buster_spark.operators.bloomspan import (
+        greedy_phrase_expansion,
+    )
+
+    corpus = [
+        (1, "a b c d e x".split()),
+        (2, "a b c d e y".split()),
+        (3, "a b c d z w".split()),
+        (4, "p q r a b c".split()),
+        (5, "p q r s t u".split()),
+    ]
+
+    def sup(gram_toks):
+        return len(
+            {d for d, toks in corpus
+             for i in range(len(toks) - len(gram_toks) + 1)
+             if toks[i:i + len(gram_toks)] == gram_toks}
+        )
+
+    def pyref(min_docs, n=3, max_len=8):
+        vocab = sorted({w for _, toks in corpus for w in toks})
+        seeds = sorted(
+            {tuple(toks[i:i + n]) for _, toks in corpus
+             for i in range(len(toks) - n + 1)}
+        )
+        out = {}
+        for s in seeds:
+            if sup(list(s)) < min_docs:
+                continue
+            phrase = list(s)
+            while len(phrase) < max_len:
+                best = None
+                for w in vocab:
+                    cand = phrase + [w]
+                    cs = sup(cand)
+                    if cs >= min_docs and (best is None or cs > best[0]):
+                        best = (cs, w)  # vocab sorted -> first max wins ties
+                if best is None:
+                    break
+                phrase.append(best[1])
+            out[" ".join(s)] = (" ".join(phrase), len(phrase), sup(phrase))
+        return out
+
+    docs = spark.createDataFrame(corpus, ["doc_id", "tokens"])
+    got = {
+        r["seed"]: (r["phrase"], r["length"], r["support"])
+        for r in greedy_phrase_expansion(docs, min_docs=2, n=3).collect()
+    }
+    assert got == pyref(min_docs=2)
+    # "a b c" (sup 4) must extend to "a b c d e" (d: sup 3, then e: sup 2)
+    assert got["a b c"] == ("a b c d e", 5, 2)
