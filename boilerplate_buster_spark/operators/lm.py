@@ -20,10 +20,13 @@ emits, per document:
     filtering purposes.)
 
 Scale posture: training = two hash-aggregates over the corpus (bigram
-counts, unigram counts) - the model is CORPUS-SIZED, so scoring joins on
-the gram key with sort-merge/AQE (the model table is NOT broadcast; a
-pretrained-model variant with a small vocabulary would broadcast instead).
-Docs with < 2 tokens score NULL log2_ppl / 0 lik_e6.
+counts, unigram counts) - the corpus-trained model is CORPUS-SIZED, so
+scoring joins on the gram key with sort-merge/AQE.  The round-5 extensions
+cover the other shapes: ``pretrained_bigram_scores`` (model trained on a
+separate bounded reference corpus, BROADCAST against the target - the
+CCNet deployment shape, plan-asserted) and ``trigram_quality_scores``
+(interpolated add-one trigram backoff, weights 4:2:1, all-integer lik3_e6
+surface).  Docs with < 2 tokens score NULL log2_ppl / 0 lik_e6.
 """
 
 from __future__ import annotations
