@@ -130,6 +130,11 @@ def _d_cos(a: str, b: str) -> str:
 
 _EMB_DIM = 64  # driver testdata embedding dimension (identical at every sf)
 
+from boilerplate_buster_spark.operators.urls import (  # noqa: E402
+    EMAIL_RE as _PII_EMAIL_RE,
+    IPV4_RE as _PII_IPV4_RE,
+)
+
 
 def _d_greedy_expansion_sql(min_docs: int = 5, n: int = 3, max_len: int = 8) -> str:
     """Static unrolled mirror of bloomspan.greedy_phrase_expansion: one
@@ -868,6 +873,133 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("lik_e6").cast("long").alias("lik_e6"),
         )
 
+    def _synth_urls(spark, sf):
+        # deterministic URL corpus from doc_id (closed form for the oracle):
+        # scheme/host/www-prefix/path-depth/query all functions of doc_id
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 300
+        )
+        return docs.select(
+            "doc_id",
+            F.expr(
+                "concat(IF(doc_id % 3 = 0, 'http', 'https'), '://', "
+                "IF(doc_id % 2 = 0, 'www.', ''), "
+                "'site', CAST(doc_id % 20 AS string), "
+                "'.ex', CAST(doc_id % 5 AS string), '.com/', "
+                "repeat('p/', CAST(doc_id % 4 AS int)), 'page', "
+                "IF(doc_id % 3 = 1, concat('?a=1&b=', CAST(doc_id AS string)), ''))"
+            ).alias("url"),
+        )
+
+    def url_features_q(spark, sf):
+        # URL featurization (FineWeb-style URL filtering's first half):
+        # scheme/host/registrable-domain/path-depth/query-param count from
+        # pure string expressions; oracle re-derives every feature in
+        # closed form from doc_id, so the parse itself is what's checked
+        from boilerplate_buster_spark.operators.urls import url_features
+
+        out = url_features(_synth_urls(spark, sf), url_col="url", id_col="doc_id")
+        return out.select(
+            "doc_id",
+            "url",
+            "scheme",
+            "host",
+            "domain",
+            F.col("path_depth").cast("long").alias("path_depth"),
+            F.col("n_query_params").cast("long").alias("n_query_params"),
+            "is_https",
+        )
+
+    def url_blocklist(spark, sf):
+        # broadcast-anti-join domain blocklist (the corpus never shuffles);
+        # blocked = registrable domains ex0.com / ex3.com
+        from boilerplate_buster_spark.operators.urls import url_blocklist_filter
+
+        out = url_blocklist_filter(
+            _synth_urls(spark, sf), ["ex0.com", "ex3.com"], url_col="url"
+        )
+        return out.select("doc_id", "url")
+
+    def pii_redaction(spark, sf):
+        # FineWeb-style anonymization: emails -> <EMAIL> then IPv4 -> <IP>,
+        # with per-doc counts; PII injected deterministically so DuckDB
+        # rebuilds the input and mirrors both regex passes ('g' flag)
+        from boilerplate_buster_spark.operators.urls import redact_pii
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        aug = docs.select(
+            "doc_id",
+            F.expr(
+                "concat(text, ' contact user', CAST(doc_id AS string), "
+                "'@mail', CAST(doc_id % 7 AS string), '.example.com', "
+                "IF(doc_id % 4 = 0, concat(' cc admin', CAST(doc_id AS string), "
+                "'@ex.org'), ''), "
+                "' from 10.', CAST(doc_id % 200 AS string), '.0.', "
+                "CAST(doc_id % 250 AS string), ' end')"
+            ).alias("text"),
+        )
+        out = redact_pii(aug)
+        return out.select(
+            "doc_id",
+            F.col("n_emails").cast("long").alias("n_emails"),
+            F.col("n_ips").cast("long").alias("n_ips"),
+            F.md5("redacted_text").alias("redacted_md5"),
+        )
+
+    def stream_events_hourly(spark, sf):
+        # REAL Structured Streaming under the contract gate (moves the
+        # streaming surface from pytest-only into the oracle-checked set):
+        # readStream over the events parquet -> watermarked tumbling-window
+        # aggregate (streaming/stream.stream_event_rates, the production
+        # operator) -> availableNow trigger into a memory sink; the batch
+        # SQL oracle pins the result.  Watermark is set beyond the data's
+        # time span so micro-batch file ordering can never drop rows -
+        # the late-data path itself is pinned by tests/test_streaming.py.
+        import tempfile
+        import uuid
+
+        from boilerplate_buster_spark.streaming.stream import stream_event_rates
+
+        import os
+
+        schema = spark.read.parquet(f"{sf}/events.parquet").schema
+        # FileStreamSource wants a DIRECTORY to watch; the testdata table is
+        # a single parquet file, so expose it through a temp dir symlink
+        # (keyed by sf so repeated calls reuse it)
+        stream_dir = tempfile.gettempdir() + "/bbs_stream_src_" + (
+            sf.strip("/").replace("/", "_")
+        )
+        os.makedirs(stream_dir, exist_ok=True)
+        link = stream_dir + "/events.parquet"
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+        src = spark.readStream.schema(schema).parquet(stream_dir)
+        # the parquet ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP
+        # (wall-clock preserved - hour buckets and rendered strings agree
+        # with the NTZ batch oracle in any fixed session timezone)
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = stream_event_rates(src, watermark="87600 hours", window="1 hour")
+        name = "bbs_stream_hourly_" + uuid.uuid4().hex[:12]
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="bbs_stream_ck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+
     def greedy_expansion(spark, sf):
         # the M1 miner's greedy right-expansion rule as an oracle-checked
         # projection (round-4 verdict stretch #7): every frequent seed
@@ -1418,6 +1550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lm_trigram_scores=lm_trigram_scores,
         lm_pretrained_scores=lm_pretrained_scores,
         greedy_expansion=greedy_expansion,
+        stream_events_hourly=stream_events_hourly,
+        url_features=url_features_q,
+        url_blocklist=url_blocklist,
+        pii_redaction=pii_redaction,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
         llm_corpus_pipeline=llm_corpus_pipeline,
@@ -2115,6 +2251,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
                    CAST(coalesce(agg.lik, 0) AS BIGINT) AS lik_e6
             FROM base LEFT JOIN agg USING (doc_id)
+        """,
+        # URL features re-derived in CLOSED FORM from doc_id (the parse is
+        # what's being checked); url string rebuilt identically
+        "url_features": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+            u AS (SELECT doc_id,
+                    CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END AS scheme,
+                    (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                      || 'site' || CAST(doc_id % 20 AS VARCHAR)
+                      || '.ex' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+                    'ex' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS domain,
+                    CAST(doc_id % 4 + 1 AS BIGINT) AS path_depth,
+                    CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 0 END AS BIGINT)
+                      AS n_query_params,
+                    doc_id % 3 <> 0 AS is_https
+                  FROM d)
+            SELECT doc_id,
+                   scheme || '://' || host || '/'
+                     || repeat('p/', doc_id % 4) || 'page'
+                     || CASE WHEN doc_id % 3 = 1
+                          THEN '?a=1&b=' || CAST(doc_id AS VARCHAR)
+                          ELSE '' END AS url,
+                   scheme, host, domain, path_depth, n_query_params, is_https
+            FROM u
+        """,
+        # blocklist = domains ex0.com/ex3.com <=> doc_id % 5 IN (0, 3)
+        "url_blocklist": """
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+                     || '://'
+                     || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                     || 'site' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/'
+                     || repeat('p/', doc_id % 4) || 'page'
+                     || CASE WHEN doc_id % 3 = 1
+                          THEN '?a=1&b=' || CAST(doc_id AS VARCHAR)
+                          ELSE '' END AS url
+            FROM documents WHERE doc_id < 300 AND doc_id % 5 NOT IN (0, 3)
+        """,
+        # PII injection rebuilt from doc_id, then the SAME two regex passes
+        # (RE2 and Java regex agree on these class-only patterns; DuckDB
+        # needs the 'g' flag for replace-all)
+        "pii_redaction": f"""
+            WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            aug AS (SELECT doc_id,
+                      text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                        || CASE WHEN doc_id % 4 = 0
+                             THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@ex.org'
+                             ELSE '' END
+                        || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                        || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' end' AS t
+                    FROM base),
+            s1 AS (SELECT doc_id,
+                     len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS n_emails,
+                     regexp_replace(t, '{_PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+                   FROM aug)
+            SELECT doc_id,
+                   CAST(n_emails AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t1, '{_PII_IPV4_RE}')) AS BIGINT)
+                     AS n_ips,
+                   md5(regexp_replace(t1, '{_PII_IPV4_RE}', '<IP>', 'g'))
+                     AS redacted_md5
+            FROM s1
+        """,
+        # streaming tumbling-window aggregate == the batch hourly rollup
+        # (window start = hour truncation; no rows late under the wide
+        # watermark)
+        "stream_events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         # M1 greedy right-expansion projection: generated unrolled CTE chain
         "greedy_expansion": _d_greedy_expansion_sql(min_docs=2, n=3, max_len=8),

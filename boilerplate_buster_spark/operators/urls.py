@@ -1,0 +1,105 @@
+"""URL featurization / filtering and PII redaction - the two standard
+crawl-pipeline stages between ingest and text cleaning (FineWeb and
+RefinedWeb both URL-filter before extraction and anonymize PII after).
+
+Everything here is pure Catalyst string expressions (JVM-side, codegen,
+no shuffle except the blocklist anti-join), and every regex sticks to
+basic character classes + bounded quantifiers so Java regex (Spark) and
+RE2 (DuckDB) agree symbol-for-symbol - the property the SQL oracles rely
+on.  No reference anchor: the reference is corpus-local (text only);
+these mirror public pipeline practice.
+
+Scale posture: url_features is a pure map; the blocklist is
+policy-sized (thousands of domains), so url_blocklist_filter broadcasts
+it and the corpus never shuffles; redact_pii is a pure map whose
+counts come from the same single regexp_extract_all evaluation that
+feeds the replacement (shared subexpression via a two-step select).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# RE2-safe (no lookaround/backrefs), identical semantics in Java regex
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def url_features(
+    docs: DataFrame, url_col: str = "url", id_col: str | None = None
+) -> DataFrame:
+    """(url [, id], scheme, host, domain, path_depth, n_query_params,
+    is_https): string-op URL decomposition.
+
+    domain = last two dot-labels of the host (the policy key public
+    blocklists are keyed by; a full public-suffix list is a data file, not
+    an algorithm, and plugs in here).  path_depth counts non-empty path
+    segments before the query string; n_query_params counts '&'-separated
+    k=v pairs after the first '?'."""
+    u = url_col
+    host = f"element_at(split(regexp_replace({u}, '^[a-z]+://', ''), '/'), 1)"
+    rest = f"substring(regexp_replace({u}, '^[a-z]+://', ''), length({host}) + 1)"
+    path = f"element_at(split({rest}, '\\\\?'), 1)"
+    query = f"IF(instr({rest}, '?') > 0, substring({rest}, instr({rest}, '?') + 1), '')"
+    labels = f"split({host}, '\\\\.')"
+    cols = [F.col(c) for c in ([id_col] if id_col else [])] + [
+        F.col(u),
+        F.expr(f"element_at(split({u}, '://'), 1)").alias("scheme"),
+        F.expr(host).alias("host"),
+        F.expr(
+            f"IF(size({labels}) >= 2, concat(element_at({labels}, -2), '.', "
+            f"element_at({labels}, -1)), {host})"
+        ).alias("domain"),
+        F.expr(f"size(filter(split({path}, '/'), x -> x != ''))").alias(
+            "path_depth"
+        ),
+        F.expr(
+            f"IF({query} = '', 0, size(split({query}, '&')))"
+        ).alias("n_query_params"),
+        F.expr(f"{u} LIKE 'https://%'").alias("is_https"),
+    ]
+    return docs.select(*cols)
+
+
+def url_blocklist_filter(
+    docs: DataFrame, blocked_domains: list[str], url_col: str = "url"
+) -> DataFrame:
+    """Rows whose url domain is NOT in the blocklist.  The blocklist is
+    policy-sized, so it broadcasts into a hash anti-join - the corpus is
+    never shuffled.  EXACT match on the registrable domain (see
+    url_features), the granularity public blocklists use."""
+    spark = docs.sparkSession
+    bl = spark.createDataFrame(
+        [(d,) for d in sorted(set(blocked_domains))], "domain string"
+    )
+    feats = url_features(docs.select(url_col), url_col).select(url_col, "domain")
+    keep = feats.join(F.broadcast(bl), "domain", "left_anti").select(url_col)
+    return docs.join(F.broadcast(keep), url_col, "left_semi")
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_emails, n_ips, redacted_text): emails -> <EMAIL> and IPv4
+    addresses -> <IP>, with per-doc match counts - the FineWeb-style
+    anonymization pass.  Email redaction runs FIRST so an address like
+    user@10.1.2.3.example.com is counted once as an email, not again as an
+    IP (order pinned by the oracle and tests)."""
+    # column-level functions, NOT F.expr: the regexes carry backslashes,
+    # which a SQL string literal would re-escape (\. silently becomes .)
+    step1 = docs.select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>").alias("_t1"),
+    )
+    return step1.select(
+        id_col,
+        "n_emails",
+        F.size(
+            F.regexp_extract_all(F.col("_t1"), F.lit(IPV4_RE), F.lit(0))
+        ).alias("n_ips"),
+        F.regexp_replace(F.col("_t1"), IPV4_RE, "<IP>").alias("redacted_text"),
+    )

@@ -1,0 +1,71 @@
+"""URL featurization / blocklist filtering / PII redaction fixtures."""
+
+from boilerplate_buster_spark.operators.urls import (
+    redact_pii,
+    url_blocklist_filter,
+    url_features,
+)
+
+
+def test_url_features_parse(spark):
+    urls = [
+        ("https://www.shop.example.co/a/b/c?x=1&y=2&z=3",),
+        ("http://example.com/",),
+        ("https://sub.deep.site.org/path",),
+        ("http://host.net/page?q=1",),
+    ]
+    df = spark.createDataFrame(urls, ["url"])
+    got = {r["url"]: r for r in url_features(df).collect()}
+    r = got[urls[0][0]]
+    assert r["scheme"] == "https"
+    assert r["host"] == "www.shop.example.co"
+    assert r["domain"] == "example.co"
+    assert r["path_depth"] == 3
+    assert r["n_query_params"] == 3
+    assert r["is_https"]
+    r = got[urls[1][0]]
+    assert r["host"] == "example.com" and r["domain"] == "example.com"
+    assert r["path_depth"] == 0 and r["n_query_params"] == 0
+    assert not r["is_https"]
+    assert got[urls[2][0]]["domain"] == "site.org"
+    assert got[urls[3][0]]["n_query_params"] == 1
+
+
+def test_url_blocklist_exact_domain(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.bad.com/x"),
+            (2, "https://good.com/x"),
+            (3, "http://notbad.com/y"),  # 'bad.com' must NOT match notbad.com
+            (4, "https://sub.bad.com/z"),  # registrable domain is bad.com
+        ],
+        ["doc_id", "url"],
+    )
+    kept = {
+        r["doc_id"]
+        for r in url_blocklist_filter(df, ["bad.com"], url_col="url").collect()
+    }
+    assert kept == {2, 3}
+
+
+def test_redact_pii_order_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@my-site.io or 10.0.0.1 thanks"),
+            # an @host that LOOKS like an ip+domain: email pass must claim it
+            # first so the ip pass never sees those octets
+            (2, "x user@10.1.2.3.example.com y"),
+            (3, "no pii here"),
+            (4, "two ips 1.2.3.4 5.6.7.8 one mail z@q.de"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"]) == (1, 1)
+    assert got[1]["redacted_text"] == "mail me at <EMAIL> or <IP> thanks"
+    assert (got[2]["n_emails"], got[2]["n_ips"]) == (1, 0)
+    assert got[2]["redacted_text"] == "x <EMAIL> y"
+    assert (got[3]["n_emails"], got[3]["n_ips"]) == (0, 0)
+    assert got[3]["redacted_text"] == "no pii here"
+    assert (got[4]["n_emails"], got[4]["n_ips"]) == (1, 2)
+    assert got[4]["redacted_text"] == "two ips <IP> <IP> one mail <EMAIL>"
