@@ -948,6 +948,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5("redacted_text").alias("redacted_md5"),
         )
 
+    def _link_pages(spark, sf):
+        # deterministic link-bearing page corpus (closed form for the
+        # oracle): nav links are root-relative (urljoin path), the body
+        # carries per-doc absolute cross-site links
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 300
+        )
+        return docs.select(
+            "doc_id",
+            F.expr(
+                "concat('https://site', CAST(doc_id % 10 AS string), "
+                "'.com/page', CAST(doc_id AS string))"
+            ).alias("url"),
+            F.expr(
+                "concat('<html><body><nav><a href=\"/\">Home</a> "
+                "<a href=\"/about\">About</a></nav><p>see "
+                "<a href=\"https://ex.com/', CAST((doc_id * 7) % 200 AS string), "
+                "'\">ref ', CAST(doc_id % 5 AS string), '</a></p>', "
+                "IF(doc_id % 2 = 0, concat('<p><a href=\"https://other.org/x', "
+                "CAST(doc_id % 4 AS string), '\">x</a></p>'), ''), "
+                "'</body></html>')"
+            ).alias("html"),
+        )
+
+    def web_links(spark, sf):
+        # link edge extraction (the web-graph half of page parsing): real
+        # html.parser walk + urljoin resolution inside one Arrow batch;
+        # oracle rebuilds the exact edge multiset in closed form
+        from boilerplate_buster_spark.operators.weblinks import extract_links
+
+        return extract_links(_link_pages(spark, sf))
+
+    def link_degrees(spark, sf):
+        # in/out degree over the extracted edge list - two uniform-key
+        # hash-aggregates + full-outer join, nothing collected
+        from boilerplate_buster_spark.operators.weblinks import (
+            extract_links,
+            link_graph_degrees,
+        )
+
+        out = link_graph_degrees(extract_links(_link_pages(spark, sf)))
+        return out.select(
+            "node",
+            F.col("out_degree").cast("long").alias("out_degree"),
+            F.col("in_degree").cast("long").alias("in_degree"),
+        )
+
     def stream_events_hourly(spark, sf):
         # REAL Structured Streaming under the contract gate (moves the
         # streaming surface from pytest-only into the oracle-checked set):
@@ -1554,6 +1601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         url_features=url_features_q,
         url_blocklist=url_blocklist,
         pii_redaction=pii_redaction,
+        web_links=web_links,
+        link_degrees=link_degrees,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
         llm_corpus_pipeline=llm_corpus_pipeline,
@@ -2315,6 +2364,48 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(t1, '{_PII_IPV4_RE}', '<IP>', 'g'))
                      AS redacted_md5
             FROM s1
+        """,
+        # link edge multiset rebuilt in closed form: nav root-relatives
+        # resolve against the page host, body links are absolute
+        "web_links": """
+            WITH d AS (SELECT doc_id,
+                         'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                           || '.com/page' || CAST(doc_id AS VARCHAR) AS url,
+                         'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                           || '.com' AS root
+                       FROM documents WHERE doc_id < 300)
+            SELECT url, root || '/' AS href, 'Home' AS anchor FROM d
+            UNION ALL
+            SELECT url, root || '/about', 'About' FROM d
+            UNION ALL
+            SELECT url, 'https://ex.com/' || CAST((doc_id * 7) % 200 AS VARCHAR),
+                   'ref ' || CAST(doc_id % 5 AS VARCHAR) FROM d
+            UNION ALL
+            SELECT url, 'https://other.org/x' || CAST(doc_id % 4 AS VARCHAR),
+                   'x' FROM d WHERE doc_id % 2 = 0
+        """,
+        "link_degrees": """
+            WITH d AS (SELECT doc_id,
+                         'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                           || '.com/page' || CAST(doc_id AS VARCHAR) AS url,
+                         'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                           || '.com' AS root
+                       FROM documents WHERE doc_id < 300),
+            e AS (
+              SELECT url, root || '/' AS href FROM d
+              UNION ALL SELECT url, root || '/about' FROM d
+              UNION ALL SELECT url,
+                'https://ex.com/' || CAST((doc_id * 7) % 200 AS VARCHAR) FROM d
+              UNION ALL SELECT url,
+                'https://other.org/x' || CAST(doc_id % 4 AS VARCHAR)
+                FROM d WHERE doc_id % 2 = 0
+            ),
+            o AS (SELECT url AS node, count(*) AS out_degree FROM e GROUP BY url),
+            i AS (SELECT href AS node, count(*) AS in_degree FROM e GROUP BY href)
+            SELECT coalesce(o.node, i.node) AS node,
+                   CAST(coalesce(o.out_degree, 0) AS BIGINT) AS out_degree,
+                   CAST(coalesce(i.in_degree, 0) AS BIGINT) AS in_degree
+            FROM o FULL OUTER JOIN i ON o.node = i.node
         """,
         # streaming tumbling-window aggregate == the batch hourly rollup
         # (window start = hour truncation; no rows late under the wide

@@ -1,0 +1,72 @@
+"""Web-graph construction from crawled pages: link edge extraction and
+degree aggregation (the crawl-frontier / spam-signal side of a web-scale
+corpus; FineWeb-class pipelines compute these from the same WARC pass that
+feeds extraction).
+
+Scale posture: extract_links is one Arrow-batched mapInPandas over the
+page scan (no shuffle - the edge list inherits the page partitioning);
+link_graph_degrees is two hash-aggregates on uniform url keys unioned by a
+full-outer join on node.  At 10^12 pages the edge table dwarfs the page
+table, which is exactly why nothing here ever collects or broadcasts it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from boilerplate_buster_spark.core.weblinks import extract_links_html
+
+LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("href", T.StringType(), False),
+        T.StructField("anchor", T.StringType(), False),
+    ]
+)
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, href, anchor): one row per <a href=...> occurrence per page,
+    hrefs resolved against the page url (core/weblinks kernel)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_u, out_h, out_a = [], [], []
+            for u, h in zip(pdf[url_col], pdf[html_col]):
+                for href, anchor in extract_links_html(h, base_url=u or ""):
+                    out_u.append(u)
+                    out_h.append(href)
+                    out_a.append(anchor)
+            yield pd.DataFrame({"url": out_u, "href": out_h, "anchor": out_a})
+
+    return pages.select(url_col, html_col).mapInPandas(run, LINKS_SCHEMA)
+
+
+def link_graph_degrees(links: DataFrame) -> DataFrame:
+    """(node, out_degree, in_degree): per-url outgoing link count and
+    per-target incoming link count over the edge list (self-links count in
+    both).  Two hash-aggregates + one full-outer join on the node key;
+    nodes appearing only as sources (or only as targets) get 0 for the
+    missing side."""
+    out_d = links.groupBy(F.col("url").alias("node")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_d = links.groupBy(F.col("href").alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )

@@ -1,0 +1,67 @@
+"""Link-extraction kernel + web-graph operator fixtures."""
+
+from boilerplate_buster_spark.core.weblinks import extract_links_html
+from boilerplate_buster_spark.operators.weblinks import (
+    extract_links,
+    link_graph_degrees,
+)
+
+
+def test_kernel_resolution_and_anchor_text():
+    html = (
+        '<html><body><a href="/x">Go  <b>deep</b>\nnow</a>'
+        '<a href="https://abs.example/y">abs &amp; more</a>'
+        '<a href="sub/page">rel</a>'
+        "<a>no href</a>"
+        '<script>var a = \'<a href="https://fake/">nope</a>\';</script>'
+        "</body></html>"
+    )
+    got = extract_links_html(html, base_url="https://host.com/dir/page")
+    assert got == [
+        ("https://host.com/x", "Go deep now"),
+        ("https://abs.example/y", "abs & more"),
+        ("https://host.com/dir/sub/page", "rel"),
+    ]
+
+
+def test_kernel_edge_cases():
+    # nested <a> closes the outer; unterminated trailing <a> still emits
+    html = '<a href="/a">one <a href="/b">two</a> <a href="/c">tail'
+    got = extract_links_html(html, base_url="https://h.io/")
+    assert got == [
+        ("https://h.io/a", "one"),
+        ("https://h.io/b", "two"),
+        ("https://h.io/c", "tail"),
+    ]
+    assert extract_links_html(None) == []
+    assert extract_links_html(b'<a href="/p">bytes</a>', "https://b.co/") == [
+        ("https://b.co/p", "bytes")
+    ]
+
+
+def test_operator_edges_and_degrees(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1", '<a href="https://b.com/">B</a><a href="/self">S</a>'),
+            ("https://b.com/", '<a href="https://a.com/1">back</a>'),
+            ("https://c.com/", "<p>no links</p>"),
+        ],
+        ["url", "html"],
+    )
+    edges = {
+        (r["url"], r["href"], r["anchor"])
+        for r in extract_links(pages).collect()
+    }
+    assert edges == {
+        ("https://a.com/1", "https://b.com/", "B"),
+        ("https://a.com/1", "https://a.com/self", "S"),
+        ("https://b.com/", "https://a.com/1", "back"),
+    }
+    deg = {
+        r["node"]: (r["out_degree"], r["in_degree"])
+        for r in link_graph_degrees(extract_links(pages)).collect()
+    }
+    assert deg["https://a.com/1"] == (2, 1)
+    assert deg["https://b.com/"] == (1, 1)
+    assert deg["https://a.com/self"] == (0, 1)
+    assert "https://c.com/" not in deg  # no edges either way
