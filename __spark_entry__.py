@@ -136,6 +136,48 @@ from boilerplate_buster_spark.operators.urls import (  # noqa: E402
 )
 
 
+def _d_pagerank_sql(iters: int = 3, base: int = 1_000_000_000) -> str:
+    """Unrolled mirror of weblinks.pagerank_scaled over the closed-form
+    _link_pages edge list: one (contribution-aggregate, update) CTE pair
+    per sweep, all-integer arithmetic."""
+    parts = [
+        "d AS (SELECT doc_id, "
+        "'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.com/page' "
+        "|| CAST(doc_id AS VARCHAR) AS url, "
+        "'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.com' AS root "
+        "FROM documents WHERE doc_id < 300)",
+        "e AS (SELECT url AS src, root || '/' AS dst FROM d "
+        "UNION ALL SELECT url, root || '/about' FROM d "
+        "UNION ALL SELECT url, "
+        "'https://ex.com/' || CAST((doc_id * 7) % 200 AS VARCHAR) FROM d "
+        "UNION ALL SELECT url, "
+        "'https://other.org/x' || CAST(doc_id % 4 AS VARCHAR) FROM d "
+        "WHERE doc_id % 2 = 0)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "od AS (SELECT src, count(*) AS sout FROM e GROUP BY src)",
+        f"pr0 AS (SELECT node, {base} // nn.n AS pr FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS node, SUM(p.pr // od.sout) AS inflow "
+            f"FROM e JOIN pr{k - 1} p ON e.src = p.node "
+            f"JOIN od ON e.src = od.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"pr{k} AS (SELECT nodes.node, "
+            f"(15 * ({base} // nn.n)) // 100 "
+            f"+ (85 * coalesce(c{k}.inflow, 0)) // 100 AS pr "
+            f"FROM nodes CROSS JOIN nn "
+            f"LEFT JOIN c{k} ON nodes.node = c{k}.node)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, CAST(pr AS BIGINT) AS pr FROM pr{iters}"
+    )
+
+
 def _d_greedy_expansion_sql(min_docs: int = 5, n: int = 3, max_len: int = 8) -> str:
     """Static unrolled mirror of bloomspan.greedy_phrase_expansion: one
     distinct-doc gram CTE per length, one argmax+left-join pair per
@@ -995,6 +1037,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("in_degree").cast("long").alias("in_degree"),
         )
 
+    def pagerank(spark, sf):
+        # integer-exact damped PageRank (3 sweeps) over the extracted link
+        # graph - iteration-order-independent by construction, so the
+        # generated unrolled SQL twin matches bit-for-bit
+        from boilerplate_buster_spark.operators.weblinks import (
+            extract_links,
+            pagerank_scaled,
+        )
+
+        out = pagerank_scaled(extract_links(_link_pages(spark, sf)), iters=3)
+        return out.select("node", F.col("pr").cast("long").alias("pr"))
+
     def stream_events_hourly(spark, sf):
         # REAL Structured Streaming under the contract gate (moves the
         # streaming surface from pytest-only into the oracle-checked set):
@@ -1603,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pii_redaction=pii_redaction,
         web_links=web_links,
         link_degrees=link_degrees,
+        pagerank=pagerank,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
         llm_corpus_pipeline=llm_corpus_pipeline,
@@ -2407,6 +2462,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(i.in_degree, 0) AS BIGINT) AS in_degree
             FROM o FULL OUTER JOIN i ON o.node = i.node
         """,
+        # integer PageRank: generated unrolled sweep chain
+        "pagerank": _d_pagerank_sql(iters=3),
         # streaming tumbling-window aggregate == the batch hourly rollup
         # (window start = hour truncation; no rows late under the wide
         # watermark)

@@ -70,3 +70,53 @@ def link_graph_degrees(links: DataFrame) -> DataFrame:
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
     )
+
+
+def pagerank_scaled(
+    links: DataFrame, iters: int = 3, base: int = 1_000_000_000
+) -> DataFrame:
+    """(node, pr): damped PageRank over the edge list in EXACT integer
+    arithmetic - scores are scaled to `base` total mass and every division
+    is integer `div`, so iteration order cannot perturb results and a SQL
+    oracle reproduces them bit-for-bit (float PageRank sums in
+    partition-dependent order and is NOT cross-engine stable):
+
+        pr_0(v)   = base div N
+        pr_k+1(v) = (15 * (base div N)) div 100
+                    + (85 * sum_{u->v} (pr_k(u) div out(u))) div 100
+
+    Dangling-node mass (out-degree 0) is dropped, the common simplification.
+    The iteration count is FIXED (crawl-rank uses a handful of sweeps), so
+    the loop unrolls into one static plan: per sweep one edge join + one
+    dst hash-aggregate, uniform keys throughout.  N comes from one count()
+    job over the node set - a graph-statistics scalar, not data collected."""
+    nodes = (
+        links.select(F.col("url").alias("node"))
+        .unionByName(links.select(F.col("href").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_d = links.groupBy(F.col("url").alias("src")).agg(
+        F.count("*").alias("sout")
+    )
+    edges = links.select(F.col("url").alias("src"), F.col("href").alias("dst"))
+    teleport = f"(15 * ({base} div {n})) div 100"
+    pr = nodes.select("node", F.expr(f"{base} div {n}").alias("pr"))
+    for _ in range(iters):
+        inflow = (
+            edges.join(
+                pr.select(F.col("node").alias("src"), F.col("pr").alias("spr")),
+                "src",
+            )
+            .join(out_d, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.expr("sum(spr div sout)").alias("inflow"))
+        )
+        pr = nodes.join(inflow, "node", "left").select(
+            "node",
+            F.expr(
+                f"{teleport} + (85 * coalesce(inflow, 0)) div 100"
+            ).alias("pr"),
+        )
+    return pr

@@ -65,3 +65,31 @@ def test_operator_edges_and_degrees(spark):
     assert deg["https://b.com/"] == (1, 1)
     assert deg["https://a.com/self"] == (0, 1)
     assert "https://c.com/" not in deg  # no edges either way
+
+
+def test_pagerank_integer_semantics(spark):
+    from boilerplate_buster_spark.operators.weblinks import pagerank_scaled
+
+    # star graph: hub links to 3 leaves, leaves link back to hub
+    rows = [("hub", f"leaf{i}", "") for i in range(3)] + [
+        (f"leaf{i}", "hub", "") for i in range(3)
+    ]
+    links = spark.createDataFrame(rows, ["url", "href", "anchor"])
+    base = 1_000_000_000
+    pr = {r["node"]: r["pr"] for r in pagerank_scaled(links, iters=3).collect()}
+    # 4 nodes; symmetric leaves must tie exactly; hub collects 3 whole
+    # leaf contributions vs a leaf's third of the hub -> hub ranks highest
+    assert len(pr) == 4
+    assert pr["leaf0"] == pr["leaf1"] == pr["leaf2"]
+    assert pr["hub"] > pr["leaf0"]
+    # hand-rolled integer replica, 3 sweeps
+    n = 4
+    p = {v: base // n for v in pr}
+    for _ in range(3):
+        inflow = {v: 0 for v in pr}
+        for u, v, _a in rows:
+            inflow[v] += p[u] // 3 if u == "hub" else p[u] // 1
+        p = {
+            v: (15 * (base // n)) // 100 + (85 * inflow[v]) // 100 for v in pr
+        }
+    assert pr == p
