@@ -164,7 +164,31 @@ def main() -> None:
     bench_grams_src = pages_tok.limit(64).select(
         F.expr("array_join(slice(tokens, 1, 8), ' ')").alias("g")
     )
+    # round-5 web-graph + PII operators at pages scale
+    from boilerplate_buster_spark.operators.urls import redact_pii
+    from boilerplate_buster_spark.operators.weblinks import (
+        extract_links,
+        link_graph_degrees,
+    )
+
+    link_pages = pages.select(
+        "url",
+        F.expr(
+            "concat('<html><body><nav><a href=\"/\">Home</a> "
+            "<a href=\"/about\">About</a></nav><p>', text, "
+            "' <a href=\"https://ex.com/', "
+            "CAST(abs(xxhash64(url)) % 1000 AS string), "
+            "'\">more</a></p></body></html>')"
+        ).alias("html"),
+    )
+
     queries += [
+        ("web_graph_pages", lambda: link_graph_degrees(
+            extract_links(link_pages)
+        ).agg(F.sum("in_degree"), F.count("*")).collect()),
+        ("pii_redact_pages", lambda: redact_pii(
+            pages.select(F.col("url").alias("doc_id"), "text"), id_col="doc_id"
+        ).agg(F.sum("n_emails"), F.sum(F.length("redacted_text"))).collect()),
         ("line_dedup_pages", lambda: remove_boilerplate_lines(
             pages_ml, min_df=max(20, n_pages // 100)
         ).agg(F.sum(F.length("clean_text"))).collect()),

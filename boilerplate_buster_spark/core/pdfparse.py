@@ -13,7 +13,11 @@ frames stream bodies by their exact /Length when the dict declares a
 direct one (regex framing would mis-split compressed bytes containing
 "endstream"), and inflates via stdlib zlib.  Crisply documented boundary:
 streams with any OTHER filter (DCT, JBIG2, JPX, Crypt, ...) are skipped,
-never faked.
+never faked; likewise streams whose /DecodeParms (or /DP) declare a
+Predictor > 1 or EarlyChange 0 - decoding those without honoring the
+parameters would emit predictor-delta / misaligned bytes as "text"
+(round-5: skip, never garble; nested parameter dicts are balanced when
+locating the stream dict, so an inner << >> cannot hide /Filter).
 
 Supported when parsing:
   * object scan for ``stream ... endstream`` bodies (any object order);
