@@ -1037,6 +1037,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("in_degree").cast("long").alias("in_degree"),
         )
 
+    def corpus_mix(spark, sf):
+        # Pile/Dolma-style weighted source mixing: deterministic portable-
+        # hash Bernoulli per (source, id) - re-runs at any parallelism give
+        # the identical training set, and the oracle flips the same coins
+        from boilerplate_buster_spark.operators.packing import (
+            weighted_corpus_mix,
+        )
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 300)
+            .select(
+                "doc_id",
+                F.expr(
+                    "CASE WHEN doc_id % 3 = 0 THEN 'web' "
+                    "WHEN doc_id % 3 = 1 THEN 'books' ELSE 'code' END"
+                ).alias("source"),
+            )
+        )
+        out = weighted_corpus_mix(
+            docs, {"web": 700000, "books": 300000, "code": 0}
+        )
+        return out.select("doc_id", "source")
+
+    def sequence_packing(spark, sf):
+        # fixed-length training-sequence packing: where each doc's tokens
+        # land when the corpus concatenates in id order and chunks into
+        # 512-token sequences; distributed two-phase prefix sum (range
+        # buckets + driver bucket offsets), never a global window
+        from boilerplate_buster_spark.operators.packing import pack_sequences
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 500)
+            .select("doc_id", F.split("text", " ").alias("tokens"))
+        )
+        return pack_sequences(docs, seq_len=512)
+
     def pagerank(spark, sf):
         # integer-exact damped PageRank (3 sweeps) over the extracted link
         # graph - iteration-order-independent by construction, so the
@@ -1658,6 +1696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_links=web_links,
         link_degrees=link_degrees,
         pagerank=pagerank,
+        corpus_mix=corpus_mix,
+        sequence_packing=sequence_packing,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
         llm_corpus_pipeline=llm_corpus_pipeline,
@@ -2464,6 +2504,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer PageRank: generated unrolled sweep chain
         "pagerank": _d_pagerank_sql(iters=3),
+        # same portable-hash coins as weighted_corpus_mix
+        "corpus_mix": f"""
+            WITH d AS (SELECT doc_id,
+                         CASE WHEN doc_id % 3 = 0 THEN 'web'
+                              WHEN doc_id % 3 = 1 THEN 'books'
+                              ELSE 'code' END AS source
+                       FROM documents WHERE doc_id < 300)
+            SELECT doc_id, source FROM d
+            WHERE {_dh60("source || '#' || CAST(doc_id AS VARCHAR)")} % 1000000
+                  < CASE WHEN source = 'books' THEN 300000
+                         WHEN source = 'web' THEN 700000 ELSE 0 END
+        """,
+        # packing prefix sums: the oracle may use the single global window
+        # DuckDB is happy with; the Spark side must NOT (two-phase bucket
+        # offsets instead) - equality IS the check that they agree
+        "sequence_packing": """
+            WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+                       FROM documents WHERE doc_id < 500),
+            p AS (SELECT doc_id, n,
+                    coalesce(SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS start
+                  FROM t)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(start AS BIGINT) AS start_offset,
+                   CAST(start // 512 AS BIGINT) AS first_seq,
+                   CAST((start + greatest(n, 1) - 1) // 512 AS BIGINT)
+                     AS last_seq
+            FROM p
+        """,
         # streaming tumbling-window aggregate == the batch hourly rollup
         # (window start = hour truncation; no rows late under the wide
         # watermark)
