@@ -1037,6 +1037,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("in_degree").cast("long").alias("in_degree"),
         )
 
+    def snapshot_history(spark, sf):
+        # CDX-style recrawl history: per-url snapshot versioning with
+        # changed/is_latest flags over a deterministic multi-crawl corpus
+        # (1-3 snapshots per url; even docs change at v1 and REVERT at v2,
+        # which must still count as changed - byte-identity to the
+        # immediate predecessor is what dedups storage)
+        from boilerplate_buster_spark.operators.dedup import snapshot_versions
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+        )
+        snaps = docs.select(
+            F.concat(F.lit("https://ex.com/"), F.col("doc_id")).alias("url"),
+            F.explode(F.expr("sequence(0, CAST(doc_id % 3 AS int))")).alias("v"),
+            "text",
+            "doc_id",
+        ).select(
+            "url",
+            F.expr("concat('2026-01-0', CAST(v + 1 AS string))").alias("ts"),
+            F.expr(
+                "concat(text, IF(v = 1 AND doc_id % 2 = 0, ' updated', ''))"
+            ).alias("content"),
+        )
+        out = snapshot_versions(snaps, ts_col="ts", content_col="content")
+        return out.select(
+            "url",
+            "ts",
+            "fp",
+            F.col("version_idx").cast("long").alias("version_idx"),
+            "changed",
+            "is_latest",
+        )
+
     def corpus_mix(spark, sf):
         # Pile/Dolma-style weighted source mixing: deterministic portable-
         # hash Bernoulli per (source, id) - re-runs at any parallelism give
@@ -1698,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pagerank=pagerank,
         corpus_mix=corpus_mix,
         sequence_packing=sequence_packing,
+        snapshot_history=snapshot_history,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
         llm_corpus_pipeline=llm_corpus_pipeline,
@@ -2504,6 +2540,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer PageRank: generated unrolled sweep chain
         "pagerank": _d_pagerank_sql(iters=3),
+        # recrawl snapshot versioning: same per-url windows in DuckDB
+        "snapshot_history": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            s AS (SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+                         '2026-01-0' || CAST(v + 1 AS VARCHAR) AS ts,
+                         md5(text || CASE WHEN v = 1 AND doc_id % 2 = 0
+                                       THEN ' updated' ELSE '' END) AS fp
+                  FROM d, unnest(generate_series(0, doc_id % 3)) AS u(v)),
+            w AS (SELECT url, ts, fp,
+                    row_number() OVER (PARTITION BY url ORDER BY ts) - 1
+                      AS version_idx,
+                    coalesce(fp <> lag(fp) OVER (PARTITION BY url ORDER BY ts),
+                             TRUE) AS changed,
+                    row_number() OVER (PARTITION BY url ORDER BY ts DESC) = 1
+                      AS is_latest
+                  FROM s)
+            SELECT url, ts, fp, CAST(version_idx AS BIGINT) AS version_idx,
+                   changed, is_latest
+            FROM w
+        """,
         # same portable-hash coins as weighted_corpus_mix
         "corpus_mix": f"""
             WITH d AS (SELECT doc_id,

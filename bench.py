@@ -212,14 +212,16 @@ def main() -> None:
     for _rep in range(REPS):
         run_rep()
     # load-aware extension (round-5): when ambient load during the run
-    # averaged above half the advertised cores, every rep so far is suspect
-    # (neighbor tenants - see BENCH/BASELINE.md), so the min-of-REPS is
-    # likely still contaminated; take up to BBS_BENCH_MAX_EXTRA more
+    # averaged above a third of the advertised cores, every rep so far is
+    # suspect (neighbor tenants - see BENCH/BASELINE.md), so the min-of-REPS
+    # is likely still contaminated; take up to BBS_BENCH_MAX_EXTRA more
     # interleaved reps so the artifact converges toward the quiet-window
-    # number even on a contended box
+    # number even on a contended box.  (Threshold was cpus/2 initially; two
+    # round-5 runs with mean loadavg 13.9 and 15.7 slipped under it while
+    # still contaminating extract/dedup mins - cpus/3 catches that band.)
     max_extra = max(0, int(os.environ.get("BBS_BENCH_MAX_EXTRA", 2)))
     extra_reps = 0
-    while extra_reps < max_extra and sum(loads) / len(loads) > CPUS / 2:
+    while extra_reps < max_extra and sum(loads) / len(loads) > CPUS / 3:
         run_rep()
         extra_reps += 1
 

@@ -306,3 +306,42 @@ def simhash16(
     return docs.select(
         F.col(id_col), F.expr(hs).alias("hs")
     ).select(F.col(id_col), F.expr(f"cast({bit_terms} AS bigint)").alias("simhash"))
+
+
+def snapshot_versions(
+    snaps: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "content",
+) -> DataFrame:
+    """(url, ts, fp, version_idx, changed, is_latest): recrawl history per
+    url - the CDX-style temporal dedup every multi-crawl corpus needs
+    (store one copy per CHANGED snapshot, serve the latest).
+
+      version_idx  0-based position in the url's snapshot order (ts asc);
+      changed      first snapshot, or fingerprint differs from the
+                   PREVIOUS snapshot (a revert to an older version counts
+                   as changed - byte-identity to the immediate predecessor
+                   is what dedups storage);
+      is_latest    the url's newest snapshot.
+
+    One url-keyed window: urls are uniform keys and per-url snapshot counts
+    are bounded by recrawl frequency, so the partitionBy window is
+    scale-safe (unlike a global order)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    wd = Window.partitionBy(url_col).orderBy(F.desc(ts_col))
+    return (
+        snaps.select(
+            F.col(url_col), F.col(ts_col), F.md5(content_col).alias("fp")
+        )
+        .withColumn("version_idx", F.row_number().over(w) - 1)
+        .withColumn(
+            "changed",
+            F.coalesce(
+                F.col("fp") != F.lag("fp").over(w), F.lit(True)
+            ),
+        )
+        .withColumn("is_latest", F.row_number().over(wd) == 1)
+    )

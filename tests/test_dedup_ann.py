@@ -283,3 +283,27 @@ def test_duplicate_clusters_raises_when_unconverged(spark):
     pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.duplicate_clusters(pdf, driver_threshold=0, max_iters=1)
+
+
+def test_snapshot_versions_revert_counts_as_changed(spark):
+    from boilerplate_buster_spark.operators.dedup import snapshot_versions
+
+    snaps = spark.createDataFrame(
+        [
+            ("u1", "t1", "alpha"),
+            ("u1", "t2", "beta"),
+            ("u1", "t3", "alpha"),  # revert: still changed vs predecessor
+            ("u1", "t4", "alpha"),  # identical to predecessor: unchanged
+            ("u2", "t1", "solo"),
+        ],
+        ["url", "warc_ts", "content"],
+    )
+    got = {
+        (r["url"], r["warc_ts"]): (r["version_idx"], r["changed"], r["is_latest"])
+        for r in snapshot_versions(snaps, content_col="content").collect()
+    }
+    assert got[("u1", "t1")] == (0, True, False)
+    assert got[("u1", "t2")] == (1, True, False)
+    assert got[("u1", "t3")] == (2, True, False)
+    assert got[("u1", "t4")] == (3, False, True)
+    assert got[("u2", "t1")] == (0, True, True)
