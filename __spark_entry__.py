@@ -1037,6 +1037,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("in_degree").cast("long").alias("in_degree"),
         )
 
+    def exact_span_pairs(spark, sf):
+        # Lee-et-al-style exact-substring dedup: doc pairs sharing >= 1
+        # exact 10-token span, with distinct shared-span counts, over the
+        # duplicated corpus (every (i, i+100000) copy pair must surface)
+        from boilerplate_buster_spark.operators.dedup import (
+            exact_substring_pairs,
+        )
+
+        return exact_substring_pairs(_dedup_union(spark, sf), span=10).select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared_spans").cast("long").alias("n_shared_spans"),
+        )
+
     def snapshot_history(spark, sf):
         # CDX-style recrawl history: per-url snapshot versioning with
         # changed/is_latest flags over a deterministic multi-crawl corpus
@@ -1734,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus_mix=corpus_mix,
         sequence_packing=sequence_packing,
         snapshot_history=snapshot_history,
+        exact_span_pairs=exact_span_pairs,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
         llm_corpus_pipeline=llm_corpus_pipeline,
@@ -2540,6 +2555,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer PageRank: generated unrolled sweep chain
         "pagerank": _d_pagerank_sql(iters=3),
+        # exact-span pairs: the oracle joins RAW span strings (collision-
+        # free); Spark buckets on xxhash64 of the span - the 2^-64 64-bit
+        # collision trade is documented in the operator, and on this
+        # deterministic corpus equality is stable run to run
+        "exact_span_pairs": f"""
+            WITH {_D_UNI},
+            sp AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+9], ' ') AS s
+                   FROM toks,
+                        unnest(generate_series(1, greatest(len(t) - 9, 0))) AS u(i)),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         count(*) AS n_shared_spans
+                  FROM sp a JOIN sp b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT doc_a, doc_b, CAST(n_shared_spans AS BIGINT) AS n_shared_spans
+            FROM p
+        """,
         # recrawl snapshot versioning: same per-url windows in DuckDB
         "snapshot_history": """
             WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),

@@ -345,3 +345,50 @@ def snapshot_versions(
         )
         .withColumn("is_latest", F.row_number().over(wd) == 1)
     )
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    span: int = 20,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_spans): document pairs sharing at least one
+    EXACT `span`-token substring, with the count of distinct shared spans -
+    the deduplicating-training-data criterion of Lee et al. 2022 (50-token
+    exact match; The Pile / PaLM pipelines), complementing MinHash's
+    whole-document similarity with span-level exactness.
+
+    Plan: distinct per-doc span HASHES (xxhash64 of the joined span - 64-bit
+    collision risk documented, the standard trade at corpus scale) ->
+    groupBy(span) collect_set - the same bucket-expansion shape as
+    lsh_candidate_pairs (never a self-join) -> per-pair span count.
+    `max_bucket` drops spans shared by more docs (quadratic blowup guard;
+    such spans are boilerplate better handled by the phrase miner)."""
+    sh = shingles_expr(tokens_col, span)
+    spans = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"transform({sh}, s -> xxhash64(s))")).alias("h"),
+    )
+    grouped = spans.groupBy("h").agg(
+        F.expr(f"array_sort(collect_set({id_col}))").alias("ids")
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    pairs = grouped.filter(F.size("ids") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> named_struct('doc_a', x, 'doc_b', y))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_spans"))
+    )

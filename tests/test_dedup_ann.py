@@ -307,3 +307,32 @@ def test_snapshot_versions_revert_counts_as_changed(spark):
     assert got[("u1", "t3")] == (2, True, False)
     assert got[("u1", "t4")] == (3, False, True)
     assert got[("u2", "t1")] == (0, True, True)
+
+
+def test_exact_substring_pairs_span_semantics(spark):
+    from boilerplate_buster_spark.operators.dedup import exact_substring_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f".split()),       # shares "b c d" with 2
+            (2, "x b c d y z".split()),
+            (3, "q r s t u v".split()),       # shares nothing
+            (4, "a b c d e f".split()),       # identical to 1
+        ],
+        ["doc_id", "tokens"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_spans"]
+        for r in exact_substring_pairs(docs, span=3).collect()
+    }
+    # doc1/doc2 share exactly one distinct 3-token span ("b c d")
+    assert got[(1, 2)] == 1 and got[(2, 4)] == 1
+    # identical docs share all 4 distinct spans
+    assert got[(1, 4)] == 4
+    assert not any(3 in p for p in got)
+    # max_bucket drops over-shared spans ("b c d" is in 3 docs)
+    got2 = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_spans"]
+        for r in exact_substring_pairs(docs, span=3, max_bucket=2).collect()
+    }
+    assert (1, 2) not in got2 and got2[(1, 4)] == 3
