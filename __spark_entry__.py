@@ -928,7 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "IF(doc_id % 2 = 0, 'www.', ''), "
                 "'site', CAST(doc_id % 20 AS string), "
                 "'.ex', CAST(doc_id % 5 AS string), '.com/', "
-                "repeat('p/', CAST(doc_id % 4 AS int)), 'page', "
+                "repeat('p/', CAST(doc_id % 4 AS int)), "
+                "'page', CAST(doc_id AS string), "
                 "IF(doc_id % 3 = 1, concat('?a=1&b=', CAST(doc_id AS string)), ''))"
             ).alias("url"),
         )
@@ -1036,6 +1037,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("out_degree").cast("long").alias("out_degree"),
             F.col("in_degree").cast("long").alias("in_degree"),
         )
+
+    def robots_decisions(spark, sf):
+        # crawl politeness: per-host robots.txt synthesized in closed form,
+        # REAL REP parse (core/robots via Arrow batch) + Catalyst longest-
+        # match decision for crawler 'MyBot'.  Expected: ex0.com hosts have
+        # an exact-UA group disallowing everything; elsewhere the '*' group
+        # disallows /p/ but allows /p/p/ (longest match), and depth-0 paths
+        # match no rule -> allowed
+        from boilerplate_buster_spark.operators.urls import (
+            parse_robots_df,
+            robots_filter,
+        )
+
+        urls = _synth_urls(spark, sf)
+        hosts = urls.select(
+            F.expr(
+                "element_at(split(regexp_replace(url, '^[a-z]+://', ''), '/'), 1)"
+            ).alias("host")
+        ).distinct()
+        robots = hosts.select(
+            "host",
+            F.concat(
+                F.lit(
+                    "# crawl policy\nUser-agent: *\nDisallow: /p/\n"
+                    "Allow: /p/p/\nDisallow: *.gif$\n"
+                ),
+                F.when(
+                    F.col("host").like("%ex0.com"),
+                    F.lit("\nUser-agent: MyBot\nDisallow: /\n"),
+                ).otherwise(F.lit("")),
+            ).alias("robots_txt"),
+        )
+        rules = parse_robots_df(robots)
+        out = robots_filter(urls, rules, "MyBot")
+        return urls.join(out, "url").select("doc_id", "url", "allowed")
 
     def exact_span_pairs(spark, sf):
         # Lee-et-al-style exact-substring dedup: doc pairs sharing >= 1
@@ -1749,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sequence_packing=sequence_packing,
         snapshot_history=snapshot_history,
         exact_span_pairs=exact_span_pairs,
+        robots_decisions=robots_decisions,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
         llm_corpus_pipeline=llm_corpus_pipeline,
@@ -2465,6 +2502,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    scheme || '://' || host || '/'
                      || repeat('p/', doc_id % 4) || 'page'
+                     || CAST(doc_id AS VARCHAR)
                      || CASE WHEN doc_id % 3 = 1
                           THEN '?a=1&b=' || CAST(doc_id AS VARCHAR)
                           ELSE '' END AS url,
@@ -2480,6 +2518,7 @@ def oracle_sql() -> dict[str, str]:
                      || 'site' || CAST(doc_id % 20 AS VARCHAR)
                      || '.ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/'
                      || repeat('p/', doc_id % 4) || 'page'
+                     || CAST(doc_id AS VARCHAR)
                      || CASE WHEN doc_id % 3 = 1
                           THEN '?a=1&b=' || CAST(doc_id AS VARCHAR)
                           ELSE '' END AS url
@@ -2555,6 +2594,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer PageRank: generated unrolled sweep chain
         "pagerank": _d_pagerank_sql(iters=3),
+        # robots decisions in closed form: ex0.com hosts (doc_id%5=0) hit
+        # the exact-UA disallow-all group; depth doc_id%4=1 paths match
+        # only Disallow /p/; depth>=2 matches Allow /p/p/ (longest);
+        # depth 0 matches nothing -> allowed.  (The wildcard Disallow
+        # *.gif$ line is outside the REP subset and must be IGNORED by the
+        # parser - its effect would otherwise show here.)
+        "robots_decisions": """
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+                     || '://'
+                     || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                     || 'site' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/'
+                     || repeat('p/', doc_id % 4) || 'page'
+                     || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 3 = 1
+                          THEN '?a=1&b=' || CAST(doc_id AS VARCHAR)
+                          ELSE '' END AS url,
+                   (doc_id % 5 <> 0 AND doc_id % 4 <> 1) AS allowed
+            FROM documents WHERE doc_id < 300
+        """,
         # exact-span pairs: the oracle joins RAW span strings (collision-
         # free); Spark buckets on xxhash64 of the span - the 2^-64 64-bit
         # collision trade is documented in the operator, and on this

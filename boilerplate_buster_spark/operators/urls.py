@@ -103,3 +103,84 @@ def redact_pii(
         ).alias("n_ips"),
         F.regexp_replace(F.col("_t1"), IPV4_RE, "<IP>").alias("redacted_text"),
     )
+
+
+def parse_robots_df(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, ua, kind, prefix): parsed REP rules, one row per (group UA,
+    rule) - core/robots.parse_robots inside one Arrow batch.  The rule
+    table is policy-sized (one robots.txt per host), the natural broadcast
+    side of robots_filter."""
+    import pandas as pd
+
+    from boilerplate_buster_spark.core.robots import parse_robots
+
+    def run(batches):
+        for pdf in batches:
+            h, u, k, p = [], [], [], []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                for ua, kind, prefix in parse_robots(text or ""):
+                    h.append(host)
+                    u.append(ua)
+                    k.append(kind)
+                    p.append(prefix)
+            yield pd.DataFrame({"host": h, "ua": u, "kind": k, "prefix": p})
+
+    return robots.select(host_col, text_col).mapInPandas(
+        run, "host string, ua string, kind string, prefix string"
+    )
+
+
+def robots_filter(
+    urls_df: DataFrame,
+    rules: DataFrame,
+    crawler_ua: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, allowed): RFC 9309 longest-match decision per url, entirely in
+    Catalyst - group selection (exact-UA group if the host has one, else
+    the '*' group), startswith prefix join against the BROADCAST rule
+    table, per-url argmax on (longest prefix, Allow wins ties).  Urls on
+    hosts with no matching rule are allowed.  The corpus shuffles once for
+    the per-url aggregate; the rule side never exceeds policy size."""
+    ua = crawler_ua.lower()
+    exact = rules.filter(F.lower(F.col("ua")) == ua)
+    star = rules.filter(F.col("ua") == "*").join(
+        exact.select("host").distinct(), "host", "left_anti"
+    )
+    eff = exact.unionByName(star).select("host", "kind", "prefix")
+    host = "element_at(split(regexp_replace(url, '^[a-z]+://', ''), '/'), 1)"
+    u = urls_df.select(
+        F.col(url_col),
+        F.expr(host).alias("host"),
+        F.expr(
+            f"coalesce(nullif(substring(regexp_replace({url_col}, "
+            f"'^[a-z]+://', ''), length({host}) + 1), ''), '/')"
+        ).alias("path"),
+    )
+    matched = (
+        u.join(F.broadcast(eff), "host", "left")
+        .filter(
+            F.col("prefix").isNull() | F.expr("startswith(path, prefix)")
+        )
+        .groupBy(url_col)
+        .agg(
+            F.min(
+                F.when(
+                    F.col("prefix").isNotNull(),
+                    F.struct(
+                        F.expr("-length(prefix)").alias("nl"),
+                        F.expr("IF(kind = 'allow', 0, 1)").alias("d"),
+                    ),
+                )
+            ).alias("best")
+        )
+    )
+    # rejoin against ALL urls: a rule-bearing host whose every rule failed
+    # the startswith filter would otherwise vanish from the aggregate (and
+    # such urls are allowed, same as rule-less hosts)
+    return u.select(url_col).join(matched, url_col, "left").select(
+        url_col,
+        (F.col("best").isNull() | (F.col("best.d") == 0)).alias("allowed"),
+    )

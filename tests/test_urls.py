@@ -69,3 +69,60 @@ def test_redact_pii_order_and_counts(spark):
     assert got[3]["redacted_text"] == "no pii here"
     assert (got[4]["n_emails"], got[4]["n_ips"]) == (1, 2)
     assert got[4]["redacted_text"] == "two ips <IP> <IP> one mail <EMAIL>"
+
+
+def test_robots_parse_and_longest_match():
+    from boilerplate_buster_spark.core.robots import is_allowed, parse_robots
+
+    txt = (
+        "# policy\n"
+        "User-agent: Alpha\n"
+        "User-agent: Beta\n"
+        "Disallow: /private/\n"
+        "Allow: /private/pub/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /tmp/\n"
+        "Disallow: *.gif$\n"        # wildcard extension: must be DROPPED
+        "Crawl-delay: 10\n"         # unknown directive: skipped
+        "Disallow:\n"               # empty disallow = allow all
+    )
+    rules = parse_robots(txt)
+    assert ("alpha", "disallow", "/private/") in rules
+    assert ("beta", "allow", "/private/pub/") in rules
+    assert ("*", "disallow", "/tmp/") in rules
+    assert not any("*.gif$" in r for r in rules)
+    # longest-match precedence with allow override
+    assert not is_allowed(rules, "Alpha", "/private/x")
+    assert is_allowed(rules, "Alpha", "/private/pub/x")
+    assert is_allowed(rules, "Alpha", "/tmp/x")       # alpha group, no /tmp rule
+    assert not is_allowed(rules, "Other", "/tmp/x")   # falls to * group
+    assert is_allowed(rules, "Other", "/ok")
+
+
+def test_robots_filter_rule_bearing_host_without_match(spark):
+    from boilerplate_buster_spark.operators.urls import (
+        parse_robots_df,
+        robots_filter,
+    )
+
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /x/\n")], ["host", "robots_txt"]
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://h.com/x/a",),   # blocked
+            ("https://h.com/ok",),    # host HAS rules, none match -> allowed
+            ("https://none.com/x/a",),  # no rules at all -> allowed
+        ],
+        ["url"],
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in robots_filter(urls, parse_robots_df(robots), "bot").collect()
+    }
+    assert got == {
+        "https://h.com/x/a": False,
+        "https://h.com/ok": True,
+        "https://none.com/x/a": True,
+    }
