@@ -1038,6 +1038,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("in_degree").cast("long").alias("in_degree"),
         )
 
+    def page_meta(spark, sf):
+        # head-metadata extraction (title/description/og/canonical/lang/
+        # charset) over closed-form pages; even docs declare charset via
+        # <meta charset>, odd docs via http-equiv Content-Type - both real
+        # paths of the kernel
+        from boilerplate_buster_spark.operators.pagemeta import page_metadata
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 300
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://m.ex.com/"), F.col("doc_id")).alias("url"),
+            F.expr(
+                "concat('<html lang=\"', "
+                "CASE WHEN doc_id % 3 = 0 THEN 'en' "
+                "WHEN doc_id % 3 = 1 THEN 'de' ELSE 'ru' END, "
+                "'\"><head><title>Doc ', CAST(doc_id AS string), "
+                "' overview</title>', "
+                "IF(doc_id % 2 = 0, "
+                "'<meta charset=\"utf-8\">', "
+                "'<meta http-equiv=\"Content-Type\" "
+                "content=\"text/html; charset=iso-8859-1\">'), "
+                "'<meta name=\"description\" content=\"summary number ', "
+                "CAST(doc_id % 7 AS string), '\">', "
+                "IF(doc_id % 4 = 0, concat('<meta property=\"og:title\" "
+                "content=\"OG ', CAST(doc_id AS string), '\">'), ''), "
+                "'<link rel=\"canonical\" href=\"https://canon.ex.com/', "
+                "CAST(doc_id % 50 AS string), '\">', "
+                "'</head><body><p>x</p></body></html>')"
+            ).alias("html"),
+        )
+        return page_metadata(pages)
+
+    def sitemap_entries(spark, sf):
+        # sitemap parse: one urlset per host listing its pages with
+        # lastmod/priority; one sitemapindex document exercises the index
+        # path (is_index=true, child-sitemap locs)
+        from boilerplate_buster_spark.operators.pagemeta import parse_sitemaps
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        urlset = docs.select(
+            F.expr(
+                "concat('https://s', CAST(doc_id % 10 AS string), "
+                "'.ex.com/sitemap.xml')"
+            ).alias("url"),
+            F.expr(
+                "concat('<url><loc>https://s', CAST(doc_id % 10 AS string), "
+                "'.ex.com/page', CAST(doc_id AS string), '</loc>', "
+                "'<lastmod>2026-0', CAST(doc_id % 9 + 1 AS string), "
+                "'-01</lastmod>', "
+                "IF(doc_id % 2 = 0, concat('<priority>0.', "
+                "CAST(doc_id % 10 AS string), '</priority>'), ''), "
+                "'</url>')"
+            ).alias("entry"),
+        )
+        sm = urlset.groupBy("url").agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset xmlns="x">'),
+                F.expr("array_join(array_sort(collect_list(entry)), '')"),
+                F.lit("</urlset>"),
+            ).alias("content")
+        )
+        index = spark.range(1).select(
+            F.lit("https://ex.com/sitemap_index.xml").alias("url"),
+            F.lit(
+                "<sitemapindex><sitemap>"
+                "<loc>https://s0.ex.com/sitemap.xml</loc>"
+                "<lastmod>2026-01-15</lastmod></sitemap><sitemap>"
+                "<loc>https://s1.ex.com/sitemap.xml</loc></sitemap>"
+                "</sitemapindex>"
+            ).alias("content"),
+        )
+        return parse_sitemaps(sm.unionByName(index))
+
     def robots_decisions(spark, sf):
         # crawl politeness: per-host robots.txt synthesized in closed form,
         # REAL REP parse (core/robots via Arrow batch) + Catalyst longest-
@@ -1786,6 +1862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         snapshot_history=snapshot_history,
         exact_span_pairs=exact_span_pairs,
         robots_decisions=robots_decisions,
+        page_meta=page_meta,
+        sitemap_entries=sitemap_entries,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
         llm_corpus_pipeline=llm_corpus_pipeline,
@@ -2594,6 +2672,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer PageRank: generated unrolled sweep chain
         "pagerank": _d_pagerank_sql(iters=3),
+        # head metadata rebuilt in closed form field by field
+        "page_meta": """
+            SELECT 'https://m.ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' overview' AS title,
+                   'summary number ' || CAST(doc_id % 7 AS VARCHAR)
+                     AS description,
+                   CASE WHEN doc_id % 4 = 0
+                     THEN 'OG ' || CAST(doc_id AS VARCHAR) ELSE '' END
+                     AS og_title,
+                   'https://canon.ex.com/' || CAST(doc_id % 50 AS VARCHAR)
+                     AS canonical,
+                   CASE WHEN doc_id % 3 = 0 THEN 'en'
+                        WHEN doc_id % 3 = 1 THEN 'de' ELSE 'ru' END AS lang,
+                   CASE WHEN doc_id % 2 = 0 THEN 'utf-8'
+                        ELSE 'iso-8859-1' END AS charset
+            FROM documents WHERE doc_id < 300
+        """,
+        # urlset entries per host + the two index children
+        "sitemap_entries": """
+            SELECT 'https://s' || CAST(doc_id % 10 AS VARCHAR)
+                     || '.ex.com/sitemap.xml' AS sitemap_url,
+                   FALSE AS is_index,
+                   'https://s' || CAST(doc_id % 10 AS VARCHAR)
+                     || '.ex.com/page' || CAST(doc_id AS VARCHAR) AS loc,
+                   '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01'
+                     AS lastmod,
+                   '' AS changefreq,
+                   CASE WHEN doc_id % 2 = 0
+                     THEN '0.' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END
+                     AS priority
+            FROM documents WHERE doc_id < 200
+            UNION ALL
+            SELECT 'https://ex.com/sitemap_index.xml', TRUE,
+                   'https://s0.ex.com/sitemap.xml', '2026-01-15', '', ''
+            UNION ALL
+            SELECT 'https://ex.com/sitemap_index.xml', TRUE,
+                   'https://s1.ex.com/sitemap.xml', '', '', ''
+        """,
         # robots decisions in closed form: ex0.com hosts (doc_id%5=0) hit
         # the exact-UA disallow-all group; depth doc_id%4=1 paths match
         # only Disallow /p/; depth>=2 matches Allow /p/p/ (longest);

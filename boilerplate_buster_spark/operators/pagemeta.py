@@ -1,0 +1,76 @@
+"""Page-metadata and sitemap operators - head metadata for indexing /
+canonical dedup, sitemap entries for the crawl frontier.  Both are one
+Arrow-batched mapInPandas over the page scan (no shuffle), kernels in
+core/htmlmeta.py and core/sitemapparse.py."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from boilerplate_buster_spark.core.htmlmeta import extract_meta
+from boilerplate_buster_spark.core.sitemapparse import parse_sitemap
+
+META_SCHEMA = (
+    "url string, title string, description string, og_title string, "
+    "canonical string, lang string, charset string"
+)
+
+SITEMAP_SCHEMA = (
+    "sitemap_url string, is_index boolean, loc string, lastmod string, "
+    "changefreq string, priority string"
+)
+
+
+def page_metadata(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, title, description, og_title, canonical, lang, charset): head
+    metadata per page; missing fields are empty strings."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for u, h in zip(pdf[url_col], pdf[html_col]):
+                m = extract_meta(h)
+                rows.append(
+                    (u, m["title"], m["description"], m["og_title"],
+                     m["canonical"], m["lang"], m["charset"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "title", "description", "og_title",
+                         "canonical", "lang", "charset"],
+            )
+
+    return pages.select(url_col, html_col).mapInPandas(run, META_SCHEMA)
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame, url_col: str = "url", content_col: str = "content"
+) -> DataFrame:
+    """(sitemap_url, is_index, loc, lastmod, changefreq, priority): one row
+    per sitemap entry (urlset urls, or child sitemaps of a sitemapindex)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for u, c in zip(pdf[url_col], pdf[content_col]):
+                is_index, entries = parse_sitemap(c)
+                for e in entries:
+                    rows.append(
+                        (u, is_index, e["loc"], e["lastmod"],
+                         e["changefreq"], e["priority"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["sitemap_url", "is_index", "loc", "lastmod",
+                         "changefreq", "priority"],
+            )
+
+    return sitemaps.select(url_col, content_col).mapInPandas(
+        run, SITEMAP_SCHEMA
+    )

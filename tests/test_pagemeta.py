@@ -1,0 +1,54 @@
+"""Head-metadata and sitemap kernel fixtures."""
+
+from boilerplate_buster_spark.core.htmlmeta import extract_meta
+from boilerplate_buster_spark.core.sitemapparse import parse_sitemap
+
+
+def test_extract_meta_fields_and_first_wins():
+    html = (
+        '<html lang="en-US"><head>'
+        "<title>  First   Title </title><title>Second</title>"
+        '<meta charset="UTF-8">'
+        '<meta name="Description" content="a &amp; b">'
+        '<meta property="og:title" content="OG name">'
+        '<link rel="stylesheet canonical" href="https://c.example/x">'
+        '<link rel="canonical" href="https://c.example/y">'
+        "</head><body></body></html>"
+    )
+    m = extract_meta(html)
+    assert m["title"] == "First Title"
+    assert m["description"] == "a & b"
+    assert m["og_title"] == "OG name"
+    assert m["canonical"] == "https://c.example/x"  # rel token list matches
+    assert m["lang"] == "en-US"
+    assert m["charset"] == "UTF-8"
+    # http-equiv charset path
+    m2 = extract_meta(
+        '<meta http-equiv="content-type" '
+        'content="text/html; charset=windows-1251">'
+    )
+    assert m2["charset"] == "windows-1251"
+    assert extract_meta(None)["title"] == ""
+
+
+def test_parse_sitemap_urlset_and_index():
+    is_idx, es = parse_sitemap(
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/x">'
+        "<url><loc>https://a/1</loc><lastmod>2026-01-02</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc> https://a/2 </loc></url>"
+        "<url><lastmod>2026-01-01</lastmod></url>"  # no loc: dropped
+        "</urlset>"
+    )
+    assert not is_idx
+    assert es == [
+        {"loc": "https://a/1", "lastmod": "2026-01-02",
+         "changefreq": "daily", "priority": "0.8"},
+        {"loc": "https://a/2", "lastmod": "", "changefreq": "", "priority": ""},
+    ]
+    is_idx2, es2 = parse_sitemap(
+        "<sitemapindex><sitemap><loc>https://a/s1.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    assert is_idx2 and es2[0]["loc"] == "https://a/s1.xml"
+    assert parse_sitemap(b"not xml at all") == (False, [])
