@@ -1114,6 +1114,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return parse_sitemaps(sm.unionByName(index))
 
+    def page_tables(spark, sf):
+        # WebTables-style structured extraction: one table per page with a
+        # <th> header row and 1-3 data rows (implied </td> closes
+        # exercised); closed-form cell grid for the oracle
+        from boilerplate_buster_spark.operators.pagemeta import (
+            extract_page_tables,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://t.ex.com/"), F.col("doc_id")).alias("url"),
+            F.expr(
+                "concat('<html><body><p>pre</p>"
+                "<table><tr><th>k</th><th>v</th></tr>', "
+                "array_join(transform(sequence(0, CAST(doc_id % 3 AS int)), "
+                "r -> concat('<tr><td>r', CAST(r AS string), "
+                "'<td>', CAST((doc_id * 31 + r) % 100 AS string))), ''), "
+                "'</table></body></html>')"
+            ).alias("html"),
+        )
+        return extract_page_tables(pages)
+
     def robots_decisions(spark, sf):
         # crawl politeness: per-host robots.txt synthesized in closed form,
         # REAL REP parse (core/robots via Arrow batch) + Catalyst longest-
@@ -1864,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         robots_decisions=robots_decisions,
         page_meta=page_meta,
         sitemap_entries=sitemap_entries,
+        page_tables=page_tables,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
         llm_corpus_pipeline=llm_corpus_pipeline,
@@ -2709,6 +2734,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'https://ex.com/sitemap_index.xml', TRUE,
                    'https://s1.ex.com/sitemap.xml', '', '', ''
+        """,
+        # table cell grid in closed form (header row + 1-3 data rows; the
+        # Spark side's <td> cells use IMPLIED closes)
+        "page_tables": """
+            WITH d AS (SELECT doc_id,
+                         'https://t.ex.com/' || CAST(doc_id AS VARCHAR) AS url
+                       FROM documents WHERE doc_id < 200)
+            SELECT url, 0 AS table_idx, 0 AS row_idx, c.col_idx,
+                   CASE c.col_idx WHEN 0 THEN 'k' ELSE 'v' END AS cell,
+                   TRUE AS is_header
+            FROM d, (VALUES (0), (1)) c(col_idx)
+            UNION ALL
+            SELECT url, 0, r.v + 1, 0, 'r' || CAST(r.v AS VARCHAR), FALSE
+            FROM d, unnest(generate_series(0, doc_id % 3)) r(v)
+            UNION ALL
+            SELECT url, 0, r.v + 1, 1,
+                   CAST((doc_id * 31 + r.v) % 100 AS VARCHAR), FALSE
+            FROM d, unnest(generate_series(0, doc_id % 3)) r(v)
         """,
         # robots decisions in closed form: ex0.com hosts (doc_id%5=0) hit
         # the exact-UA disallow-all group; depth doc_id%4=1 paths match

@@ -74,3 +74,34 @@ def parse_sitemaps(
     return sitemaps.select(url_col, content_col).mapInPandas(
         run, SITEMAP_SCHEMA
     )
+
+
+TABLES_SCHEMA = (
+    "url string, table_idx int, row_idx int, col_idx int, "
+    "cell string, is_header boolean"
+)
+
+
+def extract_page_tables(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, table_idx, row_idx, col_idx, cell, is_header): every table
+    cell of every page (core/htmltables kernel) - the WebTables-style
+    structured-data extraction, one Arrow-batched map over the page scan."""
+    from boilerplate_buster_spark.core.htmltables import extract_tables
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for u, h in zip(pdf[url_col], pdf[html_col]):
+                for ti, table in enumerate(extract_tables(h)):
+                    for ri, row in enumerate(table):
+                        for ci, (text, hdr) in enumerate(row):
+                            rows.append((u, ti, ri, ci, text, hdr))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "table_idx", "row_idx", "col_idx",
+                         "cell", "is_header"],
+            )
+
+    return pages.select(url_col, html_col).mapInPandas(run, TABLES_SCHEMA)

@@ -52,3 +52,29 @@ def test_parse_sitemap_urlset_and_index():
     )
     assert is_idx2 and es2[0]["loc"] == "https://a/s1.xml"
     assert parse_sitemap(b"not xml at all") == (False, [])
+
+
+def test_extract_tables_kernel():
+    from boilerplate_buster_spark.core.htmltables import extract_tables
+
+    html = (
+        "<table><tr><th>A</th><th>B</th></tr>"
+        "<tr><td>1<td>2</tr>"  # implied </td> closes
+        "<tr><td>x &amp; y</td><td>z</td></tr></table>"
+        "<table><td>loose</table>"  # implied row, unterminated-ish
+    )
+    t = extract_tables(html)
+    assert t[0] == [
+        [("A", True), ("B", True)],
+        [("1", False), ("2", False)],
+        [("x & y", False), ("z", False)],
+    ]
+    assert t[1] == [[("loose", False)]]
+    # nested table is its own result (emitted first - it closes first)
+    t2 = extract_tables(
+        "<table><tr><td>pre<table><tr><td>in</td></tr></table></td></tr></table>"
+    )
+    assert t2[0] == [[("in", False)]]
+    assert t2[1] == [[("pre", False)]]
+    assert extract_tables(None) == []
+    assert extract_tables("<p>no tables</p>") == []

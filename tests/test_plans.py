@@ -242,3 +242,36 @@ def test_pretrained_lm_broadcasts_model(spark):
     assert "BroadcastHashJoin" in plan
     # both model joins broadcast -> no SortMergeJoin against the model
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_url_policy_operators_broadcast_not_shuffle(spark):
+    # blocklist and robots rule tables are policy-sized: both must reach
+    # the corpus through broadcast joins, never a corpus-side shuffle
+    from boilerplate_buster_spark.operators.urls import (
+        parse_robots_df,
+        robots_filter,
+        url_blocklist_filter,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 7}.com/p{i}",) for i in range(50)], ["url"]
+    )
+    plan = explain_str(url_blocklist_filter(urls, ["h1.com", "h2.com"]))
+    assert "BroadcastHashJoin" in plan
+    robots = spark.createDataFrame(
+        [("h1.com", "User-agent: *\nDisallow: /p/\n")], ["host", "robots_txt"]
+    )
+    plan2 = explain_str(robots_filter(urls, parse_robots_df(robots), "bot"))
+    assert "BroadcastHashJoin" in plan2
+
+
+def test_weighted_mix_is_pure_scan_filter(spark):
+    from boilerplate_buster_spark.operators.packing import weighted_corpus_mix
+
+    docs = spark.createDataFrame(
+        [(i, "web") for i in range(20)], ["doc_id", "source"]
+    )
+    plan = explain_str(weighted_corpus_mix(docs, {"web": 500000}))
+    # no shuffle, no Python - a deterministic filter in the scan stage
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
