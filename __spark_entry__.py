@@ -1443,9 +1443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # THE composed FineWeb/CCNet-style training-data job, end-to-end,
         # every stage the real operator (round-4 verdict item #1):
         #   WARC ingest -> DOM-heuristic boilerplate strip -> CCNet line
-        #   dedup -> benchmark decontamination -> langID + quality +
-        #   corpus-LM scoring -> MinHash-LSH near-dup clustering ->
-        #   survivor selection, emitting per-url keep/drop + reasons.
+        #   dedup -> PII redaction (round-5 stage) -> benchmark
+        #   decontamination -> langID + quality + corpus-LM scoring ->
+        #   MinHash-LSH near-dup clustering -> survivor selection,
+        #   emitting per-url keep/drop + reasons + anonymization counts.
         # Corpus: docs 0-199 as https://ex.com/<id> PLUS mirror copies of
         # docs 0-49 as https://mirror.ex.com/<id> (a mirrored site), so the
         # near-dup stage provably bites; injected banner lines (same scheme
@@ -1542,6 +1543,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.when(docid % 3 == 0, F.lit("\nrepeat me\nrepeat me")).otherwise(
                     F.lit("")
                 ),
+                # per-doc contact line (unique -> survives line dedup in the
+                # original AND its mirror copy) feeds the PII stage
+                F.concat(
+                    F.lit("\ncontact admin"),
+                    docid.cast("string"),
+                    F.lit("@mail.example now"),
+                ),
             ).alias("mltext"),
         )
         cleaned = remove_boilerplate_lines(
@@ -1561,6 +1569,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr(
                 "filter(split(replace(clean_text, '\\n', ' '), ' '), x -> x != '')"
             ).alias("tokens"),
+        )
+
+        # round-5 stage: PII anonymization over the CLEANED text (the
+        # injected per-doc contact line is the PII that must be found)
+        from boilerplate_buster_spark.operators.urls import redact_pii
+
+        pii = redact_pii(
+            cleaned.select(
+                "url",
+                F.expr("replace(clean_text, '\\n', ' ')").alias("ctext"),
+            ),
+            id_col="url",
+            text_col="ctext",
+        ).select(
+            "url",
+            F.col("n_emails").cast("long").alias("n_emails"),
+            F.md5("redacted_text").alias("redacted_md5"),
         )
 
         # stage 4: benchmark decontamination (benchmark set = first 3-gram
@@ -1600,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(q5, "url")
             .join(lm5, "url")
             .join(cont, "url")
+            .join(pii, "url")
             .join(clusters, "url", "left")
         )
         cid = F.coalesce("cluster_id", F.col("url"))
@@ -1618,6 +1644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality_e6",
             "lik_e6",
             "n_contaminated",
+            "n_emails",
+            "redacted_md5",
             cid.alias("cluster_id"),
             is_surv.alias("is_survivor"),
             keep.alias("keep"),
@@ -3006,7 +3034,9 @@ def oracle_sql() -> dict[str, str]:
                         THEN chr(10) || 'please accept cookies' ELSE '' END
                    || CASE WHEN doc_id % 3 = 0
                         THEN chr(10) || 'repeat me' || chr(10) || 'repeat me'
-                        ELSE '' END AS mltext
+                        ELSE '' END
+                   || chr(10) || 'contact admin' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example now' AS mltext
                    FROM corp),
             lx AS (SELECT url, i AS pos, ls[i] AS line
                    FROM (SELECT url, list_filter(string_split(mltext, chr(10)),
@@ -3062,7 +3092,15 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
             ),
-            clus AS (SELECT id AS url, min(r) AS cluster_id FROM reach GROUP BY id)
+            clus AS (SELECT id AS url, min(r) AS cluster_id FROM reach GROUP BY id),
+            pii AS (SELECT ml.url,
+                      len(regexp_extract_all(coalesce(ct.ctext, ''),
+                          '{_PII_EMAIL_RE}')) AS n_emails,
+                      md5(regexp_replace(
+                            regexp_replace(coalesce(ct.ctext, ''),
+                                           '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PII_IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+                    FROM ml LEFT JOIN ct USING (url))
             SELECT s.url,
                    CAST(s.n_tokens AS BIGINT) AS n_tokens,
                    CAST(nall.n_all - coalesce(nkeep.n_keep, 0) AS BIGINT)
@@ -3071,6 +3109,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.quality_e6 AS BIGINT) AS quality_e6,
                    CAST(coalesce(lmagg.lik, 0) AS BIGINT) AS lik_e6,
                    CAST(coalesce(cont.n_cont, 0) AS BIGINT) AS n_contaminated,
+                   CAST(pii.n_emails AS BIGINT) AS n_emails,
+                   pii.redacted_md5,
                    coalesce(clus.cluster_id, s.url) AS cluster_id,
                    (coalesce(clus.cluster_id, s.url) = s.url) AS is_survivor,
                    (coalesce(clus.cluster_id, s.url) = s.url
@@ -3089,5 +3129,6 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cont ON s.url = cont.url
             LEFT JOIN lmagg ON s.url = lmagg.url
             LEFT JOIN clus ON s.url = clus.url
+            JOIN pii ON s.url = pii.url
         """,
     }
