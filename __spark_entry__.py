@@ -269,6 +269,52 @@ def _d_hyperplane_bucket(vec: str, planes: int = 6, dim: int = _EMB_DIM) -> str:
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
+def _d_url_canonical_sql() -> str:
+    """DuckDB twin of operators.urls.normalize_urls: renders the SAME
+    normalize_url_stages chain for the duckdb dialect over the closed-form
+    synthetic URL corpus, so the two sides share one stage generator."""
+    from boilerplate_buster_spark.operators.urls import normalize_url_stages
+
+    synth = """
+        SELECT doc_id, concat(
+          CASE WHEN doc_id % 3 = 0 THEN
+            CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END
+          ELSE
+            CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END END,
+          '://',
+          CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END,
+          'Site', CAST(doc_id % 20 AS VARCHAR),
+          '.EX', CAST(doc_id % 5 AS VARCHAR), '.com',
+          CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN ':80'
+               WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0 THEN ':443'
+               WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END,
+          CASE WHEN doc_id % 13 = 0 THEN '' ELSE concat(
+            '/a/',
+            CASE WHEN doc_id % 2 = 0 THEN './' ELSE '' END,
+            'b', CAST(doc_id % 10 AS VARCHAR), '/',
+            CASE WHEN doc_id % 4 = 1 THEN '../' ELSE '' END,
+            'Page', CAST(doc_id AS VARCHAR)) END,
+          CASE WHEN doc_id % 3 = 1 THEN
+            concat('?utm_source=x&a=', CAST(doc_id AS VARCHAR))
+          WHEN doc_id % 3 = 2 THEN
+            concat('?utm_campaign=c', CAST(doc_id AS VARCHAR))
+          ELSE '' END,
+          CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS url
+        FROM documents WHERE doc_id < 300
+    """
+    q = f"({synth})"
+    for i, (name, expr) in enumerate(normalize_url_stages("url", "duckdb")):
+        q = f"(SELECT *, {expr} AS {name} FROM {q} AS s{i})"
+    return f"SELECT doc_id, url, norm_url FROM {q} AS sfin"
+
+
+def _d_fold_punct(expr: str) -> str:
+    """DuckDB rendering of text_stats.fold_punct_expr (shared map)."""
+    from boilerplate_buster_spark.operators.text_stats import fold_punct_expr
+
+    return fold_punct_expr(expr, "duckdb")
+
+
 def _d_simhash_bits() -> str:
     terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > len(hs) "
@@ -1847,6 +1893,153 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev, "event_type", "user_id", salt=16, out_col="n_users"
         )
 
+    def url_canonical(spark, sf):
+        # SURT-style URL canonicalization (the crawl-frontier dedup key):
+        # fragment / case / default-port / dot-segment / utm_* rules, all
+        # generated from ONE dialect-parameterized stage chain
+        # (normalize_url_stages) that the oracle renders for DuckDB - the
+        # Spark and SQL sides literally cannot drift
+        from boilerplate_buster_spark.operators.urls import normalize_urls
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 300
+        )
+        raw = docs.select(
+            "doc_id",
+            F.expr(
+                "concat("
+                "CASE WHEN doc_id % 3 = 0 THEN "
+                "  CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END "
+                "ELSE "
+                "  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END END, "
+                "'://', "
+                "CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END, "
+                "'Site', CAST(doc_id % 20 AS string), "
+                "'.EX', CAST(doc_id % 5 AS string), '.com', "
+                "CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN ':80' "
+                "WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0 THEN ':443' "
+                "WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END, "
+                "CASE WHEN doc_id % 13 = 0 THEN '' ELSE concat("
+                "'/a/', "
+                "CASE WHEN doc_id % 2 = 0 THEN './' ELSE '' END, "
+                "'b', CAST(doc_id % 10 AS string), '/', "
+                "CASE WHEN doc_id % 4 = 1 THEN '../' ELSE '' END, "
+                "'Page', CAST(doc_id AS string)) END, "
+                "CASE WHEN doc_id % 3 = 1 THEN "
+                "concat('?utm_source=x&a=', CAST(doc_id AS string)) "
+                "WHEN doc_id % 3 = 2 THEN "
+                "concat('?utm_campaign=c', CAST(doc_id AS string)) "
+                "ELSE '' END, "
+                "CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END)"
+            ).alias("url"),
+        )
+        return normalize_urls(raw, keep=["doc_id"])
+
+    def anchor_text(spark, sf):
+        # anchor-text index over the extracted link graph: per target url,
+        # link count, distinct source count, sorted distinct anchor texts
+        from boilerplate_buster_spark.operators.weblinks import (
+            anchor_text_index,
+            extract_links,
+        )
+
+        return anchor_text_index(extract_links(_link_pages(spark, sf)))
+
+    def jsonld_extract_q(spark, sf):
+        # schema.org JSON-LD block extraction + typed parse (from_json,
+        # PERMISSIVE): Article blocks with nested author, secondary
+        # BreadcrumbList blocks, and a malformed block (doc_id % 17 = 0)
+        # that must yield NULL fields, not an error
+        from boilerplate_buster_spark.operators.pagemeta import extract_jsonld
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 300
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://j.ex.com/"), F.col("doc_id")).alias("url"),
+            F.expr(
+                "concat('<html><head>"
+                '<script type="application/ld+json">\', '
+                "CASE WHEN doc_id % 17 = 0 THEN '{bad json' ELSE concat("
+                '\'{"@type":"Article","name":"Doc \', CAST(doc_id AS string), '
+                '\' overview","author":{"name":"Author \', '
+                "CAST(doc_id % 7 AS string), '\"}}') END, "
+                "'</script>', "
+                "CASE WHEN doc_id % 3 = 0 THEN concat("
+                '\'<script type="application/ld+json">'
+                '{"@type":"BreadcrumbList","name":"crumbs \', '
+                "CAST(doc_id AS string), '\"}</script>') ELSE '' END, "
+                "'</head><body>x</body></html>')"
+            ).alias("html"),
+        )
+        return extract_jsonld(pages)
+
+    def semantic_dedup_q(spark, sf):
+        # SemDeDup over the embeddings table + 50 exact-duplicate mirrors
+        # (vec_id + 1000, identical vector -> cos = 1, so the dedup stage
+        # provably bites); integer-grid cosine, k = 8 clusters
+        base = _emb(spark, sf).filter(F.col("vec_id") < 200).select(
+            "vec_id", "embedding"
+        )
+        vv = base.unionByName(
+            base.filter(F.col("vec_id") < 50).select(
+                (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+            )
+        )
+        out = ann.semantic_dedup(vv, k=8, thr_e6=250_000)
+        return out.select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_dups",
+            "keep",
+        )
+
+    def punct_fold(spark, sf):
+        # unicode punctuation folding (normalize-before-hash dedup prep):
+        # curly quotes / dashes / nbsp / ellipsis / ideographic space
+        # injected deterministically, one translate() pass folds them
+        from boilerplate_buster_spark.operators.text_stats import (
+            fold_punctuation,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 300
+        )
+        aug = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" ‘q"),
+                F.col("doc_id").cast("string"),
+                F.lit("’ “w” – x — y…z　"
+                      "a b „c‚ end"),
+            ).alias("text"),
+        )
+        out = fold_punctuation(aug)
+        return out.select("doc_id", F.md5("folded").alias("folded_md5"))
+
+    def extraction_eval_q(spark, sf):
+        # extraction-quality scoring: token-multiset P/R/F1 of a degraded
+        # extraction (first 5 tokens dropped, 'zz yy zz' noise appended -
+        # the repeated zz exercises the multiset min) against gold text
+        from boilerplate_buster_spark.operators.text_stats import (
+            extraction_eval,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        pairs = docs.select(
+            "doc_id",
+            F.col("text").alias("gold"),
+            F.expr(
+                "concat(array_join(slice(split(text, ' '), 6, "
+                "greatest(size(split(text, ' ')) - 5, 0)), ' '), "
+                "' zz yy zz')"
+            ).alias("extracted"),
+        )
+        return extraction_eval(pairs)
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -1920,6 +2113,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
         llm_corpus_pipeline=llm_corpus_pipeline,
+        url_canonical=url_canonical,
+        anchor_text=anchor_text,
+        jsonld=jsonld_extract_q,
+        semantic_dedup=semantic_dedup_q,
+        punct_fold=punct_fold,
+        extraction_eval=extraction_eval_q,
     )
     return q
 
@@ -3130,5 +3329,130 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lmagg ON s.url = lmagg.url
             LEFT JOIN clus ON s.url = clus.url
             JOIN pii ON s.url = pii.url
+        """,
+        "url_canonical": _d_url_canonical_sql(),
+        "anchor_text": """
+            WITH d AS (SELECT doc_id,
+                         'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                           || '.com/page' || CAST(doc_id AS VARCHAR) AS url,
+                         'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                           || '.com' AS root
+                       FROM documents WHERE doc_id < 300),
+            e AS (
+              SELECT url, root || '/' AS href, 'Home' AS anchor FROM d
+              UNION ALL
+              SELECT url, root || '/about', 'About' FROM d
+              UNION ALL
+              SELECT url, 'https://ex.com/' || CAST((doc_id * 7) % 200 AS VARCHAR),
+                     'ref ' || CAST(doc_id % 5 AS VARCHAR) FROM d
+              UNION ALL
+              SELECT url, 'https://other.org/x' || CAST(doc_id % 4 AS VARCHAR),
+                     'x' FROM d WHERE doc_id % 2 = 0
+            )
+            SELECT href, count(*) AS n_links,
+                   count(DISTINCT url) AS n_sources,
+                   string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
+            FROM e GROUP BY href
+        """,
+        "jsonld": """
+            WITH d AS (SELECT doc_id,
+                         'https://j.ex.com/' || CAST(doc_id AS VARCHAR) AS url
+                       FROM documents WHERE doc_id < 300),
+            b AS (
+              SELECT url, 0 AS block_idx,
+                CASE WHEN doc_id % 17 = 0 THEN '{bad json' ELSE
+                  '{"@type":"Article","name":"Doc ' || CAST(doc_id AS VARCHAR)
+                  || ' overview","author":{"name":"Author '
+                  || CAST(doc_id % 7 AS VARCHAR) || '"}}' END AS blk
+              FROM d
+              UNION ALL
+              SELECT url, 1,
+                '{"@type":"BreadcrumbList","name":"crumbs '
+                || CAST(doc_id AS VARCHAR) || '"}'
+              FROM d WHERE doc_id % 3 = 0
+            ),
+            j AS (SELECT url, block_idx, TRY_CAST(blk AS JSON) AS js FROM b)
+            SELECT url, CAST(block_idx AS BIGINT) AS block_idx,
+                   js->>'@type' AS jtype, js->>'name' AS name,
+                   js->'author'->>'name' AS author_name
+            FROM j
+        """,
+        "semantic_dedup": """
+            WITH v0 AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 200),
+            vv AS (SELECT vec_id, embedding FROM v0
+                   UNION ALL
+                   SELECT vec_id + 1000, embedding FROM v0 WHERE vec_id < 50),
+            el AS (SELECT vec_id, i AS pos,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 128) AS BIGINT)
+                       AS x
+                   FROM vv, unnest(generate_series(1, 64)) AS u(i)),
+            na AS (SELECT vec_id, sum(x * x) AS na FROM el GROUP BY vec_id),
+            dist AS (SELECT a.vec_id, c.vec_id AS cid,
+                       sum((a.x - c.x) * (a.x - c.x)) AS d
+                     FROM el a JOIN el c ON a.pos = c.pos AND c.vec_id < 8
+                     GROUP BY a.vec_id, c.vec_id),
+            asg AS (SELECT vec_id, cid AS cluster
+                    FROM (SELECT vec_id, cid, row_number() OVER
+                            (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                          FROM dist) r
+                    WHERE rn = 1),
+            pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                   FROM asg a JOIN asg b
+                     ON a.cluster = b.cluster AND a.vec_id > b.vec_id),
+            pd AS (SELECT pr.ia, pr.ib, sum(ea.x * eb.x) AS dab
+                   FROM pr JOIN el ea ON ea.vec_id = pr.ia
+                           JOIN el eb ON eb.vec_id = pr.ib AND eb.pos = ea.pos
+                   GROUP BY pr.ia, pr.ib),
+            dups AS (SELECT pd.ia AS vec_id, count(*) AS n_dups
+                     FROM pd JOIN na x ON x.vec_id = pd.ia
+                             JOIN na y ON y.vec_id = pd.ib
+                     WHERE pd.dab > 0
+                       AND 1000000 * pd.dab * pd.dab >= 250000 * x.na * y.na
+                     GROUP BY pd.ia)
+            SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
+                   CAST(coalesce(dups.n_dups, 0) AS BIGINT) AS n_dups,
+                   (coalesce(dups.n_dups, 0) = 0) AS keep
+            FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id
+        """,
+        "punct_fold": f"""
+            SELECT doc_id,
+                   md5({_d_fold_punct("text || ' ‘q' || CAST(doc_id AS VARCHAR)"
+                       " || '’ “w” – x — y…z　a b „c‚ end'")}) AS folded_md5
+            FROM documents WHERE doc_id < 300
+        """,
+        "extraction_eval": """
+            WITH g AS (SELECT doc_id, string_split(text, ' ') AS gt
+                       FROM documents WHERE doc_id < 200),
+            p AS (SELECT doc_id, gt,
+                    list_filter(string_split(
+                      array_to_string(gt[6:len(gt)], ' ') || ' zz yy zz', ' '),
+                      x -> x <> '') AS et
+                  FROM g),
+            ce AS (SELECT doc_id, tok, count(*) AS c
+                   FROM (SELECT doc_id, unnest(et) AS tok FROM p) s
+                   GROUP BY doc_id, tok),
+            cg AS (SELECT doc_id, tok, count(*) AS c
+                   FROM (SELECT doc_id, unnest(list_filter(gt, x -> x <> ''))
+                           AS tok FROM p) s
+                   GROUP BY doc_id, tok),
+            cm AS (SELECT ce.doc_id, sum(least(ce.c, cg.c)) AS nc
+                   FROM ce JOIN cg ON ce.doc_id = cg.doc_id
+                                  AND ce.tok = cg.tok
+                   GROUP BY ce.doc_id)
+            SELECT p.doc_id,
+                   CAST(len(et) AS BIGINT) AS n_ext,
+                   CAST(len(list_filter(gt, x -> x <> '')) AS BIGINT) AS n_gold,
+                   CAST(coalesce(cm.nc, 0) AS BIGINT) AS n_common,
+                   CAST(1000000 * coalesce(cm.nc, 0)
+                        // greatest(len(et), 1) AS BIGINT) AS p_e6,
+                   CAST(1000000 * coalesce(cm.nc, 0)
+                        // greatest(len(list_filter(gt, x -> x <> '')), 1)
+                        AS BIGINT) AS r_e6,
+                   CAST(2000000 * coalesce(cm.nc, 0)
+                        // greatest(len(et)
+                            + len(list_filter(gt, x -> x <> '')), 1)
+                        AS BIGINT) AS f1_e6
+            FROM p LEFT JOIN cm ON p.doc_id = cm.doc_id
         """,
     }

@@ -336,3 +336,105 @@ def lsh_bucketed_neardup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# --- SemDeDup-style semantic dedup (integer-exact) -------------------------
+
+def quantized_vec_expr(vec_col: str, q: int = 128) -> str:
+    """Integer-grid quantization: floor(x * q) per dimension.  q is a power
+    of two, so the multiply is exact in ANY binary float width and floor
+    has no representation ties - Spark and DuckDB produce bit-identical
+    grids (round() would diverge at .5 boundaries, see BENCH notes)."""
+    return (
+        f"transform({vec_col}, x -> cast(floor(cast(x AS double) * {q}) AS bigint))"
+    )
+
+
+def _qdot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0 AS bigint), (acc, v) -> acc + v)"
+    )
+
+
+def semantic_dedup(
+    vecs: DataFrame,
+    k: int = 8,
+    thr_e6: int = 250_000,
+    q: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, n_dups, keep): SemDeDup (Abbas et al. 2023) over
+    an embedding column - cluster vectors, then inside each cluster drop
+    every vector that has a semantically-near neighbor with a smaller id.
+
+    Integer-exact variant so a SQL oracle can pin it end-to-end: vectors
+    live on the floor(x*q) integer grid; the "cosine >= t" test is the
+    cross-multiplied integer comparison dot>0 AND 1e6*dot^2 >= thr_e6*na*nb
+    (thr_e6 = t^2 * 1e6; with q=128, dim<=64, |x|<1 every product fits
+    int64 with headroom).  Centroids are the first k vectors by id - the
+    deterministic seeding ivf_fit_centroids also starts from.
+
+    Plan: centroid assignment is a generated argmin expression over k
+    broadcast literal arrays (pure map, first-match-wins tie-break =
+    smallest centroid id); the dup test is one self-join shuffled on the
+    cluster key.  At 10^12 docs k grows ~sqrt(N) so cluster populations
+    stay bounded (SemDeDup's own posture), and the per-cluster pair scan
+    becomes a blocked applyInPandas matmul; the join form here keeps every
+    semantic decision inside Catalyst."""
+    qv = vecs.select(
+        F.col(id_col), F.expr(quantized_vec_expr(vec_col, q)).alias("qv")
+    )
+    cents = [
+        r["qv"]
+        for r in qv.filter(F.col(id_col) < k).orderBy(id_col).collect()
+    ]
+    parts = []
+    for ci, c in enumerate(cents):
+        lit = "array(" + ", ".join(f"cast({v} AS bigint)" for v in c) + ")"
+        d = (
+            f"aggregate(zip_with(qv, {lit}, (x, y) -> (x - y) * (x - y)), "
+            f"cast(0 AS bigint), (acc, v) -> acc + v)"
+        )
+        parts.append(f"named_struct('d', {d}, 'c', {ci})")
+    argmin = (
+        "aggregate(array(" + ", ".join(parts) + "), "
+        "named_struct('d', cast(9223372036854775807 AS bigint), 'c', -1), "
+        "(acc, s) -> IF(s.d < acc.d, s, acc)).c"
+    )
+    assigned = qv.select(
+        F.col(id_col),
+        "qv",
+        F.expr(argmin).alias("cluster"),
+        F.expr(_qdot("qv", "qv")).alias("na"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    # project the pair dot product ONCE before filtering (three references
+    # in one filter would inline the aggregate() three times)
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias(id_col),
+        F.col("a.na").alias("_na"),
+        F.col("b.na").alias("_nb"),
+        F.expr(_qdot("a.qv", "b.qv")).alias("_dab"),
+    )
+    dups = (
+        pairs.filter(
+            F.expr(f"_dab > 0 AND 1000000 * _dab * _dab >= {thr_e6} * _na * _nb")
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_dups"))
+    )
+    return (
+        assigned.join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            (F.coalesce("n_dups", F.lit(0)) == 0).alias("keep"),
+        )
+    )

@@ -10,6 +10,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from boilerplate_buster_spark.core.htmlmeta import extract_meta
 from boilerplate_buster_spark.core.sitemapparse import parse_sitemap
@@ -105,3 +106,46 @@ def extract_page_tables(
             )
 
     return pages.select(url_col, html_col).mapInPandas(run, TABLES_SCHEMA)
+
+
+JSONLD_RE = r'<script type="application/ld\+json">(.*?)</script>'
+
+
+def extract_jsonld(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, block_idx, jtype, name, author_name): schema.org JSON-LD
+    structured data - the machine-readable page facts (article type,
+    headline, author) that knowledge-graph and metadata-enrichment
+    pipelines mine from Common-Crawl HTML.
+
+    Fully JVM-side: script bodies come from one regexp_extract_all over
+    the page scan (non-greedy match per block; JSON-LD bodies cannot
+    contain '</script>' by construction), parsed by Catalyst's from_json
+    with an explicit schema - no Python, no shuffle, columns prune to
+    (url, html).  Malformed JSON yields NULL fields, never an error
+    (from_json PERMISSIVE mode), so one bad page cannot kill a 10^12-page
+    job.  posexplode keeps the block index for multi-block pages."""
+    blocks = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(JSONLD_RE), F.lit(1))
+        ).alias("block_idx", "block"),
+    )
+    # two-step select: from_json evaluates ONCE (a single projection with
+    # three j.* references would inline the parse three times - Catalyst
+    # keeps multiply-referenced non-trivial aliases per reference)
+    parsed = blocks.select(
+        "url",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.from_json(
+            "block", "`@type` STRING, name STRING, author STRUCT<name: STRING>"
+        ).alias("j"),
+    )
+    return parsed.select(
+        "url",
+        "block_idx",
+        F.col("j").getField("@type").alias("jtype"),
+        F.col("j.name").alias("name"),
+        F.col("j.author.name").alias("author_name"),
+    )

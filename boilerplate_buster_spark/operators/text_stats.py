@@ -168,3 +168,97 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "toke
             f"cast(0 AS bigint), (acc, h) -> pmod(acc * 31 + h, {_FP_MOD}))"
         ).alias("fp"),
     )
+
+
+# unicode punctuation folding: curly quotes/apostrophes -> ASCII, en/em
+# dash -> '-', NBSP -> space, ellipsis -> '.', ideographic space -> space.
+# Single-codepoint maps only (translate's contract in Spark AND DuckDB).
+PUNCT_SRC = "‘’‚“”„–— …　"
+PUNCT_DST = "'''" + '"""' + "-- . "
+assert len(PUNCT_SRC) == len(PUNCT_DST) == 11
+
+
+def fold_punct_expr(col: str, dialect: str = "spark") -> str:
+    """SQL expr folding common unicode punctuation to ASCII - the
+    normalization pass dedup shingling runs BEFORE hashing, so typographic
+    variants of one sentence collide (CCNet/FineWeb normalize-then-hash
+    posture).  translate() is a single codegen pass with identical
+    positional-codepoint-map semantics in Spark and DuckDB; only the
+    string-literal quote escaping differs per dialect."""
+    esc = "''" if dialect == "duckdb" else "\\'"
+    src = PUNCT_SRC.replace("'", esc)
+    dst = PUNCT_DST.replace("'", esc)
+    return f"translate({col}, '{src}', '{dst}')"
+
+
+def fold_punctuation(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text, folded): unicode-punctuation-normalized text."""
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.expr(fold_punct_expr(text_col)).alias("folded"),
+    )
+
+
+def extraction_eval(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    ext_col: str = "extracted",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """(id, n_ext, n_gold, n_common, p_e6, r_e6, f1_e6): token-multiset
+    precision/recall/F1 of an extraction against gold text - the metric
+    main-content-extraction papers (Boilerpipe, jusText, Trafilatura
+    evals) score on, here as a distributed operator so a 10^12-page
+    extraction can be scored against a labeled sample in one job.
+
+    n_common is the MULTISET intersection: per (doc, token) the min of the
+    two occurrence counts, summed.  Two hash-aggregates on (id, token) +
+    one join, all uniform keys; integer e6 surfaces (exact // arithmetic)
+    so a SQL oracle can pin every value."""
+
+    def counts(col, out):
+        return (
+            pairs.select(
+                F.col(id_col),
+                F.explode(
+                    F.expr(f"filter(split({col}, ' '), x -> x != '')")
+                ).alias("tok"),
+            )
+            .groupBy(id_col, "tok")
+            .agg(F.count("*").alias(out))
+        )
+
+    ce, cg = counts(ext_col, "ce"), counts(gold_col, "cg")
+    common = (
+        ce.join(cg, [id_col, "tok"])
+        .groupBy(id_col)
+        .agg(F.sum(F.least("ce", "cg")).alias("n_common"))
+    )
+    totals = pairs.select(
+        F.col(id_col),
+        F.expr(f"size(filter(split({ext_col}, ' '), x -> x != ''))")
+        .cast("long").alias("n_ext"),
+        F.expr(f"size(filter(split({gold_col}, ' '), x -> x != ''))")
+        .cast("long").alias("n_gold"),
+    )
+    return totals.join(common, id_col, "left").select(
+        id_col,
+        "n_ext",
+        "n_gold",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.expr(
+            "CAST(1000000 * coalesce(n_common, 0) div greatest(n_ext, 1) "
+            "AS bigint)"
+        ).alias("p_e6"),
+        F.expr(
+            "CAST(1000000 * coalesce(n_common, 0) div greatest(n_gold, 1) "
+            "AS bigint)"
+        ).alias("r_e6"),
+        F.expr(
+            "CAST(2000000 * coalesce(n_common, 0) "
+            "div greatest(n_ext + n_gold, 1) AS bigint)"
+        ).alias("f1_e6"),
+    )

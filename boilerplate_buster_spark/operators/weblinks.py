@@ -120,3 +120,21 @@ def pagerank_scaled(
             ).alias("pr"),
         )
     return pr
+
+
+def anchor_text_index(links: DataFrame) -> DataFrame:
+    """(href, n_links, n_sources, anchors): the anchor-text index - for
+    every link target, how many links point at it, from how many distinct
+    pages, and the sorted distinct anchor texts ('|'-joined scalar so the
+    driver canonicalizer can hash it).  Anchor text is the classic
+    off-page relevance/spam signal (and a training-data caption source for
+    the target page).
+
+    One hash-aggregate on the href key: collect_set stays bounded because
+    anchor vocabulary per target is tiny compared to link count; at
+    10^12 pages this is the same shuffle shape as link_graph_degrees."""
+    return links.groupBy("href").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.countDistinct("url").cast("long").alias("n_sources"),
+        F.array_join(F.array_sort(F.collect_set("anchor")), "|").alias("anchors"),
+    )

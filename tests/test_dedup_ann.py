@@ -336,3 +336,27 @@ def test_exact_substring_pairs_span_semantics(spark):
         for r in exact_substring_pairs(docs, span=3, max_bucket=2).collect()
     }
     assert (1, 2) not in got2 and got2[(1, 4)] == 3
+
+
+def test_semantic_dedup_exact_mirror(spark):
+    rng = random.Random(7)
+    base = [(i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(30)]
+    # ids 100..104 mirror ids 0..4 exactly -> cos = 1 -> must be dropped
+    vecs = base + [(100 + i, base[i][1]) for i in range(5)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"]).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS float))").alias("embedding"),
+    )
+    out = {
+        r["vec_id"]: r
+        for r in ann.semantic_dedup(df, k=4, thr_e6=810_000).collect()
+    }
+    assert len(out) == 35
+    for i in range(5):
+        assert out[100 + i]["keep"] is False and out[100 + i]["n_dups"] >= 1
+        # mirror lands in the same cluster as its original
+        assert out[100 + i]["cluster"] == out[i]["cluster"]
+    # originals with no smaller-id near-dup are kept
+    assert out[0]["keep"] is True
+    # clusters cover ids; every cluster id is one of the k seeds' indices
+    assert set(r["cluster"] for r in out.values()) <= set(range(4))

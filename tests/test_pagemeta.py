@@ -78,3 +78,39 @@ def test_extract_tables_kernel():
     assert t2[1] == [[("pre", False)]]
     assert extract_tables(None) == []
     assert extract_tables("<p>no tables</p>") == []
+
+
+def test_extract_jsonld(spark):
+    from boilerplate_buster_spark.operators.pagemeta import extract_jsonld
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "u1",
+                '<html><script type="application/ld+json">'
+                '{"@type":"Article","name":"N1","author":{"name":"A1"}}'
+                "</script><body>x</body></html>",
+            ),
+            (
+                "u2",
+                '<script type="application/ld+json">{"@type":"A","name":"a"}'
+                '</script><script type="application/ld+json">'
+                '{"@type":"BreadcrumbList","name":"b"}</script>',
+            ),
+            ("u3", '<script type="application/ld+json">{oops</script>'),
+            ("u4", "<html><body>no blocks</body></html>"),
+        ],
+        ["url", "html"],
+    )
+    rows = extract_jsonld(pages).collect()
+    by = {(r["url"], r["block_idx"]): r for r in rows}
+    assert by[("u1", 0)]["jtype"] == "Article"
+    assert by[("u1", 0)]["name"] == "N1"
+    assert by[("u1", 0)]["author_name"] == "A1"
+    assert by[("u2", 0)]["jtype"] == "A" and by[("u2", 1)]["jtype"] == "BreadcrumbList"
+    assert by[("u2", 0)]["author_name"] is None
+    # malformed json -> NULL fields, never an error (PERMISSIVE)
+    assert by[("u3", 0)]["jtype"] is None and by[("u3", 0)]["name"] is None
+    # pages with no blocks emit no rows
+    assert not any(u == "u4" for u, _ in by)
+    assert len(rows) == 4

@@ -101,3 +101,40 @@ def test_bpe_token_count_matches_python_re(spark):
     pat = re.compile(text_stats.BPE_PATTERN)
     for i, t in enumerate(texts):
         assert got[i] == (len(pat.findall(t)), len(t.split())), t
+
+
+def test_fold_punctuation(spark):
+    from boilerplate_buster_spark.operators.text_stats import fold_punctuation
+
+    df = spark.createDataFrame(
+        [(1, "a‘b’c “d” e–f—g h…i　j")],
+        ["doc_id", "text"],
+    )
+    got = fold_punctuation(df).collect()[0]["folded"]
+    assert got == "a'b'c \"d\" e-f-g h.i j"
+
+
+def test_extraction_eval_prf(spark):
+    from boilerplate_buster_spark.operators.text_stats import extraction_eval
+
+    df = spark.createDataFrame(
+        [
+            # gold 4 tokens; extracted misses 'd', adds 'x' twice, repeats 'a'
+            (1, "a a x b x", "a b c d"),
+            # perfect extraction
+            (2, "p q", "p q"),
+            # nothing extracted overlaps
+            (3, "zz", "a b"),
+        ],
+        ["doc_id", "extracted", "gold"],
+    )
+    got = {r["doc_id"]: r for r in extraction_eval(df).collect()}
+    r1 = got[1]
+    # common multiset: min counts -> a:1, b:1 => 2
+    assert r1["n_ext"] == 5 and r1["n_gold"] == 4 and r1["n_common"] == 2
+    assert r1["p_e6"] == 400_000 and r1["r_e6"] == 500_000
+    assert r1["f1_e6"] == 2_000_000 * 2 // 9
+    r2 = got[2]
+    assert r2["p_e6"] == r2["r_e6"] == r2["f1_e6"] == 1_000_000
+    r3 = got[3]
+    assert r3["n_common"] == 0 and r3["f1_e6"] == 0

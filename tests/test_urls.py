@@ -126,3 +126,52 @@ def test_robots_filter_rule_bearing_host_without_match(spark):
         "https://h.com/ok": True,
         "https://none.com/x/a": True,
     }
+
+
+def test_normalize_urls_rules(spark):
+    from boilerplate_buster_spark.operators.urls import normalize_urls
+
+    cases = {
+        "HTTP://WWW.Ex.COM:80/a/b/../c/./d.html#frag":
+            "http://www.ex.com/a/c/d.html",
+        "https://Site.com:443/x/../../y?utm_source=tw&a=1&utm_medium=m":
+            "https://site.com/y?a=1",
+        "https://site.com?utm_campaign=x": "https://site.com/",
+        "http://h.com/p/q/r/../../s": "http://h.com/p/s",
+        "https://h.com/./a/./": "https://h.com/a/",
+        "http://h.com:8080/a#x": "http://h.com:8080/a",  # non-default port kept
+        "https://h.com/a/b/c/../../../d": "https://h.com/d",
+        "https://h.com/.git/../a": "https://h.com/.git/../a",  # documented subset
+        "http://h.com/..": "http://h.com/",
+        "https://h.com:80/a": "https://h.com:80/a",  # :80 is not https default
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r["url"]: r["norm_url"] for r in normalize_urls(df).collect()}
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_normalize_urls_spark_matches_duckdb(spark):
+    # the two dialect renderings of normalize_url_stages must agree on a
+    # url corpus that exercises every rule
+    import duckdb
+
+    from boilerplate_buster_spark.operators.urls import (
+        normalize_url_stages,
+        normalize_urls,
+    )
+
+    urls = [
+        f"HTTP://A{i}.Ex.com:{p}/a/./b{i}/../c?utm_source=s&k={i}#f"
+        for i, p in zip(range(12), [80, 443, 8080] * 4)
+    ] + ["https://x.com", "http://x.com/?utm_campaign=only"]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {r["url"]: r["norm_url"] for r in normalize_urls(df).collect()}
+
+    con = duckdb.connect()
+    vals = ", ".join("('" + u + "')" for u in urls)
+    q = f"(SELECT * FROM (VALUES {vals}) t(url))"
+    for i, (name, expr) in enumerate(normalize_url_stages("url", "duckdb")):
+        q = f"(SELECT *, {expr} AS {name} FROM {q} s{i})"
+    want = dict(con.sql(f"SELECT url, norm_url FROM {q} f").fetchall())
+    assert got == want

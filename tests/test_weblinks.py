@@ -93,3 +93,23 @@ def test_pagerank_integer_semantics(spark):
             v: (15 * (base // n)) // 100 + (85 * inflow[v]) // 100 for v in pr
         }
     assert pr == p
+
+
+def test_anchor_text_index(spark):
+    from boilerplate_buster_spark.operators.weblinks import anchor_text_index
+
+    edges = spark.createDataFrame(
+        [
+            ("p1", "https://t.com/x", "Click"),
+            ("p1", "https://t.com/x", "Here"),
+            ("p2", "https://t.com/x", "Click"),
+            ("p2", "https://t.com/y", "Other"),
+        ],
+        ["url", "href", "anchor"],
+    )
+    got = {r["href"]: r for r in anchor_text_index(edges).collect()}
+    x = got["https://t.com/x"]
+    assert x["n_links"] == 3 and x["n_sources"] == 2
+    assert x["anchors"] == "Click|Here"
+    y = got["https://t.com/y"]
+    assert y["n_links"] == 1 and y["n_sources"] == 1 and y["anchors"] == "Other"
