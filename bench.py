@@ -199,6 +199,65 @@ def main() -> None:
         ).agg(F.sum("n_contaminated"), F.count("*")).collect()),
     ]
 
+    # round-5 canonicalization / structured-data / semantic-dedup operators
+    from boilerplate_buster_spark.operators.ann import semantic_dedup
+    from boilerplate_buster_spark.operators.pagemeta import extract_jsonld
+    from boilerplate_buster_spark.operators.text_stats import (
+        extraction_eval,
+        fold_punctuation,
+    )
+    from boilerplate_buster_spark.operators.urls import normalize_urls
+    from boilerplate_buster_spark.operators.weblinks import anchor_text_index
+
+    messy_urls = pages.select(
+        F.expr(
+            "concat('HTTPS://WWW.EX', CAST(pmod(xxhash64(url), 1000) AS string), "
+            "'.COM:443/a/./b/../p/', url, '?utm_source=bench&x=1#frag')"
+        ).alias("url")
+    )
+    jl_pages = pages.select(
+        "url",
+        F.expr(
+            "concat('<html><head><script type=\"application/ld+json\">"
+            '{"@type":"Article","name":"\', '
+            "substr(translate(text, '\\\"', ' '), 1, 24), "
+            "'\"}</script></head><body>x</body></html>')"
+        ).alias("html"),
+    )
+    eval_pairs = pages.select(
+        F.col("url").alias("doc_id"),
+        F.col("text").alias("gold"),
+        F.expr(
+            "concat(array_join(slice(split(text, ' '), 6, "
+            "greatest(size(split(text, ' ')) - 5, 0)), ' '), ' zz yy zz')"
+        ).alias("extracted"),
+    )
+    # deterministic synthetic vectors sized for the dedup self-join
+    bench_vecs = spark.range(10_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            "cast(pmod(xxhash64(id * 64 + i), 1000) AS float) / 1000 - 0.5)"
+        ).alias("embedding"),
+    )
+
+    queries += [
+        ("url_canonical_pages", lambda: normalize_urls(messy_urls)
+            .agg(F.countDistinct("norm_url")).collect()),
+        ("jsonld_pages", lambda: extract_jsonld(jl_pages)
+            .agg(F.count("*"), F.countDistinct("jtype")).collect()),
+        ("anchor_text_pages", lambda: anchor_text_index(
+            extract_links(link_pages)
+        ).agg(F.sum("n_links"), F.count("*")).collect()),
+        ("punct_fold_pages", lambda: fold_punctuation(
+            pages.select(F.col("url").alias("doc_id"), "text")
+        ).agg(F.sum(F.length("folded"))).collect()),
+        ("extraction_eval_pages", lambda: extraction_eval(eval_pairs)
+            .agg(F.avg("f1_e6"), F.count("*")).collect()),
+        ("semantic_dedup_vecs", lambda: semantic_dedup(bench_vecs, k=32)
+            .agg(F.sum(F.col("keep").cast("long")), F.count("*")).collect()),
+    ]
+
     samples: dict[str, list[float]] = {name: [] for name, _ in queries}
     loads: list[float] = []
 
