@@ -2040,6 +2040,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return extraction_eval(pairs)
 
+    def _spam_pages(spark, sf):
+        # _synth_urls + document text, with hosts site3/site7 turned into
+        # duplicate-text spam farms (closed form for the oracle)
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 300
+        )
+        return _synth_urls(spark, sf).join(docs, "doc_id").select(
+            "doc_id",
+            "url",
+            F.expr(
+                "IF(doc_id % 20 IN (3, 7), 'buy cheap now', text)"
+            ).alias("text"),
+        )
+
+    def host_stats_q(spark, sf):
+        # per-host crawl statistics (the C4/RefinedWeb spam-policy level):
+        # doc/url/unique-text counts + integer dup fraction and mean length,
+        # one shuffle keyed by host
+        from boilerplate_buster_spark.operators.urls import host_stats
+
+        return host_stats(_spam_pages(spark, sf)).select(
+            "host",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_urls").cast("long").alias("n_urls"),
+            F.col("n_uniq_texts").cast("long").alias("n_uniq_texts"),
+            F.col("dup_frac_e6").cast("long").alias("dup_frac_e6"),
+            F.col("mean_len").cast("long").alias("mean_len"),
+        )
+
+    def spam_hosts(spark, sf):
+        # spam-host policy filter: hosts over 50% duplicate texts are
+        # dropped via a broadcast anti-join (the corpus never shuffles)
+        from boilerplate_buster_spark.operators.urls import spam_host_filter
+
+        out = spam_host_filter(_spam_pages(spark, sf), max_dup_frac_e6=500000)
+        return out.select("doc_id", "url")
+
+    def stratified_sample_q(spark, sf):
+        # exact-quota deterministic stratified sample by language: the 30
+        # smallest-hash docs per lang; window runs over a hash prefilter,
+        # never the full stratum (the oracle's global window IS the
+        # equality check for the decomposition)
+        from boilerplate_buster_spark.operators.packing import (
+            stratified_sample,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 500
+        )
+        out = stratified_sample(
+            docs.select("doc_id", "lang"), "lang", quota=30
+        )
+        return out.select(
+            "lang",
+            "doc_id",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+        )
+
+    def inverted_index_q(spark, sf):
+        # posting-table term statistics: df + collection frequency per
+        # term (one explode + one (term,doc) agg + one term agg)
+        from boilerplate_buster_spark.operators.search import (
+            inverted_index,
+            term_stats,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 300)
+        return (
+            term_stats(inverted_index(docs))
+            .select(
+                "term",
+                F.col("df").cast("long").alias("df"),
+                F.col("total_tf").cast("long").alias("total_tf"),
+            )
+            .orderBy(F.desc("df"), "term")
+            .limit(100)
+        )
+
+    def term_search(spark, sf):
+        # conjunctive retrieval with integer tf-idf scoring: docs
+        # containing ALL of {merge, spark, window}; the IN-list prunes the
+        # posting scan, df re-derived query-side and broadcast
+        from boilerplate_buster_spark.operators.search import (
+            inverted_index,
+            search_terms,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 300)
+        idx = inverted_index(docs)
+        return search_terms(
+            idx, ["spark", "window", "merge"], n_docs=300
+        ).select(
+            "doc_id",
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.col("score_e6").cast("long").alias("score_e6"),
+        )
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -2119,6 +2216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         semantic_dedup=semantic_dedup_q,
         punct_fold=punct_fold,
         extraction_eval=extraction_eval_q,
+        host_stats=host_stats_q,
+        spam_hosts=spam_hosts,
+        stratified_sample=stratified_sample_q,
+        inverted_index=inverted_index_q,
+        term_search=term_search,
     )
     return q
 
@@ -3454,5 +3556,106 @@ def oracle_sql() -> dict[str, str]:
                             + len(list_filter(gt, x -> x <> '')), 1)
                         AS BIGINT) AS f1_e6
             FROM p LEFT JOIN cm ON p.doc_id = cm.doc_id
+        """,
+        # per-host stats over the synth-url corpus with spam-farm hosts
+        # (doc_id % 20 IN (3, 7) -> identical text); host is closed-form
+        # from doc_id, dup fraction / mean length integer-exact
+        "host_stats": """
+            WITH p AS (SELECT doc_id,
+                         (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                           || 'site' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.ex' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com' AS host,
+                         (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+                           || '://'
+                           || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                           || 'site' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/'
+                           || repeat('p/', doc_id % 4) || 'page'
+                           || CAST(doc_id AS VARCHAR)
+                           || CASE WHEN doc_id % 3 = 1
+                                THEN '?a=1&b=' || CAST(doc_id AS VARCHAR)
+                                ELSE '' END AS url,
+                         CASE WHEN doc_id % 20 IN (3, 7)
+                              THEN 'buy cheap now' ELSE text END AS t
+                       FROM documents WHERE doc_id < 300)
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT md5(t)) AS BIGINT) AS n_uniq_texts,
+                   CAST(((count(*) - count(DISTINCT md5(t))) * 1000000)
+                        // count(*) AS BIGINT) AS dup_frac_e6,
+                   CAST(sum(length(t)) // count(*) AS BIGINT) AS mean_len
+            FROM p GROUP BY host
+        """,
+        # spam-host policy: hosts over 50% duplicate texts dropped
+        "spam_hosts": """
+            WITH p AS (SELECT doc_id,
+                         (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                           || 'site' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.ex' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com' AS host,
+                         (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+                           || '://'
+                           || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                           || 'site' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/'
+                           || repeat('p/', doc_id % 4) || 'page'
+                           || CAST(doc_id AS VARCHAR)
+                           || CASE WHEN doc_id % 3 = 1
+                                THEN '?a=1&b=' || CAST(doc_id AS VARCHAR)
+                                ELSE '' END AS url,
+                         CASE WHEN doc_id % 20 IN (3, 7)
+                              THEN 'buy cheap now' ELSE text END AS t
+                       FROM documents WHERE doc_id < 300),
+            bad AS (SELECT host FROM p GROUP BY host
+                    HAVING ((count(*) - count(DISTINCT md5(t))) * 1000000)
+                           // count(*) > 500000)
+            SELECT doc_id, url FROM p
+            WHERE host NOT IN (SELECT host FROM bad)
+        """,
+        # exact-quota stratified sample: the oracle uses the single global
+        # per-stratum window DuckDB is happy with; the Spark side must NOT
+        # (hash prefilter + survivor window) - equality proves the
+        # decomposition
+        "stratified_sample": f"""
+            WITH h AS (SELECT lang, doc_id,
+                         {_dh60("lang || '#' || CAST(doc_id AS VARCHAR)")}
+                           % 1000000 AS hh
+                       FROM documents WHERE doc_id < 500),
+            r AS (SELECT lang, doc_id,
+                    row_number() OVER (PARTITION BY lang
+                                       ORDER BY hh, doc_id) AS rn
+                  FROM h)
+            SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
+            FROM r WHERE rn <= 30
+        """,
+        # posting-table term statistics (df + collection frequency)
+        "inverted_index": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents WHERE doc_id < 300),
+            p AS (SELECT term, doc_id, count(*) AS tf
+                  FROM t GROUP BY term, doc_id)
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS total_tf
+            FROM p GROUP BY term
+            ORDER BY df DESC, term LIMIT 100
+        """,
+        # conjunctive search, integer tf-idf (idf_e6 = (N * 1e6) // df)
+        "term_search": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents WHERE doc_id < 300),
+            p AS (SELECT term, doc_id, count(*) AS tf
+                  FROM t
+                  WHERE term IN ('merge', 'spark', 'window')
+                  GROUP BY term, doc_id),
+            d AS (SELECT term, count(*) AS df FROM p GROUP BY term)
+            SELECT p.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_hit,
+                   CAST(sum(p.tf * ((300 * 1000000) // d.df)) AS BIGINT)
+                     AS score_e6
+            FROM p JOIN d USING (term)
+            GROUP BY p.doc_id HAVING count(*) = 3
         """,
     }

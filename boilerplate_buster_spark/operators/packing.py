@@ -37,6 +37,75 @@ def weighted_corpus_mix(
     return docs.filter(F.expr(f"pmod({coin}, 1000000) < {case}"))
 
 
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    oversample: int = 4,
+) -> DataFrame:
+    """Exact-quota deterministic stratified sample: for each stratum, the
+    ``quota`` rows with the smallest portable hash of (stratum, id) - ties
+    broken by id.  Output = input columns + ``sample_rank`` (1..quota).
+    Strata smaller than the quota keep all their rows.  Deterministic
+    across runs, partitionings and engines (hash order, no RNG).
+
+    A per-stratum rank is a row_number window - the classic skew trap
+    when strata are few and large.  This runs the window over a HASH
+    PREFILTER instead of the stratum: per-stratum counts aggregate to the
+    driver (corpus-statistics-sized), each stratum gets a hash threshold
+    admitting ~oversample*quota rows, and only those survivors are
+    windowed.  Because the prefilter keeps exactly the rows BELOW the
+    threshold and the window orders by the same hash, the result is
+    identical to windowing the full stratum whenever the survivor count
+    reaches min(quota, stratum size) - which a second (tiny) count
+    verifies, falling back to the unfiltered stratum for any stratum the
+    margin failed (deterministically correct on every path; the fallback
+    fires with probability ~exp(-quota) per stratum at oversample=4)."""
+    from pyspark.sql import types as T
+
+    spark = docs.sparkSession
+    coin = h60(f"concat(CAST({strata_col} AS string), '#', CAST({id_col} AS string))")
+    d = docs.withColumn("_h", F.expr(f"pmod({coin}, 1000000)"))
+    counts = {
+        r[0]: r[1] for r in d.groupBy(strata_col).count().collect()
+    }
+    stype = docs.schema[strata_col].dataType
+    rows = []
+    for s, c in counts.items():
+        if c > oversample * quota:
+            t = min(1000000, (oversample * quota * 1000000) // c + 1)
+        else:
+            t = 1000000
+        rows.append((s, t))
+    th = F.broadcast(
+        spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField(strata_col, stype),
+                    T.StructField("_t", T.LongType()),
+                ]
+            ),
+        )
+    )
+    surv = d.join(th, strata_col).filter(F.col("_h") < F.col("_t")).drop("_t")
+    got = {r[0]: r[1] for r in surv.groupBy(strata_col).count().collect()}
+    short = [
+        s for s, c in counts.items() if got.get(s, 0) < min(quota, c)
+    ]
+    if short:
+        surv = surv.filter(~F.col(strata_col).isin(short)).unionByName(
+            d.filter(F.col(strata_col).isin(short))
+        )
+    w = Window.partitionBy(strata_col).orderBy("_h", id_col)
+    return (
+        surv.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+        .drop("_h")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int,

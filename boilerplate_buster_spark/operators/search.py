@@ -1,0 +1,80 @@
+"""Inverted-index construction and conjunctive term search - the
+retrieval primitive a corpus-curation stack needs next to dedup and
+quality scoring (targeted corpus probes: "which documents mention all of
+these terms", contamination spot-checks, seed-set bootstrapping).
+
+Scale posture: the index build is one explode + one (term, doc)
+aggregation - a single shuffle keyed by the term/doc pair, no windows,
+no collects.  A search touches only the postings of its query terms
+(a literal IN-list the scanner prunes with), so query cost is bounded
+by the posting sizes, never the corpus; per-term document frequencies
+are query-terms-sized and broadcast.  Scoring is integer tf-idf
+(idf_e6 = (n_docs * 1e6) div df) so SQL oracles reproduce it
+bit-for-bit - no floats, no logs (transcendentals are not cross-engine
+stable; the integer surface carries the same ranking information for
+equal-length conjunctive queries).
+
+No reference anchor: the reference (corpus_miner.cpp) mines phrases but
+has no retrieval surface; this mirrors standard postings practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def inverted_index(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """(term, doc_id, tf): one posting row per (term, document) with the
+    within-document term frequency.  One explode + one hash aggregation;
+    the natural persisted/bucketed artifact for repeated searches."""
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(tokens_col).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def term_stats(index: DataFrame) -> DataFrame:
+    """(term, df, total_tf): per-term document frequency and collection
+    frequency over a posting table from :func:`inverted_index` (postings
+    are already distinct per (term, doc), so df is a plain count)."""
+    return index.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    )
+
+
+def search_terms(
+    index: DataFrame,
+    terms: list[str],
+    n_docs: int,
+    require_all: bool = True,
+) -> DataFrame:
+    """(doc_id, n_hit, score_e6): documents matching the query terms,
+    scored by integer tf-idf: score_e6 = sum(tf * idf_e6) with
+    idf_e6 = (n_docs * 1e6) div df.  ``require_all`` keeps only
+    documents containing every query term (conjunctive AND); otherwise
+    any-term (OR) with n_hit = number of distinct query terms present.
+
+    The IN-list filter prunes the index scan to the query terms'
+    postings; df is recomputed from those same postings (query-sized)
+    and broadcast, so the only corpus-sized shuffle is the final per-doc
+    aggregate over matching postings."""
+    qterms = sorted(set(terms))
+    t = index.filter(F.col("term").isin(qterms))
+    df_t = t.groupBy("term").agg(F.count("*").alias("df"))
+    scored = t.join(F.broadcast(df_t), "term").withColumn(
+        "w", F.expr(f"tf * (({int(n_docs)} * 1000000) div df)")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_hit"),  # postings are distinct per (term, doc)
+        F.sum("w").alias("score_e6"),
+    )
+    if require_all:
+        agg = agg.filter(F.col("n_hit") == len(qterms))
+    return agg

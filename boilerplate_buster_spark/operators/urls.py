@@ -186,6 +186,74 @@ def robots_filter(
     )
 
 
+# --- host-level crawl statistics / spam-host policy ------------------------
+
+
+def host_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """(host, n_docs, n_urls, n_uniq_texts, dup_frac_e6, mean_len):
+    per-host crawl statistics - the aggregation level C4/RefinedWeb-style
+    pipelines apply spam policy at (a spammy host shows many near-identical
+    short pages; a healthy one has diverse text).
+
+    dup_frac_e6 = ((n_docs - distinct texts) * 1e6) div n_docs and
+    mean_len = sum(len) div n_docs are integer-exact (oracle-stable).
+    One shuffle keyed by host; the two COUNT DISTINCTs expand the
+    aggregate 3x (Spark's Expand), still a single exchange.  Text
+    identity is md5 of the raw text - the same fingerprint the exact
+    dedup stage keys on, so host dup stats agree with document dedup."""
+    host = f"element_at(split(regexp_replace({url_col}, '^[a-z]+://', ''), '/'), 1)"
+    d = docs.select(
+        F.expr(host).alias("host"),
+        F.col(url_col).alias("_u"),
+        F.md5(text_col).alias("_fp"),
+        F.length(text_col).alias("_len"),
+    )
+    return d.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("_u").alias("n_urls"),
+        F.countDistinct("_fp").alias("n_uniq_texts"),
+        F.expr(
+            "((count(*) - count(DISTINCT _fp)) * 1000000) div count(*)"
+        ).alias("dup_frac_e6"),
+        F.expr("sum(_len) div count(*)").alias("mean_len"),
+    )
+
+
+def spam_host_filter(
+    docs: DataFrame,
+    max_dup_frac_e6: int | None = None,
+    min_mean_len: int | None = None,
+    max_docs_per_host: int | None = None,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows whose host violates none of the given thresholds (each None
+    threshold is not applied).  The flagged-host set - hosts that ARE
+    spammy - is the broadcast side, so the corpus itself never shuffles:
+    one stats aggregation + one broadcast anti-join.  (Spam hosts are a
+    small fraction of hosts by construction of the thresholds; if a
+    policy flags most of the web, flip to a semi-join on the keep set.)"""
+    stats = host_stats(docs, url_col=url_col, text_col=text_col)
+    cond = F.lit(False)
+    if max_dup_frac_e6 is not None:
+        cond = cond | (F.col("dup_frac_e6") > max_dup_frac_e6)
+    if min_mean_len is not None:
+        cond = cond | (F.col("mean_len") < min_mean_len)
+    if max_docs_per_host is not None:
+        cond = cond | (F.col("n_docs") > max_docs_per_host)
+    bad = stats.filter(cond).select("host")
+    host = f"element_at(split(regexp_replace({url_col}, '^[a-z]+://', ''), '/'), 1)"
+    return (
+        docs.withColumn("_host", F.expr(host))
+        .join(F.broadcast(bad), F.col("_host") == bad["host"], "left_anti")
+        .drop("_host")
+    )
+
+
 # --- URL canonicalization (crawl-dedup key) --------------------------------
 #
 # The normalization chain is generated ONCE and rendered per dialect

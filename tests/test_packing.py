@@ -59,3 +59,74 @@ def test_weighted_mix_deterministic_and_weighted(spark):
     # weight 1e6 keeps everything from that source
     all_web = weighted_corpus_mix(docs, {"web": 1000000}).count()
     assert all_web == 1000
+
+
+def _full_window_reference(spark, docs, strata_col, quota):
+    # ground truth: the rank over the FULL stratum (what the prefilter
+    # decomposition must equal)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from boilerplate_buster_spark.operators.text_stats import h60
+
+    coin = h60(f"concat(CAST({strata_col} AS string), '#', CAST(doc_id AS string))")
+    w = Window.partitionBy(strata_col).orderBy("_h", "doc_id")
+    return {
+        (r[strata_col], r["doc_id"]): r["rn"]
+        for r in docs.withColumn("_h", F.expr(f"pmod({coin}, 1000000)"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .collect()
+    }
+
+
+def test_stratified_sample_exact_quota_matches_full_window(spark):
+    from boilerplate_buster_spark.operators.packing import stratified_sample
+
+    rows = [(i, "big" if i % 3 else "small") for i in range(600)]
+    docs = spark.createDataFrame(rows, ["doc_id", "strata"])
+    got = {
+        (r["strata"], r["doc_id"]): r["sample_rank"]
+        for r in stratified_sample(docs, "strata", quota=25).collect()
+    }
+    assert got == _full_window_reference(spark, docs, "strata", 25)
+    assert sum(1 for (s, _) in got if s == "big") == 25
+    assert sum(1 for (s, _) in got if s == "small") == 25
+
+
+def test_stratified_sample_small_stratum_keeps_all(spark):
+    from boilerplate_buster_spark.operators.packing import stratified_sample
+
+    rows = [(i, "tiny") for i in range(5)] + [(100 + i, "big") for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "strata"])
+    out = stratified_sample(docs, "strata", quota=10)
+    by = {s: 0 for s in ("tiny", "big")}
+    for r in out.collect():
+        by[r["strata"]] += 1
+    assert by == {"tiny": 5, "big": 10}
+
+
+def test_stratified_sample_fallback_path_still_exact(spark):
+    # oversample=1 makes the prefilter margin razor-thin so some strata
+    # undershoot and take the fallback branch; result must still equal the
+    # full-window reference
+    from boilerplate_buster_spark.operators.packing import stratified_sample
+
+    rows = [(i, f"s{i % 7}") for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "strata"])
+    got = {
+        (r["strata"], r["doc_id"]): r["sample_rank"]
+        for r in stratified_sample(docs, "strata", quota=20, oversample=1).collect()
+    }
+    assert got == _full_window_reference(spark, docs, "strata", 20)
+
+
+def test_stratified_sample_partitioning_invariant(spark):
+    from boilerplate_buster_spark.operators.packing import stratified_sample
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(300)]
+    d1 = spark.createDataFrame(rows, ["doc_id", "strata"]).repartition(13)
+    d2 = spark.createDataFrame(rows, ["doc_id", "strata"]).coalesce(1)
+    k1 = {(r["strata"], r["doc_id"]) for r in stratified_sample(d1, "strata", 40).collect()}
+    k2 = {(r["strata"], r["doc_id"]) for r in stratified_sample(d2, "strata", 40).collect()}
+    assert k1 == k2 and len(k1) == 80

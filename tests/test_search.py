@@ -1,0 +1,88 @@
+"""Inverted index + conjunctive term search vs straight Python
+recomputation, including tf-idf integer scoring and OR semantics."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from boilerplate_buster_spark.operators.search import (
+    inverted_index,
+    search_terms,
+    term_stats,
+)
+
+DOCS = [
+    (0, "spark window merge spark".split()),
+    (1, "spark sort".split()),
+    (2, "window merge window spark".split()),
+    (3, "sort sort sort".split()),
+    (4, []),
+]
+
+
+def _index_py():
+    out = {}
+    for i, toks in DOCS:
+        for t, c in Counter(toks).items():
+            out[(t, i)] = c
+    return out
+
+
+def test_inverted_index_postings(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "tokens"])
+    got = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in inverted_index(docs).collect()
+    }
+    assert got == _index_py()
+
+
+def test_term_stats(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "tokens"])
+    got = {
+        r["term"]: (r["df"], r["total_tf"])
+        for r in term_stats(inverted_index(docs)).collect()
+    }
+    assert got == {
+        "spark": (3, 4),
+        "window": (2, 3),
+        "merge": (2, 2),
+        "sort": (2, 4),
+    }
+
+
+def test_search_conjunctive_and_scores(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "tokens"])
+    idx = inverted_index(docs)
+    got = {
+        r["doc_id"]: (r["n_hit"], r["score_e6"])
+        for r in search_terms(idx, ["spark", "window"], n_docs=5).collect()
+    }
+    # only docs 0 and 2 contain both; df(spark)=3, df(window)=2
+    idf_s = (5 * 1000000) // 3
+    idf_w = (5 * 1000000) // 2
+    assert got == {
+        0: (2, 2 * idf_s + 1 * idf_w),
+        2: (2, 1 * idf_s + 2 * idf_w),
+    }
+
+
+def test_search_any_mode(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "tokens"])
+    idx = inverted_index(docs)
+    got = {
+        r["doc_id"]: r["n_hit"]
+        for r in search_terms(
+            idx, ["spark", "window"], n_docs=5, require_all=False
+        ).collect()
+    }
+    assert got == {0: 2, 1: 1, 2: 2}
+
+
+def test_search_prunes_scan_to_query_terms(spark):
+    # the IN-list must reach the posting scan as a filter (pushed down so
+    # a parquet-backed index would skip non-matching row groups)
+    docs = spark.createDataFrame(DOCS, ["doc_id", "tokens"])
+    idx = inverted_index(docs)
+    plan = search_terms(idx, ["spark"], n_docs=5)._jdf.queryExecution().toString()
+    assert "term#" in plan and "IN" in plan.upper()

@@ -175,3 +175,53 @@ def test_normalize_urls_spark_matches_duckdb(spark):
         q = f"(SELECT *, {expr} AS {name} FROM {q} s{i})"
     want = dict(con.sql(f"SELECT url, norm_url FROM {q} f").fetchall())
     assert got == want
+
+
+def test_host_stats_integer_surfaces(spark):
+    rows = [
+        # host a.com: 3 docs, one duplicated text, two urls
+        ("https://a.com/x", "hello world"),
+        ("https://a.com/x", "hello world"),
+        ("https://a.com/y", "different page"),
+        # host b.com: 1 doc
+        ("http://b.com/", "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "text"])
+    from boilerplate_buster_spark.operators.urls import host_stats
+
+    got = {
+        r["host"]: (
+            r["n_docs"], r["n_urls"], r["n_uniq_texts"],
+            r["dup_frac_e6"], r["mean_len"],
+        )
+        for r in host_stats(df).collect()
+    }
+    assert got["a.com"] == (3, 2, 2, 1000000 // 3, (11 + 11 + 14) // 3)
+    assert got["b.com"] == (1, 1, 1, 0, 4)
+
+
+def test_spam_host_filter_thresholds(spark):
+    rows = (
+        [(f"https://spam.com/{i}", "same text") for i in range(4)]
+        + [(f"https://ok.com/{i}", f"unique text number {i}") for i in range(4)]
+        + [("https://tiny.com/0", "x")]
+    )
+    df = spark.createDataFrame(rows, ["url", "text"])
+    from boilerplate_buster_spark.operators.urls import spam_host_filter
+
+    # dup threshold drops spam.com (dup_frac 750000)
+    kept = {
+        r["url"]
+        for r in spam_host_filter(df, max_dup_frac_e6=500000).collect()
+    }
+    assert kept == {u for u, _ in rows if "spam.com" not in u}
+    # mean-len threshold drops tiny.com too
+    kept2 = {
+        r["url"]
+        for r in spam_host_filter(
+            df, max_dup_frac_e6=500000, min_mean_len=2
+        ).collect()
+    }
+    assert kept2 == {u for u, _ in rows if "ok.com" in u}
+    # no thresholds -> everything survives
+    assert spam_host_filter(df).count() == len(rows)
