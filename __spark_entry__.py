@@ -2137,6 +2137,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("score_e6").cast("long").alias("score_e6"),
         )
 
+    def doc_chunks(spark, sf):
+        # RAG-style fixed-size token chunking with overlap (chunk 64,
+        # stride 48): every token covered, last chunk may run short; pure
+        # explode in the scan, no shuffle
+        from boilerplate_buster_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+        return out.select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "start",
+            "n_tokens",
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+
+    def _sentence_aug(spark, sf):
+        # corpus text carries no terminators; wrap it with deterministic
+        # sentence punctuation so segmentation has real work to do
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        return docs.select(
+            "doc_id",
+            F.expr(
+                "concat('start here. ', text, '! final words now? yes.')"
+            ).alias("text"),
+        )
+
+    def sentences(spark, sf):
+        # rule-based sentence segmentation: split after [.!?]+ + space,
+        # terminator stays with its sentence
+        from boilerplate_buster_spark.operators.text_stats import (
+            split_sentences,
+        )
+
+        out = split_sentences(_sentence_aug(spark, sf))
+        return out.select(
+            "doc_id",
+            "sent_idx",
+            F.md5("sentence").alias("sent_md5"),
+            "n_words",
+        )
+
+    def readability_scores(spark, sf):
+        # Flesch reading-ease on an exact integer surface (e3), vowel-group
+        # syllable proxy; pure map
+        from boilerplate_buster_spark.operators.text_stats import readability
+
+        return readability(_sentence_aug(spark, sf))
+
+    def classify_quality(spark, sf):
+        # fastText-style hashed-bag-of-ngrams linear classifier INFERENCE:
+        # 256 feature buckets x 3 classes, closed-form integer weights
+        # (generated identically in the oracle), broadcast model, argmax
+        # with smallest-class tie-break
+        from boilerplate_buster_spark.operators.classify import classify_docs
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        weights = (
+            spark.range(256)
+            .crossJoin(spark.range(3).withColumnRenamed("id", "c"))
+            .selectExpr(
+                "id AS bucket",
+                "cast(c AS int) AS class",
+                "cast((id * 31 + c * 17) % 201 - 100 AS long) AS w",
+            )
+        )
+        return classify_docs(docs, weights, n_classes=3, buckets=256)
+
+    def dsir_weights(spark, sf):
+        # DSIR-style importance: hashed unigram+bigram bucket probabilities
+        # of a target slice (doc_id % 7 = 0) vs the raw corpus; per-doc sum
+        # of integer probability differences (log-free surface, lm.py
+        # precedent); both bucket tables broadcast
+        from boilerplate_buster_spark.operators.classify import (
+            dsir_importance,
+            hashed_bucket_probs,
+        )
+
+        raw = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        target = raw.filter(F.col("doc_id") % 7 == 0)
+        tp = hashed_bucket_probs(target, 256)
+        rp = hashed_bucket_probs(raw, 256)
+        return dsir_importance(raw, tp, rp, 256)
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -2221,6 +2309,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stratified_sample=stratified_sample_q,
         inverted_index=inverted_index_q,
         term_search=term_search,
+        doc_chunks=doc_chunks,
+        sentences=sentences,
+        readability_scores=readability_scores,
+        classify_quality=classify_quality,
+        dsir_weights=dsir_weights,
     )
     return q
 
@@ -3657,5 +3750,120 @@ def oracle_sql() -> dict[str, str]:
                      AS score_e6
             FROM p JOIN d USING (term)
             GROUP BY p.doc_id HAVING count(*) = 3
+        """,
+        # fixed-size token chunking, chunk 64 / stride 48; DuckDB list
+        # slices are 1-based END-INCLUSIVE: l[s+1 : s+64] is 64 tokens
+        "doc_chunks": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents WHERE doc_id < 200),
+            n AS (SELECT doc_id, l,
+                    1 + (greatest(len(l) - 64, 0) + 47) // 48 AS nc
+                  FROM d),
+            u AS (SELECT doc_id, l, unnest(range(0, nc)) AS i FROM n)
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(i * 48 AS BIGINT) AS start,
+                   CAST(len(l[i*48+1 : i*48+64]) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(l[i*48+1 : i*48+64], ' '))
+                     AS chunk_md5
+            FROM u
+        """,
+        # sentence segmentation: same marker trick (terminator run + space
+        # -> terminator + \\x01, then split); RE2 backref is \\1, Java's is $1
+        "sentences": """
+            WITH a AS (SELECT doc_id,
+                         'start here. ' || text || '! final words now? yes.'
+                           AS t
+                       FROM documents WHERE doc_id < 200),
+            m AS (SELECT doc_id,
+                    string_split(regexp_replace(t, '([.!?]+) ',
+                                 '\\1' || chr(1), 'g'), chr(1)) AS ss
+                  FROM a),
+            u AS (SELECT doc_id,
+                    generate_subscripts(ss, 1) - 1 AS i,
+                    unnest(ss) AS s
+                  FROM m)
+            SELECT doc_id, CAST(i AS BIGINT) AS sent_idx, md5(s) AS sent_md5,
+                   CAST(len(list_filter(string_split(s, ' '),
+                        x -> x <> '')) AS BIGINT) AS n_words
+            FROM u
+        """,
+        # integer Flesch surface: W/S/Syl counts + fre_e3 with exact div
+        "readability_scores": """
+            WITH a AS (SELECT doc_id,
+                         'start here. ' || text || '! final words now? yes.'
+                           AS t
+                       FROM documents WHERE doc_id < 200),
+            c AS (SELECT doc_id,
+                    CAST(len(list_filter(string_split(t, ' '),
+                         x -> x <> '')) AS BIGINT) AS n_words,
+                    CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1)
+                         AS BIGINT) AS n_sentences,
+                    CAST(len(regexp_extract_all(lower(t), '[aeiouy]+'))
+                         AS BIGINT) AS n_syllables
+                  FROM a)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CAST(206835 - (1015 * n_words) // greatest(n_sentences, 1)
+                        - (84600 * n_syllables) // greatest(n_words, 1)
+                        AS BIGINT) AS fre_e3
+            FROM c
+        """,
+        # hashed-ngram linear classifier: closed-form integer weight table,
+        # argmax with smallest-class tie-break (row_number mirror)
+        "classify_quality": f"""
+            WITH w AS (SELECT b.i AS bucket, c.i AS class,
+                         ((b.i * 31 + c.i * 17) % 201) - 100 AS w
+                       FROM generate_series(0, 255) b(i),
+                            generate_series(0, 2) c(i)),
+            d AS (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents WHERE doc_id < 200),
+            uni AS (SELECT doc_id, unnest(l) AS gr FROM d),
+            big AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS gr
+                    FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+                          FROM d)),
+            g AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+            f AS (SELECT doc_id, {_dh60("gr")} % 256 AS bucket FROM g),
+            s AS (SELECT doc_id, class, sum(w) AS s
+                  FROM f JOIN w USING (bucket) GROUP BY doc_id, class),
+            r AS (SELECT doc_id, class, s,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY s DESC, class) AS rn
+                  FROM s)
+            SELECT d2.doc_id,
+                   CAST(coalesce(r.class, 0) AS BIGINT) AS label,
+                   CAST(coalesce(r.s, 0) AS BIGINT) AS score
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d2
+            LEFT JOIN r ON d2.doc_id = r.doc_id AND r.rn = 1
+        """,
+        # DSIR importance surface: per-bucket p_e6 of target (doc_id%7=0)
+        # vs raw corpus, summed over each doc's gram occurrences
+        "dsir_weights": f"""
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents WHERE doc_id < 200),
+            uni AS (SELECT doc_id, unnest(l) AS gr FROM d),
+            big AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS gr
+                    FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+                          FROM d)),
+            g AS (SELECT doc_id, {_dh60("gr")} % 256 AS bucket
+                  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+            tf AS (SELECT bucket, count(*) AS c FROM g
+                   WHERE doc_id % 7 = 0 GROUP BY bucket),
+            rf AS (SELECT bucket, count(*) AS c FROM g GROUP BY bucket),
+            tp AS (SELECT bucket,
+                     (c * 1000000) // (SELECT sum(c) FROM tf) AS pt
+                   FROM tf),
+            rp AS (SELECT bucket,
+                     (c * 1000000) // (SELECT sum(c) FROM rf) AS pr
+                   FROM rf),
+            sc AS (SELECT g.doc_id, count(*) AS n_grams,
+                     sum(coalesce(tp.pt, 0) - coalesce(rp.pr, 0)) AS imp
+                   FROM g LEFT JOIN tp USING (bucket)
+                          LEFT JOIN rp USING (bucket)
+                   GROUP BY g.doc_id)
+            SELECT d2.doc_id,
+                   CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(sc.imp, 0) AS BIGINT) AS imp_e6
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d2
+            LEFT JOIN sc ON d2.doc_id = sc.doc_id
         """,
     }

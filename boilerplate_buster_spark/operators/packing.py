@@ -37,6 +37,50 @@ def weighted_corpus_mix(
     return docs.filter(F.expr(f"pmod({coin}, 1000000) < {case}"))
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, chunk_idx, start, n_tokens, chunk_text): fixed-size token
+    windows with overlap - the RAG / embedding-prep chunker.  Chunk i
+    starts at i * (chunk_tokens - overlap); the number of chunks is
+    1 + ceil(max(n - chunk_tokens, 0) / stride), so every token is
+    covered, the last chunk may run short, and no chunk is fully
+    contained in its predecessor.  Empty documents emit one empty chunk
+    (so no document vanishes from the chunked corpus).  Pure
+    explode-of-sequence in the scan - linear output, no shuffle."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = tokens_col
+    n_chunks = (
+        f"1 + (greatest(size({t}) - {chunk_tokens}, 0) + {stride} - 1) "
+        f"div {stride}"
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(t),
+            F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).cast("long").alias("start"),
+            F.expr(
+                f"size(slice({t}, chunk_idx * {stride} + 1, {chunk_tokens}))"
+            ).cast("long").alias("n_tokens"),
+            F.expr(
+                f"array_join(slice({t}, chunk_idx * {stride} + 1, "
+                f"{chunk_tokens}), ' ')"
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     strata_col: str,

@@ -262,3 +262,63 @@ def extraction_eval(
             "div greatest(n_ext + n_gold, 1) AS bigint)"
         ).alias("f1_e6"),
     )
+
+
+def split_sentences(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sent_idx, sentence, n_words): rule-based sentence
+    segmentation - split after a terminator run ([.!?]+) followed by a
+    space (the terminator stays with its sentence; the final sentence
+    needs no trailing space).  Pure map + posexplode, linear output, no
+    shuffle.  The rule is regex-class-only so Java regex and RE2 agree
+    (abbreviation handling like 'e.g. ' is out of scope - documented;
+    real segmenters are dictionary-driven, which is data, not algorithm)."""
+    marked = f"regexp_replace({text_col}, '([.!?]+) ', '$1\\u0001')"
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.expr(f"split({marked}, '\\u0001')")).alias(
+                "sent_idx", "sentence"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("sent_idx").cast("long").alias("sent_idx"),
+            "sentence",
+            F.expr(
+                "size(filter(split(sentence, ' '), x -> x != ''))"
+            ).cast("long").alias("n_words"),
+        )
+    )
+
+
+def readability(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_words, n_sentences, n_syllables, fre_e3): Flesch
+    reading-ease on an integer surface,
+
+        fre_e3 = 206835 - (1015 * W) div S - (84600 * Syl) div W
+
+    with W = space-separated words, S = terminator runs ([.!?]+, min 1),
+    Syl = vowel-group count ([aeiouy]+ on the lowercased text - the
+    standard cheap syllable proxy).  Exact integer arithmetic (div, not
+    floats), so a SQL oracle matches bit-for-bit; the e3 surface ranks
+    identically to the float formula for filtering.  Pure map."""
+    t = text_col
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"size(filter(split({t}, ' '), x -> x != ''))")
+        .cast("long").alias("n_words"),
+        F.expr(f"greatest(size(regexp_extract_all({t}, '[.!?]+', 0)), 1)")
+        .cast("long").alias("n_sentences"),
+        F.expr(f"size(regexp_extract_all(lower({t}), '[aeiouy]+', 0))")
+        .cast("long").alias("n_syllables"),
+    ).withColumn(
+        "fre_e3",
+        F.expr(
+            "206835 - (1015 * n_words) div greatest(n_sentences, 1) "
+            "- (84600 * n_syllables) div greatest(n_words, 1)"
+        ).cast("long"),
+    )

@@ -130,3 +130,28 @@ def test_stratified_sample_partitioning_invariant(spark):
     k1 = {(r["strata"], r["doc_id"]) for r in stratified_sample(d1, "strata", 40).collect()}
     k2 = {(r["strata"], r["doc_id"]) for r in stratified_sample(d2, "strata", 40).collect()}
     assert k1 == k2 and len(k1) == 80
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    from boilerplate_buster_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, [f"t{i}" for i in range(10)]), (1, ["x"]), (2, [])],
+        ["doc_id", "tokens"],
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    }
+    # doc 0: stride 3, n=10 -> chunks at 0,3,6 cover 0..9 (last may run short)
+    assert got[(0, 0)] == (0, 4, "t0 t1 t2 t3")
+    assert got[(0, 1)] == (3, 4, "t3 t4 t5 t6")
+    assert got[(0, 2)] == (6, 4, "t6 t7 t8 t9")
+    assert (0, 3) not in got
+    assert got[(1, 0)] == (0, 1, "x")
+    assert got[(2, 0)] == (0, 0, "")  # empty doc keeps one (empty) chunk
+    # overlap >= chunk refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=2, overlap=2)

@@ -138,3 +138,38 @@ def test_extraction_eval_prf(spark):
     assert r2["p_e6"] == r2["r_e6"] == r2["f1_e6"] == 1_000_000
     r3 = got[3]
     assert r3["n_common"] == 0 and r3["f1_e6"] == 0
+
+
+def test_split_sentences_rules(spark):
+    from boilerplate_buster_spark.operators.text_stats import split_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one two. three! four? five"),
+            (1, "no terminators"),
+            (2, "ellipsis... still splits. end."),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {}
+    for r in split_sentences(docs).collect():
+        got.setdefault(r["doc_id"], []).append((r["sentence"], r["n_words"]))
+    assert got[0] == [("one two.", 2), ("three!", 1), ("four?", 1), ("five", 1)]
+    assert got[1] == [("no terminators", 2)]
+    # a terminator RUN stays one boundary; trailing terminator needs no space
+    assert got[2] == [("ellipsis...", 1), ("still splits.", 2), ("end.", 1)]
+    assert got[3] == [("", 0)]
+
+
+def test_readability_integer_surface(spark):
+    from boilerplate_buster_spark.operators.text_stats import readability
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat. the dog ran. happy end")], ["doc_id", "text"]
+    )
+    r = readability(docs).collect()[0]
+    # W=8, S=2 terminator runs, syllables: vowel groups
+    assert (r["n_words"], r["n_sentences"]) == (8, 2)
+    syl = r["n_syllables"]
+    assert r["fre_e3"] == 206835 - (1015 * 8) // 2 - (84600 * syl) // 8
