@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from boilerplate_buster_spark.operators import ann, dedup, text_stats
+from boilerplate_buster_spark.operators import bpe as _bpe
 from boilerplate_buster_spark.operators.text_stats import STOPWORDS, _LANG_ORDER
 
 # ----------------------------------------------------------------- helpers
@@ -54,6 +55,16 @@ def _dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB dialect of the portable 60-bit hash (Spark twin: text_stats.h60)
 def _dh60(x: str) -> str:
     return f"(('0x'||substr(md5({x}),1,15))::BIGINT)"
+
+
+# Pinned "pretrained" BPE merge list for the encoding query: the k=8 merges
+# train_bpe learns on sf0.001 documents doc_id<200 (any fixed list works -
+# the oracle applies the identical constant chain; pinning real learned
+# merges keeps the encoding meaningful).
+_BPE_PINNED_MERGES = [
+    ("e", "</w>"), ("e", "r"), ("n", "</w>"), ("t", "</w>"),
+    ("o", "r"), ("o", "w"), ("ow", "</w>"), ("er", "</w>"),
+]
 
 
 _FP_MOD = 1 << 40
@@ -2225,6 +2236,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rp = hashed_bucket_probs(raw, 256)
         return dsir_importance(raw, tp, rp, 256)
 
+    def bpe_merges(spark, sf):
+        # distributed BPE tokenizer training: one corpus word-count
+        # shuffle, then k=8 rounds over the Heaps-bounded vocabulary
+        # (pair agg + 1-row argmax + pure-map merge rewrite per round)
+        from boilerplate_buster_spark.operators import bpe
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        merges = bpe.train_bpe(docs, k=8)
+        return bpe.merges_df(spark, merges).select(
+            F.col("rank").cast("long").alias("rank"),
+            "lhs",
+            "rhs",
+            "pair_count",
+        )
+
+    def bpe_encoded(spark, sf):
+        # BPE encoding with a PINNED pretrained merge list (the deployment
+        # shape: tokenizer model is a constant) - the whole model folds
+        # into one chained expression, pure map, zero shuffles
+        from boilerplate_buster_spark.operators.bpe import bpe_encode
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        return bpe_encode(docs, _BPE_PINNED_MERGES)
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -2314,6 +2349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         readability_scores=readability_scores,
         classify_quality=classify_quality,
         dsir_weights=dsir_weights,
+        bpe_merges=bpe_merges,
+        bpe_encoded=bpe_encoded,
     )
     return q
 
@@ -3865,5 +3902,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sc.imp, 0) AS BIGINT) AS imp_e6
             FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d2
             LEFT JOIN sc ON d2.doc_id = sc.doc_id
+        """,
+        # BPE training twin: generated unrolled k=8 rounds (MATERIALIZED
+        # CTEs - default inlining re-expands the round chain exponentially)
+        "bpe_merges": "SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, "
+        "pair_count FROM (" + _bpe.duckdb_train_sql(
+            8,
+            "SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents WHERE doc_id < 200",
+        ) + ")",
+        # BPE encoding with the pinned model: same generated chain, DuckDB
+        # dialect
+        "bpe_encoded": f"""
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents WHERE doc_id < 200),
+            u AS (SELECT doc_id, len(l) AS nw, unnest(l) AS w FROM d)
+            SELECT doc_id,
+                   CAST(max(nw) AS BIGINT) AS n_words,
+                   CAST(sum(len(string_split(
+                        {_bpe.segment_chain_expr("w", _BPE_PINNED_MERGES, "duckdb")},
+                        ' '))) AS BIGINT) AS n_bpe_tokens
+            FROM u GROUP BY doc_id
         """,
     }
