@@ -258,6 +258,69 @@ def main() -> None:
             .agg(F.sum(F.col("keep").cast("long")), F.count("*")).collect()),
     ]
 
+    # round-5 curation/model operators at pages scale
+    from boilerplate_buster_spark.operators.bpe import bpe_encode, train_bpe
+    from boilerplate_buster_spark.operators.classify import (
+        classify_docs,
+        dsir_importance,
+        hashed_bucket_probs,
+    )
+    from boilerplate_buster_spark.operators.packing import chunk_documents
+    from boilerplate_buster_spark.operators.search import (
+        inverted_index,
+        search_terms,
+    )
+    from boilerplate_buster_spark.operators.text_stats import readability
+    from boilerplate_buster_spark.operators.urls import host_stats
+
+    _pinned_merges = [
+        ("e", "</w>"), ("e", "r"), ("n", "</w>"), ("t", "</w>"),
+        ("o", "r"), ("o", "w"), ("ow", "</w>"), ("er", "</w>"),
+    ]
+    cls_weights = spark.range(256).crossJoin(
+        spark.range(3).withColumnRenamed("id", "c")
+    ).selectExpr(
+        "id AS bucket", "cast(c AS int) AS class",
+        "cast((id * 31 + c * 17) % 201 - 100 AS long) AS w",
+    )
+    host_pages = pages.select(
+        F.expr("concat('https://h', CAST(pmod(xxhash64(url), 500) AS string), "
+               "'.ex.com/', url)").alias("url"),
+        "text",
+    )
+
+    def _dsir_pages():
+        target = pages_tok.filter(F.expr("pmod(xxhash64(doc_id), 10) = 0"))
+        tp = hashed_bucket_probs(target, 4096, id_col="doc_id")
+        rp = hashed_bucket_probs(pages_tok, 4096, id_col="doc_id")
+        return dsir_importance(pages_tok, tp, rp, 4096).agg(
+            F.sum("imp_e6"), F.count("*")
+        ).collect()
+
+    def _search_pages():
+        idx = inverted_index(pages_tok, id_col="doc_id")
+        return search_terms(idx, ["query", "window", "merge"], n_docs=n_pages).agg(
+            F.sum("score_e6"), F.count("*")
+        ).collect()
+
+    queries += [
+        ("bpe_train_pages", lambda: train_bpe(pages_tok, k=4)),
+        ("bpe_encode_pages", lambda: bpe_encode(pages_tok, _pinned_merges)
+            .agg(F.sum("n_bpe_tokens")).collect()),
+        ("classify_pages", lambda: classify_docs(
+            pages_tok, cls_weights, n_classes=3, buckets=256
+        ).agg(F.sum("score"), F.count("*")).collect()),
+        ("dsir_pages", _dsir_pages),
+        ("term_search_pages", _search_pages),
+        ("chunk_pages", lambda: chunk_documents(pages_tok, 64, 16)
+            .agg(F.count("*"), F.sum("n_tokens")).collect()),
+        ("readability_pages", lambda: readability(
+            pages.select(F.col("url").alias("doc_id"), "text")
+        ).agg(F.sum("fre_e3"), F.count("*")).collect()),
+        ("host_stats_pages", lambda: host_stats(host_pages)
+            .agg(F.sum("n_docs"), F.count("*")).collect()),
+    ]
+
     samples: dict[str, list[float]] = {name: [] for name, _ in queries}
     loads: list[float] = []
 
