@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from boilerplate_buster_spark.operators import ann, dedup, text_stats
 from boilerplate_buster_spark.operators import bpe as _bpe
+from boilerplate_buster_spark.operators import encoding as _enc
 from boilerplate_buster_spark.operators.text_stats import STOPWORDS, _LANG_ORDER
 
 # ----------------------------------------------------------------- helpers
@@ -56,6 +57,14 @@ def _dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dh60(x: str) -> str:
     return f"(('0x'||substr(md5({x}),1,15))::BIGINT)"
 
+
+# Mojibake suffix for the charset-repair query: 'caffé münchen don't
+# "quoted' with the UTF-8 bytes mis-decoded as cp1252 (what a wrongly
+# declared charset does to a page)
+_MOJI_SUFFIX = (
+    " caff\u00c3\u00a9 m\u00c3\u00bcnchen"
+    " don\u00e2\u20ac\u2122t \u00e2\u20ac\u0153quoted end"
+)
 
 # Pinned "pretrained" BPE merge list for the encoding query: the k=8 merges
 # train_bpe learns on sf0.001 documents doc_id<200 (any fixed list works -
@@ -2260,6 +2269,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
         return bpe_encode(docs, _BPE_PINNED_MERGES)
 
+    def mojibake_fixed(spark, sf):
+        # charset repair: inject cp1252-mis-decoded UTF-8 and fix it with
+        # the REAL codec round trip (translate remapped chars -> latin-1
+        # encode -> utf-8 decode, triple-gated); the oracle applies the
+        # table-driven replace chain instead - equality on this domain
+        # proves the codec path
+        from boilerplate_buster_spark.operators.encoding import (
+            fix_double_utf8,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        aug = docs.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(_MOJI_SUFFIX)).alias("text"),
+        )
+        out = fix_double_utf8(aug)
+        return out.select(
+            "doc_id", F.md5("fixed_text").alias("fixed_md5"), "was_fixed"
+        )
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -2351,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dsir_weights=dsir_weights,
         bpe_merges=bpe_merges,
         bpe_encoded=bpe_encoded,
+        mojibake_fixed=mojibake_fixed,
     )
     return q
 
@@ -3923,5 +3955,14 @@ def oracle_sql() -> dict[str, str]:
                         {_bpe.segment_chain_expr("w", _BPE_PINNED_MERGES, "duckdb")},
                         ' '))) AS BIGINT) AS n_bpe_tokens
             FROM u GROUP BY doc_id
+        """,
+        # charset repair: oracle = table replace chain on the same injected
+        # mojibake; the Spark side runs the real codec round trip
+        "mojibake_fixed": f"""
+            WITH a AS (SELECT doc_id, text || '{_MOJI_SUFFIX}' AS t
+                       FROM documents WHERE doc_id < 200)
+            SELECT doc_id, md5({_enc.fix_expr("t", "duckdb")}) AS fixed_md5,
+                   TRUE AS was_fixed
+            FROM a
         """,
     }
