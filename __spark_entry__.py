@@ -2291,6 +2291,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.md5("fixed_text").alias("fixed_md5"), "was_fixed"
         )
 
+    def pq_codes(spark, sf):
+        # product-quantization encode (Jegou 2011): 8 subspaces x 16
+        # centroids on the integer e3 surface (floor-quantized coords,
+        # closed-form centroid grid) - pure map, codebook is a formula
+        from boilerplate_buster_spark.operators.ann import pq_encode
+
+        emb = _emb(spark, sf).filter(F.col("vec_id") < 200)
+        return pq_encode(emb).select(
+            "vec_id",
+            F.expr("array_join(codes, ' ')").alias("codes_str"),
+        )
+
+    def pq_adc(spark, sf):
+        # ADC top-10 for query vec 0: M x KSUB lookup table broadcast,
+        # corpus side = one explode + one per-id sum
+        from boilerplate_buster_spark.operators.ann import (
+            pq_adc_topk,
+            pq_encode,
+        )
+
+        emb = _emb(spark, sf).filter(F.col("vec_id") < 500)
+        return pq_adc_topk(pq_encode(emb), _query_vec(spark, sf), k=10)
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -2383,6 +2406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe_merges=bpe_merges,
         bpe_encoded=bpe_encoded,
         mojibake_fixed=mojibake_fixed,
+        pq_codes=pq_codes,
+        pq_adc=pq_adc,
     )
     return q
 
@@ -3964,5 +3989,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5({_enc.fix_expr("t", "duckdb")}) AS fixed_md5,
                    TRUE AS was_fixed
             FROM a
+        """,
+        # PQ encode: same floor-e3 quantization, centroid-grid formula and
+        # (dist, c) tie-break, via a relational (vec, sub, centroid, dim)
+        # grid + row_number argmin
+        "pq_codes": """
+            WITH e AS (SELECT vec_id,
+                         list_transform(embedding,
+                           v -> CAST(floor(v * 1000) AS BIGINT)) AS xi
+                       FROM embeddings WHERE vec_id < 200),
+            g  AS (SELECT vec_id, xi, unnest(range(0, 8)) AS s FROM e),
+            gc AS (SELECT vec_id, xi, s, unnest(range(0, 16)) AS c FROM g),
+            gj AS (SELECT vec_id, xi, s, c, unnest(range(0, 8)) AS j FROM gc),
+            t AS (SELECT vec_id, s, c,
+                    sum((xi[s*8+j+1] - ((c*31 + (s*8+j)*7 + 13) % 1000 - 500))
+                      * (xi[s*8+j+1] - ((c*31 + (s*8+j)*7 + 13) % 1000 - 500)))
+                      AS d
+                  FROM gj GROUP BY vec_id, s, c),
+            w AS (SELECT vec_id, s, c,
+                    row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY d, c) AS rn
+                  FROM t)
+            SELECT vec_id,
+                   string_agg(CAST(c AS VARCHAR), ' ' ORDER BY s) AS codes_str
+            FROM w WHERE rn = 1 GROUP BY vec_id
+        """,
+        # ADC top-10: the LUT is exactly the t-grid row for the query vec
+        "pq_adc": """
+            WITH e AS (SELECT vec_id,
+                         list_transform(embedding,
+                           v -> CAST(floor(v * 1000) AS BIGINT)) AS xi
+                       FROM embeddings WHERE vec_id < 500),
+            g  AS (SELECT vec_id, xi, unnest(range(0, 8)) AS s FROM e),
+            gc AS (SELECT vec_id, xi, s, unnest(range(0, 16)) AS c FROM g),
+            gj AS (SELECT vec_id, xi, s, c, unnest(range(0, 8)) AS j FROM gc),
+            t AS (SELECT vec_id, s, c,
+                    sum((xi[s*8+j+1] - ((c*31 + (s*8+j)*7 + 13) % 1000 - 500))
+                      * (xi[s*8+j+1] - ((c*31 + (s*8+j)*7 + 13) % 1000 - 500)))
+                      AS d
+                  FROM gj GROUP BY vec_id, s, c),
+            w AS (SELECT vec_id, s, c,
+                    row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY d, c) AS rn
+                  FROM t),
+            lut AS (SELECT s, c, d FROM t WHERE vec_id = 0),
+            adc AS (SELECT w.vec_id, sum(lut.d) AS adc_dist
+                    FROM w JOIN lut ON w.s = lut.s AND w.c = lut.c
+                    WHERE w.rn = 1 GROUP BY w.vec_id)
+            SELECT vec_id, CAST(adc_dist AS BIGINT) AS adc_dist
+            FROM adc ORDER BY adc_dist, vec_id LIMIT 10
         """,
     }

@@ -438,3 +438,109 @@ def semantic_dedup(
             (F.coalesce("n_dups", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+# --- product quantization (PQ) + ADC scoring (integer-exact) ---------------
+#
+# The standard memory-compressed ANN path (Jegou et al. 2011): vectors are
+# split into M subspaces, each quantized to one of KSUB centroids; a query
+# scores documents with an Asymmetric Distance Computation lookup table
+# (M x KSUB query-to-centroid distances) - codes are M small ints, the LUT
+# is model-sized.  Everything here runs on an e3-quantized INTEGER surface:
+# coordinates map through floor(v * 1000) (floor is IEEE-exact, identical
+# in every engine, unlike round()), centroid coordinates come from a
+# closed-form integer grid, and distances are integer sums of squares - so
+# a SQL oracle reproduces codes and ADC ranking bit-for-bit.  (A trained
+# codebook plugs in by replacing the grid formula with a table; the
+# pipeline shape is identical.)
+
+
+def pq_centroid_val(c: int | str, j_global: int | str) -> str:
+    """Closed-form e3 centroid coordinate for centroid ``c`` at GLOBAL
+    dimension ``j_global`` (formula shared by operator and oracle)."""
+    return f"(({c} * 31 + {j_global} * 7 + 13) % 1000 - 500)"
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): PQ codes, codes[s] = argmin_c of the integer L2
+    distance between subvector s and centroid (s, c), ties to the
+    smallest c (array_sort on (dist, c) structs).  Pure map over the
+    scan - the codebook is a formula (or broadcastable table), never a
+    corpus-sized join."""
+    ds = dim // m
+    xi = f"transform({vec_col}, v -> cast(floor(v * 1000) AS bigint))"
+    dist = (
+        f"aggregate(sequence(0, {ds - 1}), cast(0 AS bigint), (acc, j) -> "
+        f"acc + (element_at(xi, s * {ds} + j + 1) "
+        f"- {pq_centroid_val('c', f'(s * {ds} + j)')}) "
+        f"* (element_at(xi, s * {ds} + j + 1) "
+        f"- {pq_centroid_val('c', f'(s * {ds} + j)')}))"
+    )
+    codes = (
+        f"transform(sequence(0, {m - 1}), s -> element_at(array_sort("
+        f"transform(sequence(0, {ksub - 1}), c -> "
+        f"struct({dist} AS d, c AS c))), 1).c)"
+    )
+    return emb.select(F.col(id_col), F.expr(xi).alias("xi")).select(
+        id_col, F.expr(codes).alias("codes")
+    )
+
+
+def pq_adc_lut(
+    query_vec: list[float], m: int = 8, ksub: int = 16, dim: int = 64
+) -> list[tuple[int, int, int]]:
+    """[(s, c, d)]: the ADC lookup table for one query - integer L2
+    distance from each query subvector to each centroid.  M * KSUB rows:
+    model-sized, the broadcast side of pq_adc_topk."""
+    ds = dim // m
+    import math
+
+    qi = [int(math.floor(float(v) * 1000)) for v in query_vec]
+    out = []
+    for s in range(m):
+        for c in range(ksub):
+            d = 0
+            for j in range(ds):
+                g = s * ds + j
+                cv = (c * 31 + g * 7 + 13) % 1000 - 500
+                d += (qi[g] - cv) * (qi[g] - cv)
+            out.append((s, c, d))
+    return out
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, adc_dist): the k nearest codes to the query under ADC -
+    explode each code array to (id, s, c), join the BROADCAST LUT, sum
+    per id, TakeOrderedAndProject the top k (ascending distance, ties by
+    id).  The corpus-side work is one explode + one per-id sum; the LUT
+    never exceeds M * KSUB rows."""
+    spark = codes.sparkSession
+    lut = spark.createDataFrame(
+        pq_adc_lut(query_vec, m, ksub, dim), "s int, c int, d long"
+    )
+    return (
+        codes.select(
+            F.col(id_col),
+            F.posexplode("codes").alias("s", "c"),
+        )
+        .join(F.broadcast(lut), ["s", "c"])
+        .groupBy(id_col)
+        .agg(F.sum("d").alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

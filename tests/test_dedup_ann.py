@@ -360,3 +360,67 @@ def test_semantic_dedup_exact_mirror(spark):
     assert out[0]["keep"] is True
     # clusters cover ids; every cluster id is one of the k seeds' indices
     assert set(r["cluster"] for r in out.values()) <= set(range(4))
+
+
+def _pq_py_codes(vecs, m=8, ksub=16):
+    import math
+
+    out = {}
+    ds = len(next(iter(vecs.values()))) // m
+    for vid, v in vecs.items():
+        xi = [int(math.floor(float(x) * 1000)) for x in v]
+        codes = []
+        for s in range(m):
+            best = None
+            for c in range(ksub):
+                d = 0
+                for j in range(ds):
+                    g = s * ds + j
+                    cv = (c * 31 + g * 7 + 13) % 1000 - 500
+                    d += (xi[g] - cv) ** 2
+                if best is None or (d, c) < best:
+                    best = (d, c)
+            codes.append(best[1])
+        out[vid] = codes
+    return out
+
+
+def test_pq_encode_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from boilerplate_buster_spark.operators.ann import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("vec_id") < 20
+    )
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb).collect()}
+    assert got == _pq_py_codes(vecs)
+
+
+def test_pq_adc_topk_matches_python_and_broadcasts(spark):
+    from pyspark.sql import functions as F
+
+    from boilerplate_buster_spark.operators.ann import (
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("vec_id") < 60
+    )
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    q = vecs[3]
+    codes = pq_encode(emb)
+    top = pq_adc_topk(codes, q, k=5)
+    got = [(r["vec_id"], r["adc_dist"]) for r in top.collect()]
+    lut = {(s, c): d for s, c, d in pq_adc_lut(q)}
+    pyc = _pq_py_codes(vecs)
+    dists = sorted(
+        (sum(lut[(s, c)] for s, c in enumerate(cs)), vid)
+        for vid, cs in pyc.items()
+    )
+    assert got == [(vid, d) for d, vid in dists[:5]]
+    # the LUT side must broadcast (never a corpus shuffle for the model)
+    assert "BroadcastHashJoin" in top._jdf.queryExecution().executedPlan().toString()
