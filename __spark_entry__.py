@@ -2314,6 +2314,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _emb(spark, sf).filter(F.col("vec_id") < 500)
         return pq_adc_topk(pq_encode(emb), _query_vec(spark, sf), k=10)
 
+    def fuzzy_titles(spark, sf):
+        # record linkage: edit-distance-1 title pairs via COMPLETE
+        # deletion-neighborhood blocking + exact levenshtein verify; the
+        # oracle brute-forces the cross join, so equality proves the
+        # blocking misses nothing
+        from boilerplate_buster_spark.operators.dedup import fuzzy_pairs
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 120
+        )
+        titled = docs.select(
+            "doc_id",
+            F.expr(
+                "concat('product item ', CAST(doc_id % 30 AS string), "
+                "IF(doc_id % 7 = 0, 'x', ''))"
+            ).alias("title"),
+        )
+        return fuzzy_pairs(titled)
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -2408,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mojibake_fixed=mojibake_fixed,
         pq_codes=pq_codes,
         pq_adc=pq_adc,
+        fuzzy_titles=fuzzy_titles,
     )
     return q
 
@@ -4038,5 +4058,19 @@ def oracle_sql() -> dict[str, str]:
                     WHERE w.rn = 1 GROUP BY w.vec_id)
             SELECT vec_id, CAST(adc_dist AS BIGINT) AS adc_dist
             FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+        """,
+        # brute-force cross join with levenshtein: proves the Spark side's
+        # deletion-neighborhood blocking is complete
+        "fuzzy_titles": """
+            WITH t AS (SELECT doc_id,
+                         'product item ' || CAST(doc_id % 30 AS VARCHAR)
+                           || CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END
+                           AS title
+                       FROM documents WHERE doc_id < 120)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+            FROM t a, t b
+            WHERE a.doc_id < b.doc_id
+              AND levenshtein(a.title, b.title) <= 1
         """,
     }

@@ -392,3 +392,56 @@ def exact_substring_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_spans"))
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "title",
+    max_dist: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, dist): all pairs of rows whose ``text_col`` strings
+    are within Levenshtein distance ``max_dist`` (currently 1) - the
+    record-linkage / near-identical-title join.
+
+    COMPLETE blocking via deletion neighborhoods (SymSpell): every string
+    emits itself plus each single-character deletion; two strings within
+    edit distance 1 always share a variant (substitution -> both delete
+    the differing position; insertion/deletion -> the longer string's
+    deletion equals the shorter string; equality -> the strings
+    themselves).  Candidates meet in a variant-keyed join - never an
+    all-pairs product - and an exact levenshtein() verify removes the
+    false positives (distance-2 strings can share a variant).  The
+    contract oracle brute-forces the cross join, so equality PROVES the
+    blocking complete on real data.  Per-row fan-out is length+1
+    variants: linear in corpus characters, one shuffle on the variant
+    key (same shape as LSH banding)."""
+    if max_dist != 1:
+        raise ValueError("deletion-neighborhood blocking implemented for k=1")
+    t = text_col
+    variants = (
+        f"array_distinct(transform(sequence(0, length({t})), i -> "
+        f"IF(i = 0, {t}, concat(substring({t}, 1, i - 1), "
+        f"substring({t}, i + 1, length({t}))))))"
+    )
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(t).alias("_t"),
+        F.explode(F.expr(variants)).alias("_v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cands = (
+        a.join(b, (F.col("a._v") == F.col("b._v")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._t").alias("_ta"),
+            F.col("b._t").alias("_tb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("_ta", "_tb").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

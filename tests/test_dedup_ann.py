@@ -424,3 +424,41 @@ def test_pq_adc_topk_matches_python_and_broadcasts(spark):
     assert got == [(vid, d) for d, vid in dists[:5]]
     # the LUT side must broadcast (never a corpus shuffle for the model)
     assert "BroadcastHashJoin" in top._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fuzzy_pairs_complete_vs_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from boilerplate_buster_spark.operators.dedup import fuzzy_pairs
+
+    titles = [
+        (0, "apple pie"), (1, "apple pi"), (2, "apple pies"),
+        (3, "bananas"), (4, "banana"), (5, "bananaz"),
+        (6, "totally different"), (7, "apple pie"),
+    ]
+    df = spark.createDataFrame(titles, ["doc_id", "title"])
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"] for r in fuzzy_pairs(df).collect()
+    }
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0 or j == 0:
+                return i + j
+            return min(
+                d(i - 1, j) + 1, d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+        return d(len(a), len(b))
+
+    want = {}
+    for i, ta in titles:
+        for j, tb in titles:
+            if i < j and lev(ta, tb) <= 1:
+                want[(i, j)] = lev(ta, tb)
+    assert got == want
+    assert got[(0, 7)] == 0 and got[(0, 1)] == 1 and got[(3, 4)] == 1
+    assert (0, 2) in got and (1, 2) not in got  # pie~pies 1, pi~pies 2
