@@ -2333,6 +2333,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return fuzzy_pairs(titled)
 
+    def winnow_fp(spark, sf):
+        # winnowing / MOSS fingerprints (Schleimer 2003): k=4-gram hashes,
+        # window w=5 rightmost-min selection, dedup - all inside one
+        # projection, no shuffle
+        from boilerplate_buster_spark.operators.text_stats import (
+            winnow_fingerprints,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 100)
+        return winnow_fingerprints(docs)
+
+    def length_percentiles(spark, sf):
+        # EXACT nearest-rank percentiles of the token-count distribution:
+        # histogram aggregate (domain-bounded) + cumulative sum over the
+        # tiny histogram - never a corpus sort
+        from boilerplate_buster_spark.operators.corpus_stats import (
+            exact_percentiles,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return exact_percentiles(
+            docs, "size(split(text, ' '))", [25, 50, 75, 90, 99]
+        )
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -2428,6 +2452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pq_codes=pq_codes,
         pq_adc=pq_adc,
         fuzzy_titles=fuzzy_titles,
+        winnow_fp=winnow_fp,
+        length_percentiles=length_percentiles,
     )
     return q
 
@@ -4072,5 +4098,41 @@ def oracle_sql() -> dict[str, str]:
             FROM t a, t b
             WHERE a.doc_id < b.doc_id
               AND levenshtein(a.title, b.title) <= 1
+        """,
+        # winnowing: gram-hash grid + per-window rightmost-min row_number
+        "winnow_fp": f"""
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE doc_id < 100),
+            g AS (SELECT doc_id, t,
+                    unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS i
+                  FROM d),
+            h AS (SELECT doc_id, i,
+                    {_dh60("array_to_string(t[i:i+3], ' ')")} AS h
+                  FROM g),
+            n AS (SELECT doc_id, count(*) AS ng FROM h GROUP BY doc_id),
+            wj AS (SELECT doc_id,
+                     unnest(range(1, greatest(ng - 4, 0) + 1)) AS j
+                   FROM n),
+            win AS (SELECT wj.doc_id, wj.j, h.i, h.h
+                    FROM wj JOIN h ON h.doc_id = wj.doc_id
+                                  AND h.i BETWEEN wj.j AND wj.j + 4),
+            r AS (SELECT doc_id, j, i, h,
+                    row_number() OVER (PARTITION BY doc_id, j
+                                       ORDER BY h, i DESC) AS rn
+                  FROM win)
+            SELECT DISTINCT doc_id, CAST(i - 1 AS BIGINT) AS pos, h AS fp
+            FROM r WHERE rn = 1
+        """,
+        # exact nearest-rank percentiles: rank = (p*N + 99) // 100
+        "length_percentiles": """
+            WITH v AS (SELECT len(string_split(text, ' ')) AS val
+                       FROM documents),
+            o AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v),
+            n AS (SELECT count(*) AS n FROM v)
+            SELECT CAST(ps.p AS BIGINT) AS p,
+                   CAST(min(o.val) AS BIGINT) AS value
+            FROM (VALUES (25), (50), (75), (90), (99)) ps(p), o, n
+            WHERE o.rn >= (ps.p * n.n + 99) // 100
+            GROUP BY ps.p
         """,
     }

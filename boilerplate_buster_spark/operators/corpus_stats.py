@@ -70,3 +70,36 @@ def seed_occurrences(
 ) -> DataFrame:
     """All n-gram occurrences (doc_id, pos, gram) - the seed stream (A1)."""
     return explode_ngrams(docs, n, doc_col, tokens_col)
+
+
+def exact_percentiles(docs, value_expr: str, ps: list[int]):
+    """(p, value): EXACT nearest-rank percentiles of an integer-valued
+    expression - value at 1-based rank ceil(p * N / 100), computed in
+    integer arithmetic ((p*N + 99) div 100), so a SQL oracle matches
+    bit-for-bit (approx_percentile sketches are engine-specific; exact
+    percentiles of an integer-DOMAIN column need no global sort).
+
+    Two-phase: one hash aggregation to the value histogram (bounded by
+    the value domain, a corpus statistic - token counts, lengths,
+    scores), then a cumulative sum over the tiny histogram and one
+    min-per-rank aggregate.  The single-partition window runs over the
+    histogram, never the corpus."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    v = docs.selectExpr(f"cast({value_expr} AS bigint) AS val")
+    hist = v.groupBy("val").agg(F.count("*").alias("c"))
+    n = v.count()
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ps_df = spark.createDataFrame([(int(p),) for p in sorted(ps)], "p long")
+    return (
+        ps_df.crossJoin(cum)
+        .filter(F.expr(f"cum >= (p * {n} + 99) div 100"))
+        .groupBy("p")
+        .agg(F.min("val").alias("value"))
+    )

@@ -68,8 +68,10 @@ def search_terms(
     qterms = sorted(set(terms))
     t = index.filter(F.col("term").isin(qterms))
     df_t = t.groupBy("term").agg(F.count("*").alias("df"))
+    # the idf numerator is precomputed in Python: an inline `N * 1000000`
+    # would be int32 * int32 and overflow under ANSI for corpora > ~2k docs
     scored = t.join(F.broadcast(df_t), "term").withColumn(
-        "w", F.expr(f"tf * (({int(n_docs)} * 1000000) div df)")
+        "w", F.expr(f"tf * ({int(n_docs) * 1000000} div df)")
     )
     agg = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_hit"),  # postings are distinct per (term, doc)

@@ -322,3 +322,50 @@ def readability(
             "- (84600 * n_syllables) div greatest(n_words, 1)"
         ).cast("long"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, pos, fp): winnowing document fingerprints (Schleimer et al.
+    2003, the MOSS algorithm): hash every k-token gram, slide a window of
+    ``w`` consecutive gram hashes, keep the minimum of each window
+    (rightmost position on hash ties - the robust-winnowing choice),
+    dedup.  Guarantees every match of length >= w + k - 1 tokens shares
+    a fingerprint, with ~2/(w+1) selection density.  (The paper's
+    'prefer the previous window's pick' tie rule is stateful; rightmost-
+    min is the standard stateless variant and is what we pin.)
+
+    Pure map + explode over the scan: gram hashes, window argmins and
+    the dedup all happen inside one projection (no shuffle).  Hashes are
+    the portable 60-bit md5, so the SQL oracle reproduces fingerprints
+    bit-for-bit.  Documents with fewer than k + w - 1 tokens emit no
+    rows (no full window exists)."""
+    t = tokens_col
+    ng = f"(size({t}) - {k} + 1)"  # gram count
+    gram_h = h60(f"array_join(slice({t}, i, {k}), ' ')")
+    hs = (
+        f"transform(slice(sequence(1, greatest({ng}, 1)), 1, "
+        f"greatest({ng}, 0)), i -> {gram_h})"
+    )
+    nw = f"(size(hs) - {w} + 1)"  # window count
+    # per window j (1-based): min struct(hash, -pos) = (min hash,
+    # rightmost pos among ties); pos is the 0-based gram position
+    sel = (
+        f"array_distinct(transform(slice(sequence(1, greatest({nw}, 1)), 1, "
+        f"greatest({nw}, 0)), j -> array_min(transform(sequence(0, {w - 1}), "
+        f"o -> struct(element_at(hs, j + o) AS h, -(j + o - 1) AS np)))))"
+    )
+    return (
+        docs.select(F.col(id_col), F.expr(hs).alias("hs"))
+        .select(id_col, F.explode(F.expr(sel)).alias("s"))
+        .select(
+            id_col,
+            (-F.col("s.np")).cast("long").alias("pos"),
+            F.col("s.h").alias("fp"),
+        )
+    )

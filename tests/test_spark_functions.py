@@ -173,3 +173,76 @@ def test_readability_integer_surface(spark):
     assert (r["n_words"], r["n_sentences"]) == (8, 2)
     syl = r["n_syllables"]
     assert r["fre_e3"] == 206835 - (1015 * 8) // 2 - (84600 * syl) // 8
+
+
+def _winnow_py(tokens, k=4, w=5):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    hs = [h60(" ".join(tokens[i : i + k])) for i in range(len(tokens) - k + 1)]
+    out = set()
+    for j in range(len(hs) - w + 1):
+        m = min(hs[j : j + w])
+        pos = max(i for i in range(j, j + w) if hs[i] == m)
+        out.add((pos, m))
+    return out
+
+
+def test_winnow_fingerprints_matches_python(spark):
+    from boilerplate_buster_spark.operators.text_stats import (
+        winnow_fingerprints,
+    )
+
+    rows = [
+        (0, ("the quick brown fox jumps over the lazy dog again and "
+             "again the quick brown fox returns").split()),
+        (1, "too short".split()),
+        (2, ("aaa bbb aaa bbb aaa bbb aaa bbb ccc").split()),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    got = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, toks in rows:
+        want = _winnow_py(toks)
+        assert got.get(i, set()) == want, i
+    assert 1 not in got  # shorter than k + w - 1 -> no full window
+
+
+def test_winnow_shared_fingerprint_on_common_run(spark):
+    # the winnowing guarantee: matches of length >= w + k - 1 (= 8)
+    # tokens share at least one fingerprint
+    from boilerplate_buster_spark.operators.text_stats import (
+        winnow_fingerprints,
+    )
+
+    common = "one two three four five six seven eight".split()
+    rows = [
+        (0, "x y z".split() + common + "p q".split()),
+        (1, "m n".split() + common + "r s t u".split()),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    fps = {}
+    for r in winnow_fingerprints(docs).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1]
+
+
+def test_exact_percentiles_nearest_rank(spark):
+    from boilerplate_buster_spark.operators.corpus_stats import (
+        exact_percentiles,
+    )
+
+    vals = [5, 1, 3, 2, 4, 2, 2, 9, 7, 6]  # sorted: 1 2 2 2 3 4 5 6 7 9
+    docs = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {
+        r["p"]: r["value"]
+        for r in exact_percentiles(docs, "v", [10, 25, 50, 90, 100]).collect()
+    }
+    import math
+
+    s = sorted(vals)
+    want = {p: s[max(1, math.ceil(p * len(s) / 100)) - 1] for p in got}
+    assert got == want == {10: 1, 25: 2, 50: 3, 90: 7, 100: 9}
