@@ -2357,6 +2357,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, "size(split(text, ' '))", [25, 50, 75, 90, 99]
         )
 
+    def curation_pipeline(spark, sf):
+        # composed curation job over the round-5 operators: mojibake codec
+        # repair -> host-level spam flag -> hashed-ngram classifier ->
+        # readability -> per-url keep/drop + reason.  Every stage is the
+        # real operator; the oracle recomposes the proven SQL twins (the
+        # repair stage's twin is the table chain - equality re-proves the
+        # codec inside the composition)
+        from boilerplate_buster_spark.operators.classify import classify_docs
+        from boilerplate_buster_spark.operators.encoding import (
+            fix_double_utf8,
+        )
+        from boilerplate_buster_spark.operators.text_stats import readability
+        from boilerplate_buster_spark.operators.urls import host_stats
+
+        base = _spam_pages(spark, sf)
+        aug = base.select(
+            "doc_id",
+            "url",
+            F.concat(F.col("text"), F.lit(_MOJI_SUFFIX)).alias("text"),
+        )
+        fixed = fix_double_utf8(aug).join(
+            aug.select("doc_id", "url"), "doc_id"
+        ).select("doc_id", "url", F.col("fixed_text").alias("text"))
+        bad = (
+            host_stats(fixed)
+            .filter(F.col("dup_frac_e6") > 500000)
+            .select("host")
+        )
+        host = (
+            "element_at(split(regexp_replace(url, '^[a-z]+://', ''), "
+            "'/'), 1)"
+        )
+        flagged = fixed.withColumn("host", F.expr(host)).join(
+            F.broadcast(bad.withColumn("_bad", F.lit(True))), "host", "left"
+        ).withColumn("spam_host", F.coalesce("_bad", F.lit(False)))
+        weights = (
+            spark.range(256)
+            .crossJoin(spark.range(3).withColumnRenamed("id", "c"))
+            .selectExpr(
+                "id AS bucket",
+                "cast(c AS int) AS class",
+                "cast((id * 31 + c * 17) % 201 - 100 AS long) AS w",
+            )
+        )
+        cls = classify_docs(
+            fixed.withColumn("tokens", F.split("text", " ")),
+            weights, n_classes=3, buckets=256,
+        ).select("doc_id", "label")
+        rd = readability(fixed).select("doc_id", "fre_e3")
+        return (
+            flagged.select("doc_id", "url", "spam_host")
+            .join(cls, "doc_id")
+            .join(rd, "doc_id")
+            .select(
+                "doc_id",
+                "url",
+                "spam_host",
+                F.col("label").cast("long").alias("label"),
+                "fre_e3",
+                (
+                    ~F.col("spam_host")
+                    & (F.col("label") != 2)
+                    & (F.col("fre_e3") > 0)
+                ).alias("keep"),
+                F.expr(
+                    "CASE WHEN spam_host THEN 'spam_host' "
+                    "WHEN label = 2 THEN 'classifier' "
+                    "WHEN fre_e3 <= 0 THEN 'readability' "
+                    "ELSE 'keep' END"
+                ).alias("reason"),
+            )
+        )
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -2454,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fuzzy_titles=fuzzy_titles,
         winnow_fp=winnow_fp,
         length_percentiles=length_percentiles,
+        curation_pipeline=curation_pipeline,
     )
     return q
 
@@ -4134,5 +4208,80 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (25), (50), (75), (90), (99)) ps(p), o, n
             WHERE o.rn >= (ps.p * n.n + 99) // 100
             GROUP BY ps.p
+        """,
+        # composed curation pipeline: the proven per-stage twins chained in
+        # one WITH (closed-form synth urls + spam farms + mojibake ->
+        # table-chain repair -> host dup stats -> hashed classifier ->
+        # integer readability -> keep/drop + reason)
+        "curation_pipeline": f"""
+            WITH p AS (SELECT doc_id,
+                         (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+                           || '://'
+                           || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                           || 'site' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/'
+                           || repeat('p/', doc_id % 4) || 'page'
+                           || CAST(doc_id AS VARCHAR)
+                           || CASE WHEN doc_id % 3 = 1
+                                THEN '?a=1&b=' || CAST(doc_id AS VARCHAR)
+                                ELSE '' END AS url,
+                         (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+                           || 'site' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.ex' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com' AS host,
+                         (CASE WHEN doc_id % 20 IN (3, 7)
+                               THEN 'buy cheap now' ELSE text END)
+                           || '{_MOJI_SUFFIX}' AS t0
+                       FROM documents WHERE doc_id < 300),
+            f AS (SELECT doc_id, url, host,
+                    {_enc.fix_expr("t0", "duckdb")} AS t
+                  FROM p),
+            bad AS (SELECT host FROM f GROUP BY host
+                    HAVING ((count(*) - count(DISTINCT md5(t))) * 1000000)
+                           // count(*) > 500000),
+            d AS (SELECT doc_id, url, host, t,
+                    string_split(t, ' ') AS l
+                  FROM f),
+            uni AS (SELECT doc_id, unnest(l) AS gr FROM d),
+            big AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS gr
+                    FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+                          FROM d)),
+            g AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+            fe AS (SELECT doc_id, {_dh60("gr")} % 256 AS bucket FROM g),
+            w AS (SELECT b.i AS bucket, c.i AS class,
+                    ((b.i * 31 + c.i * 17) % 201) - 100 AS w
+                  FROM generate_series(0, 255) b(i),
+                       generate_series(0, 2) c(i)),
+            s AS (SELECT doc_id, class, sum(w) AS s
+                  FROM fe JOIN w USING (bucket) GROUP BY doc_id, class),
+            r AS (SELECT doc_id, class,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY s DESC, class) AS rn
+                  FROM s),
+            lab AS (SELECT doc_id, class AS label FROM r WHERE rn = 1),
+            rd AS (SELECT doc_id,
+                     CAST(len(list_filter(string_split(t, ' '),
+                          x -> x <> '')) AS BIGINT) AS nw,
+                     CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1)
+                          AS BIGINT) AS ns,
+                     CAST(len(regexp_extract_all(lower(t), '[aeiouy]+'))
+                          AS BIGINT) AS sy
+                   FROM d),
+            rd2 AS (SELECT doc_id,
+                      206835 - (1015 * nw) // greatest(ns, 1)
+                        - (84600 * sy) // greatest(nw, 1) AS fre
+                    FROM rd)
+            SELECT d.doc_id, d.url,
+                   d.host IN (SELECT host FROM bad) AS spam_host,
+                   CAST(lab.label AS BIGINT) AS label,
+                   CAST(rd2.fre AS BIGINT) AS fre_e3,
+                   d.host NOT IN (SELECT host FROM bad)
+                     AND lab.label <> 2 AND rd2.fre > 0 AS keep,
+                   CASE WHEN d.host IN (SELECT host FROM bad)
+                          THEN 'spam_host'
+                        WHEN lab.label = 2 THEN 'classifier'
+                        WHEN rd2.fre <= 0 THEN 'readability'
+                        ELSE 'keep' END AS reason
+            FROM d JOIN lab USING (doc_id) JOIN rd2 USING (doc_id)
         """,
     }

@@ -88,8 +88,10 @@ def exact_percentiles(docs, value_expr: str, ps: list[int]):
 
     spark = docs.sparkSession
     v = docs.selectExpr(f"cast({value_expr} AS bigint) AS val")
-    hist = v.groupBy("val").agg(F.count("*").alias("c"))
-    n = v.count()
+    # persist the (tiny) histogram: N comes from summing it, so the corpus
+    # is scanned exactly once across both actions
+    hist = v.groupBy("val").agg(F.count("*").alias("c")).persist()
+    n = hist.agg(F.sum("c")).collect()[0][0] or 0
     cum = hist.withColumn(
         "cum",
         F.sum("c").over(

@@ -52,9 +52,11 @@ def _word_counts():
 
 def test_train_bpe_matches_python_reference(spark):
     docs = spark.createDataFrame(CORPUS, ["doc_id", "tokens"])
-    got = train_bpe(docs, k=6)
     want, _ = _py_bpe(_word_counts(), 6)
-    assert got == want
+    # the distributed rounds AND the auto-selected driver path must both
+    # reproduce the reference exactly
+    assert train_bpe(docs, k=6, strategy="distributed") == want
+    assert train_bpe(docs, k=6) == want
 
 
 def test_bpe_encode_matches_python_segmentation(spark):
