@@ -111,6 +111,11 @@ def stratified_sample(
     spark = docs.sparkSession
     coin = h60(f"concat(CAST({strata_col} AS string), '#', CAST({id_col} AS string))")
     d = docs.withColumn("_h", F.expr(f"pmod({coin}, 1000000)"))
+    # NULL strata are excluded up front: a NULL stratum hashes to NULL
+    # (filtered by `_h < _t`) and NULL never matches an isin() fallback
+    # list, so keeping such rows would silently produce an empty sample
+    # for that stratum - drop them explicitly and document the boundary
+    d = d.filter(F.col(strata_col).isNotNull())
     counts = {
         r[0]: r[1] for r in d.groupBy(strata_col).count().collect()
     }
