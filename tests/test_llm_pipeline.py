@@ -78,3 +78,31 @@ def test_drop_reason_priority(result):
     assert (dup["drop_reason"] == "duplicate").all()
     cont = result[result["is_survivor"] & (result["n_contaminated"] > 0)]
     assert (cont["drop_reason"] == "contaminated").all()
+
+
+def test_curation_pipeline_invariants(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["curation_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 300
+    by_reason: dict = {}
+    for r in rows:
+        by_reason.setdefault(r["reason"], 0)
+        by_reason[r["reason"]] += 1
+        # spam farms are exactly the doc_id % 20 in (3, 7) hosts
+        is_spam_farm = r["doc_id"] % 20 in (3, 7)
+        assert r["spam_host"] == is_spam_farm, r
+        assert r["label"] in (0, 1, 2)
+        # reason precedence: spam_host > classifier > readability > keep
+        if r["spam_host"]:
+            assert r["reason"] == "spam_host" and not r["keep"]
+        elif r["label"] == 2:
+            assert r["reason"] == "classifier" and not r["keep"]
+        elif r["fre_e3"] <= 0:
+            assert r["reason"] == "readability" and not r["keep"]
+        else:
+            assert r["reason"] == "keep" and r["keep"]
+    assert by_reason.get("spam_host") == 30  # 2 of 20 residues x 300/20
+    assert by_reason.get("keep", 0) > 0  # policy keeps something
