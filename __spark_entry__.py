@@ -1216,11 +1216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             robots_filter,
         )
 
+        from boilerplate_buster_spark.operators.urls import host_expr
+
         urls = _synth_urls(spark, sf)
         hosts = urls.select(
-            F.expr(
-                "element_at(split(regexp_replace(url, '^[a-z]+://', ''), '/'), 1)"
-            ).alias("host")
+            F.expr(host_expr("url")).alias("host")
         ).distinct()
         robots = hosts.select(
             "host",
@@ -2312,7 +2312,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _emb(spark, sf).filter(F.col("vec_id") < 500)
-        return pq_adc_topk(pq_encode(emb), _query_vec(spark, sf), k=10)
+        # materialize the code table first (PQ's deployment shape; a fused
+        # encode+ADC plan re-evaluates the encode expression per exploded
+        # row - see pq_adc_topk's docstring)
+        codes = pq_encode(emb).localCheckpoint(eager=True)
+        return pq_adc_topk(codes, _query_vec(spark, sf), k=10)
 
     def fuzzy_titles(spark, sf):
         # record linkage: edit-distance-1 title pairs via COMPLETE
@@ -2385,11 +2389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("dup_frac_e6") > 500000)
             .select("host")
         )
-        host = (
-            "element_at(split(regexp_replace(url, '^[a-z]+://', ''), "
-            "'/'), 1)"
-        )
-        flagged = fixed.withColumn("host", F.expr(host)).join(
+        from boilerplate_buster_spark.operators.urls import host_expr
+
+        flagged = fixed.withColumn("host", F.expr(host_expr("url"))).join(
             F.broadcast(bad.withColumn("_bad", F.lit(True))), "host", "left"
         ).withColumn("spam_host", F.coalesce("_bad", F.lit(False)))
         weights = (
@@ -3929,7 +3931,8 @@ def oracle_sql() -> dict[str, str]:
             WITH h AS (SELECT lang, doc_id,
                          {_dh60("lang || '#' || CAST(doc_id AS VARCHAR)")}
                            % 1000000 AS hh
-                       FROM documents WHERE doc_id < 500),
+                       FROM documents
+                       WHERE doc_id < 500 AND lang IS NOT NULL),
             r AS (SELECT lang, doc_id,
                     row_number() OVER (PARTITION BY lang
                                        ORDER BY hh, doc_id) AS rn

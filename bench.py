@@ -299,7 +299,12 @@ def main() -> None:
 
     def _search_pages():
         idx = inverted_index(pages_tok, id_col="doc_id")
-        return search_terms(idx, ["query", "window", "merge"], n_docs=n_pages).agg(
+        # terms from the page TEMPLATES (the documents-table vocabulary
+        # does not occur in synthetic pages - searching it measures an
+        # empty pipeline)
+        return search_terms(
+            idx, ["newsletter", "cookies", "privacy"], n_docs=n_pages
+        ).agg(
             F.sum("score_e6"), F.count("*")
         ).collect()
 

@@ -138,22 +138,28 @@ def train_bpe(
     overhead that dwarfs the compute on a small vocabulary - measured
     8.9 s -> sub-second at 200k pages), and distributed (k vocab-sized
     Spark rounds) above it.  Identical output on every path."""
+    # persisted so the strategy probe and the collect / checkpoint that
+    # follows read the SAME materialized aggregate - without it the full
+    # corpus explode+shuffle (the expensive stage) runs twice
     counts_df = (
         docs.select(F.explode(tokens_col).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
+        .persist()
     )
     if strategy == "auto":
         probe = counts_df.limit(driver_max_vocab + 1).count()
         strategy = "driver" if probe <= driver_max_vocab else "distributed"
     if strategy == "driver":
         wc = {r["word"]: r["cnt"] for r in counts_df.collect()}
+        counts_df.unpersist()
         return _train_bpe_driver(wc, k, min_count)
     vocab = (
         counts_df
         .withColumn("seg", F.expr(char_split_expr("word", "spark")))
         .localCheckpoint(eager=True)  # corpus scan runs exactly once
     )
+    counts_df.unpersist()
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, k + 1):
         best = (

@@ -76,9 +76,25 @@ def classify_docs(
     class by summed weight, ties to the smallest class id; score = the
     winning sum.  Buckets absent from the weight table contribute 0; a
     document with no grams scores class 0 with score 0."""
+    spark = docs.sparkSession
+    # densify the (model-sized) weight table across all n_classes before
+    # the join: with a SPARSE table a class with no weight rows on a
+    # doc's buckets would vanish from the per-class aggregate and the
+    # argmax would ignore its implicit score of 0 - e.g. a doc whose only
+    # matched class sums to -5 must still classify as the best
+    # zero-scoring class
+    classes = spark.range(n_classes).selectExpr("cast(id AS int) AS class")
+    dense = (
+        weights.select("bucket").distinct()
+        .crossJoin(F.broadcast(classes))
+        .join(weights, ["bucket", "class"], "left")
+        .select(
+            "bucket", "class", F.coalesce("w", F.lit(0)).alias("w")
+        )
+    )
     feats = _gram_buckets(docs, buckets, id_col, tokens_col)
     per_class = (
-        feats.join(F.broadcast(weights), "bucket")
+        feats.join(F.broadcast(dense), "bucket")
         .groupBy(id_col, "class")
         .agg(F.sum("w").alias("s"))
     )
@@ -110,7 +126,9 @@ def hashed_bucket_probs(
     hashed unigram+bigram features, p_e6 = (count * 1e6) div total.
     B-bounded output - the broadcastable corpus statistic DSIR needs."""
     feats = _gram_buckets(docs, buckets, id_col, tokens_col)
-    counts = feats.groupBy("bucket").agg(F.count("*").alias("c"))
+    # persisted (B-bounded): the total collect and the returned frame's
+    # consumption would otherwise each re-run the corpus-sized explode
+    counts = feats.groupBy("bucket").agg(F.count("*").alias("c")).persist()
     total = counts.agg(F.sum("c")).collect()[0][0] or 1
     return counts.select(
         "bucket", F.expr(f"(c * 1000000) div {int(total)}").alias("p_e6")

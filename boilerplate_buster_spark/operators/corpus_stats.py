@@ -81,27 +81,26 @@ def exact_percentiles(docs, value_expr: str, ps: list[int]):
 
     Two-phase: one hash aggregation to the value histogram (bounded by
     the value domain, a corpus statistic - token counts, lengths,
-    scores), then a cumulative sum over the tiny histogram and one
-    min-per-rank aggregate.  The single-partition window runs over the
-    histogram, never the corpus."""
-    from pyspark.sql import Window
-
+    scores), collected to the driver where the cumulative scan over the
+    tiny histogram answers every rank - the same stats-to-the-driver
+    shape as pack_sequences' bucket offsets.  The corpus is scanned
+    exactly once and nothing is cached or windowed."""
     spark = docs.sparkSession
     v = docs.selectExpr(f"cast({value_expr} AS bigint) AS val")
-    # persist the (tiny) histogram: N comes from summing it, so the corpus
-    # is scanned exactly once across both actions
-    hist = v.groupBy("val").agg(F.count("*").alias("c")).persist()
-    n = hist.agg(F.sum("c")).collect()[0][0] or 0
-    cum = hist.withColumn(
-        "cum",
-        F.sum("c").over(
-            Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    hist = sorted(
+        (r["val"], r["c"])
+        for r in v.groupBy("val").agg(F.count("*").alias("c")).collect()
     )
-    ps_df = spark.createDataFrame([(int(p),) for p in sorted(ps)], "p long")
-    return (
-        ps_df.crossJoin(cum)
-        .filter(F.expr(f"cum >= (p * {n} + 99) div 100"))
-        .groupBy("p")
-        .agg(F.min("val").alias("value"))
-    )
+    n = sum(c for _, c in hist)
+    out = []
+    for p in sorted(int(p) for p in ps):
+        rank = (p * n + 99) // 100
+        cum = 0
+        value = None
+        for val, c in hist:
+            cum += c
+            if cum >= rank:
+                value = val
+                break
+        out.append((p, value))
+    return spark.createDataFrame(out, "p long, value long")

@@ -30,9 +30,12 @@ def inverted_index(
     """(term, doc_id, tf): one posting row per (term, document) with the
     within-document term frequency.  One explode + one hash aggregation;
     the natural persisted/bucketed artifact for repeated searches."""
+    # id kept as-is: a cast("long") here blows up under ANSI for string
+    # ids (URLs) - and only looked safe in tests because a pushed-down
+    # term filter can hide the cast from every row
     return (
         docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(id_col).alias("doc_id"),
             F.explode(tokens_col).alias("term"),
         )
         .groupBy("term", "doc_id")

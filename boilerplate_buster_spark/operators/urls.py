@@ -26,6 +26,17 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
 IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
 
 
+def host_expr(url_col: str) -> str:
+    """SQL expression for the host of an absolute URL (scheme stripped,
+    first path segment).  THE host definition - every operator that keys
+    by host (features, stats, spam policy, robots) must share it or host
+    joins silently disagree."""
+    return (
+        f"element_at(split(regexp_replace({url_col}, '^[a-z]+://', ''), "
+        f"'/'), 1)"
+    )
+
+
 def url_features(
     docs: DataFrame, url_col: str = "url", id_col: str | None = None
 ) -> DataFrame:
@@ -38,7 +49,7 @@ def url_features(
     segments before the query string; n_query_params counts '&'-separated
     k=v pairs after the first '?'."""
     u = url_col
-    host = f"element_at(split(regexp_replace({u}, '^[a-z]+://', ''), '/'), 1)"
+    host = host_expr(u)
     rest = f"substring(regexp_replace({u}, '^[a-z]+://', ''), length({host}) + 1)"
     path = f"element_at(split({rest}, '\\\\?'), 1)"
     query = f"IF(instr({rest}, '?') > 0, substring({rest}, instr({rest}, '?') + 1), '')"
@@ -150,7 +161,7 @@ def robots_filter(
         exact.select("host").distinct(), "host", "left_anti"
     )
     eff = exact.unionByName(star).select("host", "kind", "prefix")
-    host = "element_at(split(regexp_replace(url, '^[a-z]+://', ''), '/'), 1)"
+    host = host_expr(url_col)
     u = urls_df.select(
         F.col(url_col),
         F.expr(host).alias("host"),
@@ -205,9 +216,8 @@ def host_stats(
     aggregate 3x (Spark's Expand), still a single exchange.  Text
     identity is md5 of the raw text - the same fingerprint the exact
     dedup stage keys on, so host dup stats agree with document dedup."""
-    host = f"element_at(split(regexp_replace({url_col}, '^[a-z]+://', ''), '/'), 1)"
     d = docs.select(
-        F.expr(host).alias("host"),
+        F.expr(host_expr(url_col)).alias("host"),
         F.col(url_col).alias("_u"),
         F.md5(text_col).alias("_fp"),
         F.length(text_col).alias("_len"),
@@ -246,9 +256,8 @@ def spam_host_filter(
     if max_docs_per_host is not None:
         cond = cond | (F.col("n_docs") > max_docs_per_host)
     bad = stats.filter(cond).select("host")
-    host = f"element_at(split(regexp_replace({url_col}, '^[a-z]+://', ''), '/'), 1)"
     return (
-        docs.withColumn("_host", F.expr(host))
+        docs.withColumn("_host", F.expr(host_expr(url_col)))
         .join(F.broadcast(bad), F.col("_host") == bad["host"], "left_anti")
         .drop("_host")
     )

@@ -95,3 +95,15 @@ def test_dsir_importance_sign_structure(spark):
         assert got[i] == (len(bs), want), i
     # fox-bearing doc 0 must look more target-like than the 'the the the' doc
     assert got[0][1] > got[2][1]
+
+
+def test_classify_sparse_weights_argmax_includes_zero_classes(spark):
+    # a sparse model (zero weights omitted): a doc whose only matched
+    # class scores negative must classify as the best ZERO-scoring class
+    docs = spark.createDataFrame([(0, ["neg"])], ["doc_id", "tokens"])
+    b = _h60("neg") % B
+    sparse = spark.createDataFrame(
+        [(b, 2, -5)], "bucket long, class int, w long"
+    )
+    got = classify_docs(docs, sparse, 3, B).collect()[0]
+    assert (got["label"], got["score"]) == (0, 0)
