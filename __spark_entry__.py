@@ -2432,6 +2432,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def feed_items(spark, sf):
+        # RSS/Atom feed parsing: synthesize a 3-item feed per doc (RSS for
+        # even ids, namespaced Atom with rel-link selection for odd ids),
+        # parse with the REAL XML parser; the oracle reconstructs the
+        # expected rows directly - equality proves the parser inverts the
+        # synthesis (the pdf_extract round-trip pattern)
+        from boilerplate_buster_spark.operators.pagemeta import feed_entries
+
+        D = "CAST(doc_id AS string)"
+        D10 = "CAST(doc_id % 10 AS string)"
+        rss_items = " || ".join(
+            f"'<item><title>item {j} feed ' || {D} || '</title>"
+            f"<link>https://feed' || {D10} || '.ex.com/post/' || {D} || "
+            f"'/{j}</link><pubDate>0{j + 1} Jan 2026</pubDate></item>'"
+            for j in range(3)
+        )
+        atom_entries = " || ".join(
+            f"'<entry><title>item {j} feed ' || {D} || '</title>"
+            f"<link rel=\"self\" href=\"https://feed' || {D10} || "
+            f"'.ex.com/self\"/>"
+            f"<link rel=\"alternate\" href=\"https://feed' || {D10} || "
+            f"'.ex.com/post/' || {D} || '/{j}\"/>"
+            f"<published>2026-01-0{j + 1}</published></entry>'"
+            for j in range(3)
+        )
+        xml = (
+            f"IF(doc_id % 2 = 0, "
+            f"'<rss version=\"2.0\"><channel><title>f</title>' || "
+            f"{rss_items} || '</channel></rss>', "
+            f"'<feed xmlns=\"http://www.w3.org/2005/Atom\">"
+            f"<title>f</title>' || {atom_entries} || '</feed>')"
+        )
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 100
+        )
+        feeds = docs.select(
+            F.expr(
+                f"'https://feed' || {D10} || '.ex.com/feed/' || {D}"
+            ).alias("feed_url"),
+            F.expr(xml).alias("xml"),
+        )
+        return feed_entries(feeds)
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -2530,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         winnow_fp=winnow_fp,
         length_percentiles=length_percentiles,
         curation_pipeline=curation_pipeline,
+        feed_items=feed_items,
     )
     return q
 
@@ -4286,5 +4330,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rd2.fre <= 0 THEN 'readability'
                         ELSE 'keep' END AS reason
             FROM d JOIN lab USING (doc_id) JOIN rd2 USING (doc_id)
+        """,
+        # feed round trip: the oracle reconstructs the expected items
+        # directly from the closed-form synthesis
+        "feed_items": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+            j AS (SELECT doc_id, unnest(range(0, 3)) AS j FROM d)
+            SELECT 'https://feed' || CAST(doc_id % 10 AS VARCHAR)
+                     || '.ex.com/feed/' || CAST(doc_id AS VARCHAR)
+                     AS feed_url,
+                   CAST(j AS BIGINT) AS item_idx,
+                   'item ' || CAST(j AS VARCHAR) || ' feed '
+                     || CAST(doc_id AS VARCHAR) AS title,
+                   'https://feed' || CAST(doc_id % 10 AS VARCHAR)
+                     || '.ex.com/post/' || CAST(doc_id AS VARCHAR)
+                     || '/' || CAST(j AS VARCHAR) AS link,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '0' || CAST(j + 1 AS VARCHAR) || ' Jan 2026'
+                        ELSE '2026-01-0' || CAST(j + 1 AS VARCHAR)
+                   END AS published
+            FROM j
         """,
     }

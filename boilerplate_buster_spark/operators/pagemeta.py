@@ -149,3 +149,42 @@ def extract_jsonld(
         F.col("j.name").alias("name"),
         F.col("j.author.name").alias("author_name"),
     )
+
+
+def feed_entries(
+    feeds: DataFrame, url_col: str = "feed_url", xml_col: str = "xml"
+) -> DataFrame:
+    """(feed_url, item_idx, title, link, published): every RSS item /
+    Atom entry per feed, via the real XML parser (core/feedparse.py)
+    inside one Arrow batch - the crawl-frontier companion to
+    sitemap_entries.  Malformed feeds contribute no rows (skip, never
+    garble).  Pure map, linear output."""
+    import pandas as pd
+
+    from boilerplate_buster_spark.core.feedparse import parse_feed
+
+    def run(batches):
+        for pdf in batches:
+            u, i, t, l, p = [], [], [], [], []
+            for url, xml in zip(pdf[url_col], pdf[xml_col]):
+                for idx, (title, link, pub) in enumerate(parse_feed(xml or "")):
+                    u.append(url)
+                    i.append(idx)
+                    t.append(title)
+                    l.append(link)
+                    p.append(pub)
+            yield pd.DataFrame(
+                {
+                    "feed_url": u,
+                    "item_idx": pd.Series(i, dtype="int64"),
+                    "title": t,
+                    "link": l,
+                    "published": p,
+                }
+            )
+
+    return feeds.select(url_col, xml_col).mapInPandas(
+        run,
+        "feed_url string, item_idx long, title string, link string, "
+        "published string",
+    )

@@ -114,3 +114,55 @@ def test_extract_jsonld(spark):
     # pages with no blocks emit no rows
     assert not any(u == "u4" for u, _ in by)
     assert len(rows) == 4
+
+
+def test_parse_feed_rss_and_atom():
+    from boilerplate_buster_spark.core.feedparse import parse_feed
+
+    rss = (
+        '<?xml version="1.0"?><rss version="2.0"><channel>'
+        "<title>c</title>"
+        "<item><title>A</title><link>https://x/a</link>"
+        "<pubDate>Mon, 01 Jan 2026 00:00:00 GMT</pubDate></item>"
+        "<item><title>B</title><link>https://x/b</link></item>"
+        "</channel></rss>"
+    )
+    assert parse_feed(rss) == [
+        ("A", "https://x/a", "Mon, 01 Jan 2026 00:00:00 GMT"),
+        ("B", "https://x/b", ""),
+    ]
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>f</title>'
+        '<entry><title>E1</title><link rel="self" href="https://x/self"/>'
+        '<link rel="alternate" href="https://x/e1"/>'
+        "<published>2026-01-02</published></entry>"
+        '<entry><title>E2</title><link href="https://x/e2"/>'
+        "<updated>2026-01-03</updated></entry></feed>"
+    )
+    assert parse_feed(atom) == [
+        ("E1", "https://x/e1", "2026-01-02"),
+        ("E2", "https://x/e2", "2026-01-03"),
+    ]
+    assert parse_feed("<html>not a feed</html>") == []
+    assert parse_feed("<rss><channel><item>") == []  # malformed -> skip
+
+
+def test_feed_entries_operator(spark):
+    from boilerplate_buster_spark.operators.pagemeta import feed_entries
+
+    rows = [
+        ("https://a/feed", '<rss version="2.0"><channel>'
+         "<item><title>t0</title><link>https://a/0</link></item>"
+         "<item><title>t1</title><link>https://a/1</link></item>"
+         "</channel></rss>"),
+        ("https://b/feed", "broken <xml"),
+    ]
+    df = spark.createDataFrame(rows, ["feed_url", "xml"])
+    got = [
+        (r["feed_url"], r["item_idx"], r["title"], r["link"])
+        for r in feed_entries(df).orderBy("feed_url", "item_idx").collect()
+    ]
+    assert got == [
+        ("https://a/feed", 0, "t0", "https://a/0"),
+        ("https://a/feed", 1, "t1", "https://a/1"),
+    ]
