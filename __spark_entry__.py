@@ -58,6 +58,10 @@ def _dh60(x: str) -> str:
     return f"(('0x'||substr(md5({x}),1,15))::BIGINT)"
 
 
+# Messy-whitespace suffix for the normalization query: tab, NBSP,
+# ideographic space, zero-width space, run of spaces, trailing space
+_WS_MESS_SUFFIX = "\tx\u00a0y\u3000z\u200b  end "
+
 # Mojibake suffix for the charset-repair query: 'caffé münchen don't
 # "quoted' with the UTF-8 bytes mis-decoded as cp1252 (what a wrongly
 # declared charset does to a page)
@@ -2475,6 +2479,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return feed_entries(feeds)
 
+    def ws_normalized(spark, sf):
+        # whitespace/control-char normalization over deterministically
+        # messied text; the char class is rendered per dialect from one
+        # codepoint list (Spark literals eat \\u, DuckDB wants RE2 \\x{})
+        from boilerplate_buster_spark.operators.text_stats import (
+            normalize_whitespace,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        aug = docs.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(_WS_MESS_SUFFIX)).alias("text"),
+        )
+        out = normalize_whitespace(aug)
+        return out.select(
+            "doc_id",
+            F.md5("clean_text").alias("clean_md5"),
+            "n_removed_chars",
+        )
+
+    def entities_decoded(spark, sf):
+        # HTML entity decoding with the REAL full table (html.unescape);
+        # the oracle reconstructs the expected decode of the injected
+        # entities directly - equality proves the decoder
+        from boilerplate_buster_spark.operators.text_stats import (
+            decode_entities,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        aug = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" &amp; caf&eacute; &#x41;&#66; &Uuml;ber tail"),
+            ).alias("text"),
+        )
+        out = decode_entities(aug)
+        return out.select(
+            "doc_id",
+            F.md5("decoded_text").alias("decoded_md5"),
+            "n_entities",
+        )
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -2574,6 +2625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         length_percentiles=length_percentiles,
         curation_pipeline=curation_pipeline,
         feed_items=feed_items,
+        ws_normalized=ws_normalized,
+        entities_decoded=entities_decoded,
     )
     return q
 
@@ -4350,5 +4403,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '2026-01-0' || CAST(j + 1 AS VARCHAR)
                    END AS published
             FROM j
+        """,
+        # whitespace normalization: same generated class, DuckDB dialect
+        "ws_normalized": f"""
+            WITH a AS (SELECT doc_id, text || '{_WS_MESS_SUFFIX}' AS t
+                       FROM documents WHERE doc_id < 200)
+            SELECT doc_id,
+                   md5({text_stats.normalize_ws_expr("t", "duckdb")}) AS clean_md5,
+                   CAST(length(t)
+                        - length({text_stats.normalize_ws_expr("t", "duckdb")})
+                        AS BIGINT) AS n_removed_chars
+            FROM a
+        """,
+        # entity decoding: the oracle reconstructs the known decode of the
+        # injected suffix directly (round-trip proof of html.unescape)
+        "entities_decoded": """
+            SELECT doc_id,
+                   md5(text || ' & café AB Über tail')
+                     AS decoded_md5,
+                   CAST(5 AS BIGINT) AS n_entities
+            FROM documents WHERE doc_id < 200
         """,
     }

@@ -369,3 +369,112 @@ def winnow_fingerprints(
             F.col("s.h").alias("fp"),
         )
     )
+
+
+# whitespace-normalization targets: C0 controls + DEL + unicode space /
+# format variants (NBSP, ogham, en/em spaces + zero-width block, line and
+# para separators, narrow/medium spaces, ideographic space, BOM)
+_WS_RANGES = [
+    (0x0000, 0x001F), (0x007F, 0x007F), (0x00A0, 0x00A0),
+    (0x1680, 0x1680), (0x2000, 0x200F), (0x2028, 0x2029),
+    (0x202F, 0x202F), (0x205F, 0x205F), (0x3000, 0x3000),
+    (0xFEFF, 0xFEFF),
+]
+
+
+def normalize_ws_expr(col: str, dialect: str = "spark") -> str:
+    """SQL expr for whitespace normalization: the target chars become
+    ASCII spaces, runs collapse to one space, ends trimmed.  The
+    canonical pre-tokenization cleanup every pipeline runs after HTML
+    stripping.  (Zero-width chars fold to a space and collapse rather
+    than vanish - a delete would need a second pass; convention mirrored
+    by the oracle.)
+
+    The char class is RENDERED PER DIALECT from one codepoint list:
+    Spark's SQL string literal interprets \\uXXXX escapes itself (and
+    does NOT know \\x - a '\\x00' literal silently becomes the chars
+    'x00' and the class matches letters); DuckDB string literals pass
+    backslashes through to RE2, which wants \\x{XXXX}."""
+
+    def esc(cp: int) -> str:
+        if dialect == "duckdb":
+            return f"\\x{{{cp:04x}}}"
+        return f"\\u{cp:04x}"
+
+    cls = "[" + "".join(
+        esc(lo) + ("-" + esc(hi) if hi > lo else "")
+        for lo, hi in _WS_RANGES
+    ) + "]"
+    if dialect == "duckdb":
+        e = f"regexp_replace({col}, '{cls}', ' ', 'g')"
+        e = f"regexp_replace({e}, '  +', ' ', 'g')"
+    else:
+        e = f"regexp_replace({col}, '{cls}', ' ')"
+        e = f"regexp_replace({e}, '  +', ' ')"
+    return f"trim({e})"
+
+
+def normalize_whitespace(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, clean_text, n_removed_chars): whitespace/control-char
+    normalized text.  Pure map; the chain is computed once (two-step
+    select shares the alias)."""
+    step = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_n0"),
+        F.expr(normalize_ws_expr(text_col)).alias("clean_text"),
+    )
+    return step.select(
+        id_col,
+        "clean_text",
+        (F.col("_n0") - F.length("clean_text")).cast("long").alias(
+            "n_removed_chars"
+        ),
+    )
+
+
+def decode_entities(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, decoded_text, n_entities): HTML entity decoding with the
+    REAL full table (python stdlib html.unescape - all 2000+ named
+    entities plus decimal/hex numeric character references),
+    Arrow-batched pure map.  n_entities counts the '&'-lead candidates
+    that actually decoded (a length delta is not a count - entities have
+    varying widths).  The standard post-HTML-strip stage: stripped text
+    still carries &amp; &#233; etc."""
+    import html as _html
+    import re as _re
+
+    import pandas as pd
+
+    cand = _re.compile(
+        r"&[A-Za-z][A-Za-z0-9]*;|&#[0-9]+;|&#[xX][0-9A-Fa-f]+;"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            decoded = [_html.unescape(t) for t in texts]
+            n_ent = [
+                sum(
+                    1
+                    for m in cand.finditer(t)
+                    if _html.unescape(m.group(0)) != m.group(0)
+                )
+                for t in texts
+            ]
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col],
+                    "decoded_text": decoded,
+                    "n_entities": pd.Series(n_ent, dtype="int64"),
+                }
+            )
+
+    id_type = dict(docs.dtypes)[id_col]
+    out = docs.select(id_col, text_col).mapInPandas(
+        run, f"_id {id_type}, decoded_text string, n_entities long"
+    )
+    return out.withColumnRenamed("_id", id_col)
