@@ -166,3 +166,46 @@ def test_feed_entries_operator(spark):
         ("https://a/feed", 0, "t0", "https://a/0"),
         ("https://a/feed", 1, "t1", "https://a/1"),
     ]
+
+
+def test_parse_feed_never_crashes_on_garbage():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from boilerplate_buster_spark.core.feedparse import parse_feed
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=300))
+    def run(s):
+        out = parse_feed(s)
+        assert isinstance(out, list)
+        for t in out:
+            assert len(t) == 3 and all(isinstance(x, str) for x in t)
+
+    run()
+
+
+def test_parse_feed_never_crashes_on_mutated_feed():
+    import random
+
+    from boilerplate_buster_spark.core.feedparse import parse_feed
+
+    base = (
+        '<rss version="2.0"><channel><item><title>A</title>'
+        "<link>https://x/a</link><pubDate>d</pubDate></item>"
+        "</channel></rss>"
+    )
+    rng = random.Random(7)
+    for _ in range(300):
+        s = list(base)
+        for _ in range(rng.randrange(1, 5)):
+            i = rng.randrange(len(s))
+            op = rng.randrange(3)
+            if op == 0:
+                del s[i]
+            elif op == 1:
+                s.insert(i, rng.choice("<>/&;\"' abc"))
+            else:
+                s[i] = rng.choice("<>/&;\"' abc")
+        out = parse_feed("".join(s))
+        assert isinstance(out, list)
