@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from boilerplate_buster_spark.operators import ann, dedup, text_stats
+from boilerplate_buster_spark.operators import filters as _filters
 from boilerplate_buster_spark.operators import bpe as _bpe
 from boilerplate_buster_spark.operators import encoding as _enc
 from boilerplate_buster_spark.operators.text_stats import STOPWORDS, _LANG_ORDER
@@ -200,6 +201,108 @@ def _d_pagerank_sql(iters: int = 3, base: int = 1_000_000_000) -> str:
         "WITH " + ", ".join(parts)
         + f" SELECT node, CAST(pr AS BIGINT) AS pr FROM pr{iters}"
     )
+
+
+_D_LINK_CTES = (
+    "d AS (SELECT doc_id, "
+    "'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.com/page' "
+    "|| CAST(doc_id AS VARCHAR) AS url, "
+    "'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.com' AS root "
+    "FROM documents WHERE doc_id < 300)",
+    "e AS (SELECT url AS src, root || '/' AS dst FROM d "
+    "UNION ALL SELECT url, root || '/about' FROM d "
+    "UNION ALL SELECT url, "
+    "'https://ex.com/' || CAST((doc_id * 7) % 200 AS VARCHAR) FROM d "
+    "UNION ALL SELECT url, "
+    "'https://other.org/x' || CAST(doc_id % 4 AS VARCHAR) FROM d "
+    "WHERE doc_id % 2 = 0)",
+    "nodes AS (SELECT DISTINCT node FROM "
+    "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+)
+
+
+def _d_hits_sql(iters: int = 2, base: int = 1_000_000) -> str:
+    """Unrolled mirror of weblinks.hits_scaled over the closed-form
+    _link_pages edge list: per sweep a (hub-aggregate, hub-normalize,
+    auth-aggregate, auth-normalize) CTE quad, all-integer arithmetic."""
+    parts = list(_D_LINK_CTES)
+    parts.append(
+        f"a0 AS (SELECT node, CAST({base} AS BIGINT) AS auth FROM nodes)"
+    )
+    for k in range(1, iters + 1):
+        parts.append(
+            f"hr{k} AS (SELECT e.src AS node, SUM(a.auth) AS raw "
+            f"FROM e JOIN a{k - 1} a ON e.dst = a.node GROUP BY e.src)"
+        )
+        parts.append(f"hs{k} AS (SELECT SUM(raw) AS s FROM hr{k})")
+        parts.append(
+            f"h{k} AS (SELECT nodes.node, "
+            f"coalesce((hr{k}.raw * {base}) // greatest(hs{k}.s, 1), 0) AS hub "
+            f"FROM nodes LEFT JOIN hr{k} ON nodes.node = hr{k}.node "
+            f"CROSS JOIN hs{k})"
+        )
+        parts.append(
+            f"ar{k} AS (SELECT e.dst AS node, SUM(h.hub) AS raw "
+            f"FROM e JOIN h{k} h ON e.src = h.node GROUP BY e.dst)"
+        )
+        parts.append(f"sa{k} AS (SELECT SUM(raw) AS s FROM ar{k})")
+        parts.append(
+            f"a{k} AS (SELECT nodes.node, "
+            f"coalesce((ar{k}.raw * {base}) // greatest(sa{k}.s, 1), 0) AS auth "
+            f"FROM nodes LEFT JOIN ar{k} ON nodes.node = ar{k}.node "
+            f"CROSS JOIN sa{k})"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT h{iters}.node AS node, CAST(hub AS BIGINT) AS hub, "
+        f"CAST(auth AS BIGINT) AS auth "
+        f"FROM h{iters} JOIN a{iters} ON h{iters}.node = a{iters}.node"
+    )
+
+
+def _filters_gopher_corpus(dialect: str) -> str:
+    """Deterministic Gopher-filter exercise corpus, rendered per dialect:
+    doc_id % 5 selects clean-short / clean-long / bullet-heavy /
+    symbol-heavy / ellipsis-heavy mutations of the documents text, so every
+    rule fires on a known class."""
+    nl = "chr(10)" if dialect == "duckdb" else "'\\n'"
+    return (
+        "CASE CAST(doc_id % 5 AS INT) "
+        "WHEN 0 THEN text "
+        "WHEN 1 THEN concat(text, ' ', text, ' ', text, ' the of and that') "
+        f"WHEN 2 THEN concat(text, {nl}, "
+        f"repeat(concat('- bullet item line', {nl}), 9), '- final bullet') "
+        "WHEN 3 THEN concat(text, repeat(' #', 20)) "
+        f"ELSE concat(text, ' the of', {nl}, 'so it goes...', {nl}, "
+        "'and more...') END"
+    )
+
+
+def _filters_c4_corpus(dialect: str) -> str:
+    """Deterministic C4-filter exercise corpus: doc_id % 5 selects
+    keep / brace / lorem-ipsum / javascript+short / badword pages."""
+    nl = "chr(10)" if dialect == "duckdb" else "'\\n'"
+    return (
+        "CASE CAST(doc_id % 5 AS INT) "
+        "WHEN 0 THEN concat('First sentence is long enough to pass.', "
+        f"{nl}, text, {nl}, 'Another good sentence follows right here!', "
+        f"{nl}, 'And a third one ends properly too.') "
+        "WHEN 1 THEN concat('Some code follows now: { x = 1; }', "
+        f"{nl}, 'A perfectly fine sentence sits here.', "
+        f"{nl}, 'Another proper sentence ends this page.', "
+        f"{nl}, 'Third sentence for good measure here.') "
+        "WHEN 2 THEN concat('Lorem ipsum dolor sit amet consectetur.', "
+        f"{nl}, 'A second sentence appears right here.', "
+        f"{nl}, 'A third sentence closes the page.') "
+        "WHEN 3 THEN concat('Enable javascript to view this page properly.', "
+        f"{nl}, 'Only one other sentence exists here.') "
+        "ELSE concat('This page mentions badword once sadly.', "
+        f"{nl}, 'A second sentence appears right here.', "
+        f"{nl}, 'The third sentence closes the page out.') END"
+    )
+
+
+_C4_BADWORDS = ("badword", "spamword")
 
 
 def _d_greedy_expansion_sql(min_docs: int = 5, n: int = 3, max_len: int = 8) -> str:
@@ -2526,6 +2629,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_entities",
         )
 
+    # --- heuristic quality filter suites (Gopher / C4) + HITS ------------
+    def gopher_filters_q(spark, sf):
+        # Gopher document-level rules over the 5-class mutation corpus;
+        # pure-expression projection, dialect-shared with the oracle
+        from boilerplate_buster_spark.operators.filters import gopher_filters
+
+        docs = (
+            _tbl(spark, sf, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select(
+                "doc_id",
+                F.expr(_filters_gopher_corpus("spark")).alias("text"),
+            )
+        )
+        return gopher_filters(docs)
+
+    def c4_filters_q(spark, sf):
+        # C4 line-level cleaning + page drop rules; kept_md5 pins the
+        # retained text byte-exactly across engines
+        from boilerplate_buster_spark.operators.filters import c4_filters
+
+        docs = (
+            _tbl(spark, sf, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select(
+                "doc_id",
+                F.expr(_filters_c4_corpus("spark")).alias("text"),
+            )
+        )
+        return c4_filters(docs, badwords=_C4_BADWORDS)
+
+    def hits_scores(spark, sf):
+        # integer-exact HITS hubs/authorities over the extracted link
+        # graph: per sweep two edge joins + two hash-aggregates, the L1
+        # normalization sums ride as broadcast single-row CROSS JOINs
+        from boilerplate_buster_spark.operators.weblinks import (
+            extract_links,
+            hits_scaled,
+        )
+
+        return hits_scaled(extract_links(_link_pages(spark, sf)), iters=2)
+
+    q.update(
+        gopher_filters=gopher_filters_q,
+        c4_filters=c4_filters_q,
+        hits_scores=hits_scores,
+    )
+
     q.update(
         word_df=word_df,
         ngram_df=ngram_df,
@@ -4424,4 +4575,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(5 AS BIGINT) AS n_entities
             FROM documents WHERE doc_id < 200
         """,
+        # Gopher / C4 filter suites: the SAME expression generator renders
+        # both engines (filters.gopher_exprs / c4_exprs, dialect param) —
+        # equality proves the arithmetic, not just the row shape
+        "gopher_filters": f"""
+            WITH src AS (SELECT doc_id,
+                                {_filters_gopher_corpus("duckdb")} AS text
+                         FROM documents WHERE doc_id < 200)
+            SELECT doc_id, {", ".join(
+                f"{e} AS {n}"
+                for n, e in _filters.gopher_exprs("text", "duckdb")
+            )}
+            FROM src
+        """,
+        "c4_filters": f"""
+            WITH src AS (SELECT doc_id,
+                                {_filters_c4_corpus("duckdb")} AS text
+                         FROM documents WHERE doc_id < 200)
+            SELECT doc_id, {", ".join(
+                f"{e} AS {n}"
+                for n, e in _filters.c4_exprs("text", _C4_BADWORDS, "duckdb")
+            )}
+            FROM src
+        """,
+        # integer HITS: generated unrolled sweep chain
+        "hits_scores": _d_hits_sql(iters=2),
     }

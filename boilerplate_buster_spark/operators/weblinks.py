@@ -138,3 +138,77 @@ def anchor_text_index(links: DataFrame) -> DataFrame:
         F.countDistinct("url").cast("long").alias("n_sources"),
         F.array_join(F.array_sort(F.collect_set("anchor")), "|").alias("anchors"),
     )
+
+
+def hits_scaled(
+    links: DataFrame, iters: int = 2, base: int = 1_000_000
+) -> DataFrame:
+    """(node, hub, auth): Kleinberg HITS over the edge list in EXACT integer
+    arithmetic.  Per sweep:
+
+        hub'(u)  = sum_{u->v} auth(v);   hub(u)  = (hub'(u)  * base) div S_h
+        auth'(v) = sum_{u->v} hub(u);    auth(v) = (auth'(v) * base) div S_a
+
+    i.e. L1 normalization to `base` total mass with integer `div`, so
+    iteration order cannot perturb results and the SQL oracle reproduces
+    them bit-for-bit (float HITS sums in partition-dependent order).
+    auth_0 = base everywhere.  The sweep count is FIXED (link-spam scoring
+    uses a handful), so the loop unrolls into one static plan: per sweep two
+    edge joins + two hash-aggregates, and each normalization sum rides as a
+    broadcast single-row aggregate CROSS JOIN — no driver-side collect
+    anywhere, the whole chain is one lazy plan.
+
+    `base` bounds the intermediates: raw sums are <= E * base and the
+    rescale multiplies by base again, so E * base^2 must stay under 2^63 —
+    at 10^12 edges use base = 1e3-style scaling or promote to DECIMAL."""
+    nodes = (
+        links.select(F.col("url").alias("node"))
+        .unionByName(links.select(F.col("href").alias("node")))
+        .distinct()
+    )
+    edges = links.select(F.col("url").alias("src"), F.col("href").alias("dst"))
+    auth = nodes.select("node", F.lit(base).cast("long").alias("auth"))
+    hub = nodes.select("node", F.lit(0).cast("long").alias("hub"))
+    for _ in range(iters):
+        hraw = (
+            edges.join(
+                auth.select(F.col("node").alias("dst"), F.col("auth").alias("a")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        hsum = hraw.agg(F.sum("raw").alias("s"))
+        hub = (
+            nodes.join(hraw, "node", "left")
+            .crossJoin(F.broadcast(hsum))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce((raw * {base}) div greatest(s, 1), 0)"
+                ).alias("hub"),
+            )
+        )
+        araw = (
+            edges.join(
+                hub.select(F.col("node").alias("src"), F.col("hub").alias("h")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        asum = araw.agg(F.sum("raw").alias("s"))
+        auth = (
+            nodes.join(araw, "node", "left")
+            .crossJoin(F.broadcast(asum))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce((raw * {base}) div greatest(s, 1), 0)"
+                ).alias("auth"),
+            )
+        )
+    return (
+        hub.join(auth, "node")
+        .select("node", F.col("hub").cast("long"), F.col("auth").cast("long"))
+    )
