@@ -304,6 +304,17 @@ def _filters_c4_corpus(dialect: str) -> str:
 
 _C4_BADWORDS = ("badword", "spamword")
 
+# script-mix exercise corpus: per-class suffixes in Cyrillic / CJK /
+# Greek+Arabic (UTF-8 literals parse identically in Spark and DuckDB SQL,
+# so ONE string serves both dialects)
+_SCRIPT_CORPUS = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN text "
+    "WHEN 1 THEN concat(text, repeat(' привет мир это тест', 8)) "
+    "WHEN 2 THEN concat(text, repeat(' 你好世界汉字測試', 10)) "
+    "ELSE concat(text, ' γειά σου κόσμε', ' مرحبا بالعالم') END"
+)
+
 
 def _d_greedy_expansion_sql(min_docs: int = 5, n: int = 3, max_len: int = 8) -> str:
     """Static unrolled mirror of bloomspan.greedy_phrase_expansion: one
@@ -2671,10 +2682,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hits_scaled(extract_links(_link_pages(spark, sf)), iters=2)
 
+    def script_mix_q(spark, sf):
+        # Unicode script-mix fractions + deterministic-argmax dominant
+        # script over the 4-class multilingual mutation corpus
+        from boilerplate_buster_spark.operators.text_stats import script_mix
+
+        docs = (
+            _tbl(spark, sf, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", F.expr(_SCRIPT_CORPUS).alias("text"))
+        )
+        return script_mix(docs)
+
+    def corpus_composition_q(spark, sf):
+        # per-(lang, source) doc/token counts + integer corpus shares; one
+        # bounded-key hash-aggregate, totals ride a broadcast CROSS JOIN
+        from boilerplate_buster_spark.operators.corpus_stats import (
+            corpus_composition,
+        )
+
+        return corpus_composition(_tbl(spark, sf, "documents"))
+
     q.update(
         gopher_filters=gopher_filters_q,
         c4_filters=c4_filters_q,
         hits_scores=hits_scores,
+        script_mix=script_mix_q,
+        corpus_composition=corpus_composition_q,
     )
 
     q.update(
@@ -4600,4 +4634,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer HITS: generated unrolled sweep chain
         "hits_scores": _d_hits_sql(iters=2),
+        # script mix: same generated class table, DuckDB dialect
+        "script_mix": f"""
+            WITH src AS (SELECT doc_id, {_SCRIPT_CORPUS} AS text
+                         FROM documents WHERE doc_id < 200)
+            SELECT doc_id, {", ".join(
+                f"{e} AS {n}"
+                for n, e in text_stats.script_mix_exprs("text", "duckdb")
+            )}
+            FROM src
+        """,
+        "corpus_composition": """
+            WITH a AS (SELECT lang, source, count(*) AS n_docs,
+                         SUM(len(list_filter(
+                           string_split(replace(text, chr(10), ' '), ' '),
+                           x -> x <> ''))) AS n_tokens
+                       FROM documents GROUP BY lang, source),
+            t AS (SELECT SUM(n_docs) AS td, SUM(n_tokens) AS tt FROM a)
+            SELECT lang, source,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST((1000000 * n_docs) // greatest(td, 1)
+                        AS BIGINT) AS doc_share_e6,
+                   CAST((1000000 * n_tokens) // greatest(tt, 1)
+                        AS BIGINT) AS token_share_e6
+            FROM a CROSS JOIN t
+        """,
     }

@@ -104,3 +104,40 @@ def exact_percentiles(docs, value_expr: str, ps: list[int]):
                 break
         out.append((p, value))
     return spark.createDataFrame(out, "p long, value long")
+
+
+def corpus_composition(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """(group..., n_docs, n_tokens, doc_share_e6, token_share_e6): the
+    corpus-composition report every training-data card publishes — per
+    (language, source) document and token counts plus their integer-exact
+    shares of the corpus totals (millionths under integer div, so a SQL
+    oracle matches bit-for-bit).
+
+    One hash-aggregate on the (bounded) group key; the grand totals ride
+    as a broadcast single-row aggregate CROSS JOIN, so nothing is
+    collected and the corpus is scanned exactly once.  At 10^12 docs the
+    group cardinality is languages x sources — a corpus statistic."""
+    words = (
+        f"size(filter(split(replace({text_col}, '\\n', ' '), ' '), "
+        "x -> x <> ''))"
+    )
+    agg = docs.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count("*").alias("n_docs"),
+        F.expr(f"sum({words})").alias("n_tokens"),
+    )
+    tot = agg.agg(
+        F.sum("n_docs").alias("_td"), F.sum("n_tokens").alias("_tt")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        *group_cols,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("(1000000 * n_docs) div greatest(_td, 1)").alias("doc_share_e6"),
+        F.expr("(1000000 * n_tokens) div greatest(_tt, 1)").alias(
+            "token_share_e6"
+        ),
+    )

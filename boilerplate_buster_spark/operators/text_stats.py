@@ -478,3 +478,78 @@ def decode_entities(
         run, f"_id {id_type}, decoded_text string, n_entities long"
     )
     return out.withColumnRenamed("_id", id_col)
+
+
+# Unicode script ranges for the script-mix signal (BMP core blocks only —
+# the dominant blocks per script; supplementary planes would need surrogate
+# handling in Java regex and are out of the honest subset)
+_SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "latin": ((0x41, 0x5A), (0x61, 0x7A)),
+    "cyrillic": ((0x400, 0x4FF),),
+    "greek": ((0x370, 0x3FF),),
+    "arabic": ((0x600, 0x6FF),),
+    "cjk": ((0x3040, 0x30FF), (0x4E00, 0x9FFF)),  # kana + unified han
+}
+_SCRIPT_ORDER = ("latin", "cyrillic", "greek", "arabic", "cjk")
+
+
+def script_mix_exprs(text_col: str, dialect: str = "spark") -> list[tuple[str, str]]:
+    """Ordered (column, expr) pairs for the Unicode script-mix signal:
+    per-script character fractions (millionths of non-whitespace chars)
+    plus the deterministic-argmax dominant script — the CCNet-style
+    script/language consistency check that catches mislabeled and
+    transliterated pages before language-ID runs.
+
+    Char classes are RENDERED PER DIALECT from one codepoint table
+    (Spark SQL literals interpret \\uXXXX; DuckDB passes backslashes to
+    RE2, which wants \\x{XXXX}) — the normalize_ws_expr convention."""
+
+    def esc(cp: int) -> str:
+        if dialect == "duckdb":
+            return f"\\x{{{cp:04x}}}"
+        return f"\\u{cp:04x}"
+
+    def cls(ranges: tuple[tuple[int, int], ...]) -> str:
+        return "[" + "".join(
+            esc(lo) + ("-" + esc(hi) if hi > lo else "") for lo, hi in ranges
+        ) + "]"
+
+    def n_in(ranges) -> str:
+        if dialect == "duckdb":
+            rep = f"regexp_replace({text_col}, '{cls(ranges)}', '', 'g')"
+        else:
+            rep = f"regexp_replace({text_col}, '{cls(ranges)}', '')"
+        return f"(length({text_col}) - length({rep}))"
+
+    div = "//" if dialect == "duckdb" else "div"
+    nl = "chr(10)" if dialect == "duckdb" else "'\\n'"
+    n_chars = f"length(replace(replace({text_col}, {nl}, ''), ' ', ''))"
+    counts = {s: n_in(_SCRIPT_RANGES[s]) for s in _SCRIPT_ORDER}
+    g1 = f"greatest({n_chars}, 1)"
+    cols: list[tuple[str, str]] = [
+        ("n_chars", f"CAST({n_chars} AS BIGINT)"),
+    ]
+    for s in _SCRIPT_ORDER:
+        cols.append((f"{s}_frac_e6", f"(1000000 * {counts[s]}) {div} {g1}"))
+    # deterministic argmax: first script (in _SCRIPT_ORDER) whose count is
+    # >= every other script's count; 'other' when no script char exists
+    case = "CASE "
+    for s in _SCRIPT_ORDER:
+        ge = " AND ".join(
+            f"{counts[s]} >= {counts[o]}" for o in _SCRIPT_ORDER if o != s
+        )
+        case += f"WHEN {counts[s]} > 0 AND {ge} THEN '{s}' "
+    case += "ELSE 'other' END"
+    cols.append(("dominant_script", case))
+    return cols
+
+
+def script_mix(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars, <script>_frac_e6 x5, dominant_script): pure-expression
+    script-mix projection — no shuffle, no UDF; scan-speed at 100 TB."""
+    return docs.select(
+        F.col(id_col),
+        *[F.expr(e).alias(n) for n, e in script_mix_exprs(text_col, "spark")],
+    )

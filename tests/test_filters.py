@@ -165,3 +165,45 @@ def test_hits_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, hits_scaled(e.repartition(1), iters=2).collect()))
     b = sorted(map(tuple, hits_scaled(e.repartition(16), iters=2).collect()))
     assert a == b
+
+
+# --- script mix + corpus composition (same round-5 curation batch) --------
+
+def test_script_mix_counts_and_dominant(spark):
+    from boilerplate_buster_spark.operators.text_stats import script_mix
+
+    row = script_mix(_doc(spark, "abc привет")).first()
+    assert row["n_chars"] == 9
+    assert row["latin_frac_e6"] == 3_000_000 // 9 * 1  # 333333
+    assert row["cyrillic_frac_e6"] == 6_000_000 // 9
+    assert row["dominant_script"] == "cyrillic"
+    # tie resolves to _SCRIPT_ORDER (latin first)
+    tie = script_mix(_doc(spark, "ab яю")).first()
+    assert tie["dominant_script"] == "latin"
+    none = script_mix(_doc(spark, "123 456")).first()
+    assert none["dominant_script"] == "other"
+
+
+def test_script_mix_is_pure_map(spark):
+    from boilerplate_buster_spark.operators.text_stats import script_mix
+
+    plan = script_mix(_doc(spark, "x"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_corpus_composition_exact_shares(spark):
+    from boilerplate_buster_spark.operators.corpus_stats import corpus_composition
+
+    df = spark.createDataFrame(
+        [(0, "a b c", "en", "s1"), (1, "d e", "en", "s1"), (2, "f", "de", "s2")],
+        "doc_id: long, text: string, lang: string, source: string",
+    )
+    rows = {(r["lang"], r["source"]): r for r in corpus_composition(df).collect()}
+    en = rows[("en", "s1")]
+    assert (en["n_docs"], en["n_tokens"]) == (2, 5)
+    assert en["doc_share_e6"] == 666_666  # 2/3 floored
+    assert en["token_share_e6"] == 833_333  # 5/6 floored
+    de = rows[("de", "s2")]
+    assert (de["n_docs"], de["n_tokens"]) == (1, 1)
+    # floored shares never exceed the whole
+    assert sum(r["doc_share_e6"] for r in rows.values()) <= 1_000_000
