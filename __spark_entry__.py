@@ -2703,12 +2703,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return corpus_composition(_tbl(spark, sf, "documents"))
 
+    def ccnet_buckets_q(spark, sf):
+        # CCNet head/middle/tail perplexity split per language: corpus-
+        # trained LM scores -> quantized-histogram nearest-rank thresholds
+        # (driver-side over bounded cells, never a per-lang sort) ->
+        # broadcast-join assignment
+        from boilerplate_buster_spark.operators.lm import (
+            ccnet_buckets,
+            lm_quality_scores,
+        )
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "lang", F.split("text", " ").alias("tokens"))
+        )
+        scores = lm_quality_scores(docs).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+        return ccnet_buckets(scores)
+
+    def crawl_frontier_q(spark, sf):
+        # frontier assembly: canonicalize+dedup (utm variants collapse) ->
+        # robots allow (real REP engine) -> blocklist anti-join -> per-host
+        # politeness cap; oracle holds the expected closed-form frontier
+        from boilerplate_buster_spark.operators.urls import (
+            crawl_frontier,
+            parse_robots_df,
+        )
+
+        d = _tbl(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        clean = d.select(
+            F.expr(
+                "concat('https://s', CAST(doc_id % 10 AS string), "
+                "'.ex.com/page', CAST(doc_id AS string))"
+            ).alias("url"),
+            F.expr("CAST((doc_id * 3) % 10 AS bigint)").alias("priority_e1"),
+        )
+        noisy = d.filter(F.expr("doc_id % 3 = 0")).select(
+            F.expr(
+                "concat('https://s', CAST(doc_id % 10 AS string), "
+                "'.ex.com/page', CAST(doc_id AS string), '?utm_source=feed')"
+            ).alias("url"),
+            F.expr("CAST((doc_id * 3) % 10 AS bigint)").alias("priority_e1"),
+        )
+        hosts = spark.range(10).select(
+            F.expr("concat('s', CAST(id AS string), '.ex.com')").alias("host")
+        )
+        rules = parse_robots_df(
+            hosts.select(
+                "host", F.lit("User-agent: *\nDisallow: /page1\n").alias("robots_txt")
+            )
+        )
+        blocked = spark.createDataFrame(
+            [("s3.ex.com",), ("s7.ex.com",)], "host string"
+        )
+        return crawl_frontier(
+            clean.unionByName(noisy), rules, blocked, "AnyBot", per_host_cap=5
+        )
+
     q.update(
         gopher_filters=gopher_filters_q,
         c4_filters=c4_filters_q,
         hits_scores=hits_scores,
         script_mix=script_mix_q,
         corpus_composition=corpus_composition_q,
+        ccnet_buckets=ccnet_buckets_q,
+        crawl_frontier=crawl_frontier_q,
     )
 
     q.update(
@@ -4643,6 +4704,71 @@ def oracle_sql() -> dict[str, str]:
                 for n, e in text_stats.script_mix_exprs("text", "duckdb")
             )}
             FROM src
+        """,
+        # crawl frontier: expected decisions in closed form — canonical
+        # dedup collapses the ?utm variant back to the clean url, the
+        # '/page1' Disallow prefix excludes doc_ids rendering as '1…',
+        # hosts s3/s7 are blocklisted, rank caps at 5 per host
+        "crawl_frontier": """
+            WITH d AS (SELECT doc_id,
+                         'https://s' || CAST(doc_id % 10 AS VARCHAR)
+                           || '.ex.com/page' || CAST(doc_id AS VARCHAR) AS url,
+                         's' || CAST(doc_id % 10 AS VARCHAR) || '.ex.com' AS host,
+                         CAST((doc_id * 3) % 10 AS BIGINT) AS priority_e1
+                       FROM documents WHERE doc_id < 200),
+            ok AS (SELECT * FROM d
+                   WHERE CAST(doc_id AS VARCHAR) NOT LIKE '1%'
+                     AND doc_id % 10 NOT IN (3, 7)),
+            r AS (SELECT url, host, priority_e1,
+                         ROW_NUMBER() OVER (PARTITION BY host
+                           ORDER BY priority_e1 DESC, url ASC) AS rnk
+                  FROM ok)
+            SELECT url, host, priority_e1, CAST(rnk AS BIGINT) AS "rank"
+            FROM r WHERE rnk <= 5
+        """,
+        # CCNet bucketing: the lm_scores chain + per-lang quantized-
+        # histogram nearest-rank thresholds + CASE assignment (window
+        # cumulative sum mirrors the operator's driver-side scan)
+        "ccnet_buckets": """
+            WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 200),
+            big AS (SELECT doc_id, t[i] AS prev,
+                           array_to_string(t[i:i+1], ' ') AS big
+                    FROM base,
+                         unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+            cb AS (SELECT big, count(*) AS cb FROM big GROUP BY big),
+            cu AS (SELECT w, count(*) AS cu
+                   FROM (SELECT unnest(t) AS w FROM base) GROUP BY w),
+            v AS (SELECT count(*) AS v FROM cu),
+            sc AS (SELECT big.doc_id,
+                          coalesce(cb.cb, 0) + 1 AS num,
+                          coalesce(cu.cu, 0) + v.v AS den
+                   FROM big LEFT JOIN cb USING (big)
+                   LEFT JOIN cu ON big.prev = cu.w CROSS JOIN v),
+            agg AS (SELECT doc_id,
+                           SUM((1000000 * num) // den) // count(*) AS lik
+                    FROM sc GROUP BY doc_id),
+            s AS (SELECT base.doc_id, base.lang,
+                         CAST(coalesce(agg.lik, 0) AS BIGINT) AS lik_e6
+                  FROM base LEFT JOIN agg USING (doc_id)),
+            h AS (SELECT lang, lik_e6 // 10000 AS bkt, count(*) AS c
+                  FROM s GROUP BY lang, bkt),
+            tot AS (SELECT lang, SUM(c) AS n FROM h GROUP BY lang),
+            cum AS (SELECT lang, bkt,
+                           SUM(c) OVER (PARTITION BY lang ORDER BY bkt) AS cumc
+                    FROM h),
+            tlo AS (SELECT cum.lang, MIN(bkt) AS t_lo
+                    FROM cum JOIN tot ON cum.lang = tot.lang
+                    WHERE cumc >= (n + 2) // 3 GROUP BY cum.lang),
+            thi AS (SELECT cum.lang, MIN(bkt) AS t_hi
+                    FROM cum JOIN tot ON cum.lang = tot.lang
+                    WHERE cumc >= (2 * n + 2) // 3 GROUP BY cum.lang)
+            SELECT s.doc_id, s.lang, s.lik_e6,
+                   CASE WHEN s.lik_e6 // 10000 <= t_lo THEN 'tail'
+                        WHEN s.lik_e6 // 10000 <= t_hi THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM s JOIN tlo ON s.lang = tlo.lang
+                   JOIN thi ON s.lang = thi.lang
         """,
         "corpus_composition": """
             WITH a AS (SELECT lang, source, count(*) AS n_docs,

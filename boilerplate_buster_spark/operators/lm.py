@@ -296,3 +296,66 @@ def pretrained_bigram_scores(
         docs, bigrams, unigrams, vocab, id_col, tokens_col,
         broadcast_model=True,
     )
+
+
+def ccnet_buckets(
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    score_col: str = "lik_e6",
+    q: int = 10_000,
+) -> DataFrame:
+    """(id, lang, lik_e6, bucket): CCNet's signature head/middle/tail split
+    (Wenzek et al. 2020) — per language, the best-scoring third of documents
+    is 'head', the next 'middle', the rest 'tail' (higher lik_e6 = more
+    fluent = CCNet's lower perplexity = head).
+
+    Exact-integer, sort-free at corpus scale: scores quantize to
+    bkt = lik_e6 div q; ONE hash-aggregate builds the per-(lang, bucket)
+    histogram (cells bounded by languages x score-domain/q — a corpus
+    statistic, not data); the cumulative scan over that tiny histogram runs
+    driver-side (the exact_percentiles stats-to-driver shape) yielding
+    nearest-rank thresholds t_lo (rank ceil(n/3)) and t_hi (rank
+    ceil(2n/3)); assignment is a broadcast join + pure CASE.  CCNet itself
+    sorts each language shard — a full per-lang sort that skews on English
+    at 10^12 docs; the quantized-histogram route scans the corpus once and
+    shuffles only the histogram.  Boundary buckets resolve DOWNWARD (a
+    boundary bucket holding more than a third lands whole in the lower
+    class) — deterministic and mirrored bit-for-bit by the SQL oracle."""
+    spark = scores.sparkSession
+    b = scores.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col(score_col).cast("long").alias(score_col),
+        F.expr(f"cast({score_col} AS bigint) div {q}").alias("bkt"),
+    )
+    hist = b.groupBy(lang_col, "bkt").agg(F.count("*").alias("c")).collect()
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        by_lang.setdefault(r[lang_col], []).append((r["bkt"], r["c"]))
+    rows = []
+    for lang, h in sorted(by_lang.items()):
+        h.sort()
+        n = sum(c for _, c in h)
+
+        def thr(rank: int) -> int:
+            cum = 0
+            for v, c in h:
+                cum += c
+                if cum >= rank:
+                    return v
+            return h[-1][0]
+
+        rows.append((lang, thr((n + 2) // 3), thr((2 * n + 2) // 3)))
+    thresholds = spark.createDataFrame(
+        rows, f"{lang_col} string, t_lo long, t_hi long"
+    )
+    return b.join(F.broadcast(thresholds), lang_col).select(
+        id_col,
+        lang_col,
+        score_col,
+        F.expr(
+            "CASE WHEN bkt <= t_lo THEN 'tail' "
+            "WHEN bkt <= t_hi THEN 'middle' ELSE 'head' END"
+        ).alias("bucket"),
+    )

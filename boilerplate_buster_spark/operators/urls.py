@@ -351,3 +351,62 @@ def normalize_urls(
         out = out.selectExpr("*", f"{expr} AS {name}")
     cols = (keep or []) + [url_col, "norm_url"]
     return out.select(*cols)
+
+
+def crawl_frontier(
+    candidates: DataFrame,
+    robots_rules: DataFrame,
+    blocked_hosts: DataFrame,
+    crawler_ua: str,
+    per_host_cap: int = 50,
+    url_col: str = "url",
+    priority_col: str = "priority_e1",
+) -> DataFrame:
+    """(url, host, priority_e1, rank): the crawl-frontier assembly — the
+    composition a scheduler runs between URL discovery (sitemaps, link
+    extraction, feeds) and fetching:
+
+      1. canonicalize (normalize_url_stages) and dedup on the canonical
+         key, keeping the max priority per key — the frontier fetches
+         norm_url, so tracking-parameter variants collapse to one fetch;
+      2. RFC 9309 robots longest-match decision for `crawler_ua`
+         (robots_filter — the rule table broadcasts);
+      3. blocklisted hosts removed by broadcast anti-join;
+      4. per-host politeness cap: top `per_host_cap` by (priority DESC,
+         url ASC), rank included in the output.
+
+    Stage 4 is a per-host row_number window: correct at any host count
+    because hosts partition uniformly; a single mega-host is bounded by
+    the cap itself (the stratified_sample hash-prefilter trick applies
+    verbatim if one host ever dominates a partition)."""
+    norm = normalize_urls(
+        candidates.withColumnRenamed(url_col, "url"), keep=[priority_col]
+    )
+    uniq = norm.groupBy(F.col("norm_url").alias("url")).agg(
+        F.max(priority_col).alias(priority_col)
+    )
+    allowed = (
+        robots_filter(uniq, robots_rules, crawler_ua)
+        .filter(F.col("allowed"))
+        .select("url")
+    )
+    kept = (
+        uniq.join(allowed, "url")
+        .withColumn("host", F.expr(host_expr("url")))
+        .join(F.broadcast(blocked_hosts), "host", "left_anti")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc(priority_col), F.asc("url")
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_host_cap)
+        .select(
+            "url",
+            "host",
+            F.col(priority_col).cast("long").alias(priority_col),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

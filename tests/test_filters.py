@@ -207,3 +207,71 @@ def test_corpus_composition_exact_shares(spark):
     assert (de["n_docs"], de["n_tokens"]) == (1, 1)
     # floored shares never exceed the whole
     assert sum(r["doc_share_e6"] for r in rows.values()) <= 1_000_000
+
+
+# --- ccnet buckets + crawl frontier ---------------------------------------
+
+def test_ccnet_buckets_exact_thirds(spark):
+    from boilerplate_buster_spark.operators.lm import ccnet_buckets
+
+    rows = [(i, "en", i * 10_000) for i in range(1, 10)]  # 9 docs, 9 buckets
+    scores = spark.createDataFrame(rows, "doc_id: long, lang: string, lik_e6: long")
+    out = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(scores).collect()}
+    assert [out[i] for i in range(1, 10)] == (
+        ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3
+    )
+
+
+def test_ccnet_boundary_bucket_resolves_down(spark):
+    from boilerplate_buster_spark.operators.lm import ccnet_buckets
+
+    # every doc in ONE bucket: t_lo = t_hi = that bucket -> all 'tail'
+    rows = [(i, "en", 42) for i in range(6)]
+    scores = spark.createDataFrame(rows, "doc_id: long, lang: string, lik_e6: long")
+    assert {r["bucket"] for r in ccnet_buckets(scores).collect()} == {"tail"}
+
+
+def test_ccnet_buckets_per_language_thresholds(spark):
+    from boilerplate_buster_spark.operators.lm import ccnet_buckets
+
+    # de scores sit far below en scores; a global threshold would dump all
+    # of de into tail — per-lang thresholds must still split de into thirds
+    rows = [(i, "en", 1_000_000 + i * 10_000) for i in range(9)] + [
+        (100 + i, "de", i * 10_000) for i in range(9)
+    ]
+    scores = spark.createDataFrame(rows, "doc_id: long, lang: string, lik_e6: long")
+    out = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(scores).collect()}
+    assert out[108] == "head" and out[100] == "tail"
+    assert out[8] == "head" and out[0] == "tail"
+
+
+def test_crawl_frontier_stages(spark):
+    from boilerplate_buster_spark.operators.urls import (
+        crawl_frontier,
+        parse_robots_df,
+    )
+
+    cands = spark.createDataFrame(
+        [
+            ("https://a.com/ok", 5),
+            ("https://a.com/ok?utm_source=x", 9),  # collapses, max prio wins
+            ("https://a.com/private/x", 9),  # robots-disallowed
+            ("https://b.com/page", 3),  # blocklisted host
+            ("https://a.com/p1", 2),
+            ("https://a.com/p2", 1),
+            ("https://a.com/p3", 1),  # prio tie, url asc: rank 4 > cap 3
+        ],
+        "url: string, priority_e1: long",
+    )
+    rules = parse_robots_df(
+        spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /private\n")],
+            "host: string, robots_txt: string",
+        )
+    )
+    blocked = spark.createDataFrame([("b.com",)], "host: string")
+    out = crawl_frontier(cands, rules, blocked, "AnyBot", per_host_cap=3)
+    rows = {r["url"]: r for r in out.collect()}
+    assert set(rows) == {"https://a.com/ok", "https://a.com/p1", "https://a.com/p2"}
+    assert rows["https://a.com/ok"]["priority_e1"] == 9  # max over variants
+    assert rows["https://a.com/ok"]["rank"] == 1
