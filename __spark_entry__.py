@@ -1802,6 +1802,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").alias("url"), "cluster_id"
         )
 
+        # round-5 stage: Gopher document-level filter suite over the
+        # CLEANED text (min_words / min_stopword_types retuned to the
+        # chunked synthetic corpus — the suite's two corpus-shape knobs,
+        # see filters.py; the hash-frequency vocabulary carries only 'the')
+        from boilerplate_buster_spark.operators.filters import gopher_filters
+
+        gop = gopher_filters(
+            cleaned,
+            id_col="url",
+            text_col="clean_text",
+            min_words=10,
+            min_stopword_types=1,
+        ).select("url", F.col("keep").alias("gopher_keep"))
+
         out = (
             ctoks.select("url", F.size("tokens").cast("long").alias("n_tokens"))
             .join(nlr, "url")
@@ -1810,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(lm5, "url")
             .join(cont, "url")
             .join(pii, "url")
+            .join(gop, "url")
             .join(clusters, "url", "left")
         )
         cid = F.coalesce("cluster_id", F.col("url"))
@@ -1819,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             & (F.col("n_contaminated") == 0)
             & (F.col("lang_pred") == "en")
             & (F.col("quality_e6") >= 320000)
+            & F.col("gopher_keep")
         )
         return out.select(
             "url",
@@ -1830,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_contaminated",
             "n_emails",
             "redacted_md5",
+            F.col("gopher_keep"),
             cid.alias("cluster_id"),
             is_surv.alias("is_survivor"),
             keep.alias("keep"),
@@ -1837,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(F.col("n_contaminated") > 0, F.lit("contaminated"))
             .when(F.col("lang_pred") != "en", F.lit("language"))
             .when(F.col("quality_e6") < 320000, F.lit("low_quality"))
+            .when(~F.col("gopher_keep"), F.lit("gopher_quality"))
             .otherwise(F.lit(""))
             .alias("drop_reason"),
         )
@@ -4053,7 +4071,14 @@ def oracle_sql() -> dict[str, str]:
                             regexp_replace(coalesce(ct.ctext, ''),
                                            '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
                             '{_PII_IPV4_RE}', '<IP>', 'g')) AS redacted_md5
-                    FROM ml LEFT JOIN ct USING (url))
+                    FROM ml LEFT JOIN ct USING (url)),
+            ctn AS (SELECT url, string_agg(line, chr(10) ORDER BY pos) AS ntext
+                    FROM keep GROUP BY url),
+            gop AS (SELECT ml.url,
+                      {dict(_filters.gopher_exprs(
+                          "coalesce(ctn.ntext, '')", "duckdb", 10, 1))["keep"]}
+                        AS gopher_keep
+                    FROM ml LEFT JOIN ctn USING (url))
             SELECT s.url,
                    CAST(s.n_tokens AS BIGINT) AS n_tokens,
                    CAST(nall.n_all - coalesce(nkeep.n_keep, 0) AS BIGINT)
@@ -4064,17 +4089,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(cont.n_cont, 0) AS BIGINT) AS n_contaminated,
                    CAST(pii.n_emails AS BIGINT) AS n_emails,
                    pii.redacted_md5,
+                   gop.gopher_keep,
                    coalesce(clus.cluster_id, s.url) AS cluster_id,
                    (coalesce(clus.cluster_id, s.url) = s.url) AS is_survivor,
                    (coalesce(clus.cluster_id, s.url) = s.url
                     AND coalesce(cont.n_cont, 0) = 0
                     AND s.lang_pred = 'en'
-                    AND s.quality_e6 >= 320000) AS keep,
+                    AND s.quality_e6 >= 320000
+                    AND gop.gopher_keep) AS keep,
                    CASE WHEN coalesce(clus.cluster_id, s.url) <> s.url
                           THEN 'duplicate'
                         WHEN coalesce(cont.n_cont, 0) > 0 THEN 'contaminated'
                         WHEN s.lang_pred <> 'en' THEN 'language'
                         WHEN s.quality_e6 < 320000 THEN 'low_quality'
+                        WHEN NOT gop.gopher_keep THEN 'gopher_quality'
                         ELSE '' END AS drop_reason
             FROM scored s
             JOIN nall ON s.url = nall.url
@@ -4083,6 +4111,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lmagg ON s.url = lmagg.url
             LEFT JOIN clus ON s.url = clus.url
             JOIN pii ON s.url = pii.url
+            JOIN gop ON s.url = gop.url
         """,
         "url_canonical": _d_url_canonical_sql(),
         "anchor_text": """

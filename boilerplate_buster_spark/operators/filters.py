@@ -82,9 +82,18 @@ def _count_str(text: str, needle: str) -> str:
     )
 
 
-def gopher_exprs(text_col: str, dialect: str = "spark") -> list[tuple[str, str]]:
+def gopher_exprs(
+    text_col: str,
+    dialect: str = "spark",
+    min_words: int = GOPHER_MIN_WORDS,
+    min_stopword_types: int = GOPHER_MIN_STOPWORD_TYPES,
+) -> list[tuple[str, str]]:
     """Ordered (column, expr) pairs for the Gopher document-filter suite.
-    The same generator renders the Spark plan and the DuckDB oracle."""
+    The same generator renders the Spark plan and the DuckDB oracle.
+    `min_words` and `min_stopword_types` are overridable because they are
+    the two corpus-shape knobs (Gopher's 50 words / 2 stopword types assume
+    full English web pages; chunked or synthetic corpora run shorter and
+    narrower) - the fraction thresholds stay fixed."""
     d = _dial(dialect)
     t = text_col
     flat = f"replace({t}, {d['nl']}, ' ')"
@@ -128,14 +137,14 @@ def gopher_exprs(text_col: str, dialect: str = "spark") -> list[tuple[str, str]]
     ]
     by = dict(cols)
     keep = (
-        f"({by['n_words']} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})"
+        f"({by['n_words']} BETWEEN {min_words} AND {GOPHER_MAX_WORDS})"
         f" AND ({by['mean_word_len_e6']} BETWEEN"
         f" {GOPHER_MIN_MEAN_WORD_LEN_E6} AND {GOPHER_MAX_MEAN_WORD_LEN_E6})"
         f" AND ({by['symbol_ratio_e6']} <= {GOPHER_MAX_SYMBOL_RATIO_E6})"
         f" AND ({by['bullet_frac_e6']} <= {GOPHER_MAX_BULLET_FRAC_E6})"
         f" AND ({by['ellipsis_frac_e6']} <= {GOPHER_MAX_ELLIPSIS_FRAC_E6})"
         f" AND ({by['alpha_frac_e6']} >= {GOPHER_MIN_ALPHA_FRAC_E6})"
-        f" AND ({by['stopword_types']} >= {GOPHER_MIN_STOPWORD_TYPES})"
+        f" AND ({by['stopword_types']} >= {min_stopword_types})"
     )
     return cols + [("keep", keep)]
 
@@ -195,7 +204,11 @@ def c4_exprs(
 
 
 def gopher_filters(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = GOPHER_MIN_WORDS,
+    min_stopword_types: int = GOPHER_MIN_STOPWORD_TYPES,
 ) -> DataFrame:
     """(id, n_words, mean_word_len_e6, symbol_ratio_e6, bullet_frac_e6,
     ellipsis_frac_e6, alpha_frac_e6, stopword_types, keep): the Gopher
@@ -204,7 +217,12 @@ def gopher_filters(
     `lines.repetition_signals` — Gopher's table splits the same way."""
     return docs.select(
         F.col(id_col),
-        *[F.expr(e).alias(n) for n, e in gopher_exprs(text_col, "spark")],
+        *[
+            F.expr(e).alias(n)
+            for n, e in gopher_exprs(
+                text_col, "spark", min_words, min_stopword_types
+            )
+        ],
     )
 
 
