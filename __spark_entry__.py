@@ -1047,6 +1047,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _ml_docs(spark, sf), min_df=80, text_col="mltext"
         )
 
+    def intradoc_dedup(spark, sf):
+        # WITHIN-doc duplicate-line removal over the same multi-line
+        # corpus (the doc%3==0 'repeat me' x2 injection plus any repeated
+        # 8-token chunk are the in-doc dups); pure projection, no shuffle
+        from boilerplate_buster_spark.operators.lines import dedup_lines_in_doc
+
+        return dedup_lines_in_doc(_ml_docs(spark, sf), text_col="mltext")
+
     def repetition_signals_q(spark, sf):
         # Gopher-style repetition quality signals over the multi-line
         # corpus: lines from mltext, word 2-grams from the original text
@@ -2839,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_jpeg_progressive=media_jpeg_progressive,
         media_mjpeg_frames=media_mjpeg_frames,
         line_dedup_docs=line_dedup_docs,
+        intradoc_dedup=intradoc_dedup,
         repetition_signals=repetition_signals_q,
         decontaminate=decontaminate,
         lm_scores=lm_scores,
@@ -3506,6 +3515,43 @@ def oracle_sql() -> dict[str, str]:
                             '') AS clean_text
             FROM ml LEFT JOIN keep ON ml.doc_id = keep.doc_id
             GROUP BY ml.doc_id
+        """,
+        # within-doc first-occurrence line dedup over the same multi-line
+        # corpus: rn=1 per (doc, line) survives, order kept, one row/doc
+        "intradoc_dedup": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 200),
+            ml AS (SELECT doc_id,
+                   array_to_string(list_transform(
+                     range(0, greatest(CAST(ceil(len(t) / 8.0) AS int), 1)),
+                     j -> array_to_string(t[j*8+1:j*8+8], ' ')), chr(10))
+                   || chr(10) || 'the cookie banner line'
+                   || CASE WHEN doc_id % 2 = 0
+                        THEN chr(10) || 'please accept cookies' ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || 'repeat me' || chr(10) || 'repeat me'
+                        ELSE '' END AS mltext
+                   FROM base),
+            lx AS (SELECT doc_id, i AS pos, ls[i] AS line
+                   FROM (SELECT doc_id,
+                           list_filter(string_split(mltext, chr(10)),
+                                       x -> x <> '') AS ls FROM ml) s,
+                        unnest(generate_series(1, len(ls))) AS u(i)),
+            firsts AS (SELECT doc_id, pos, line,
+                         row_number() OVER (PARTITION BY doc_id, line
+                                            ORDER BY pos) AS rn
+                       FROM lx),
+            agg AS (SELECT doc_id,
+                      count(*) AS n_lines,
+                      sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup,
+                      string_agg(CASE WHEN rn = 1 THEN line END,
+                                 chr(10) ORDER BY pos) AS ct
+                    FROM firsts GROUP BY doc_id)
+            SELECT ml.doc_id,
+                   CAST(coalesce(agg.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(agg.n_dup, 0) AS BIGINT) AS n_dup_lines,
+                   coalesce(agg.ct, '') AS clean_text
+            FROM ml LEFT JOIN agg USING (doc_id)
         """,
         # Gopher repetition signals over the same multi-line corpus: exact
         # integer millionths; top 2-gram tie-break = lexicographic smallest

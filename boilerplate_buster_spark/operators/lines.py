@@ -43,6 +43,12 @@ def _sep_regex_sql(sep: str) -> str:
     return f"'{lit}'"
 
 
+def _sql_str(s: str) -> str:
+    """SQL string literal holding `s` verbatim (for array_join / literal
+    contexts, NOT for split()'s regex argument - that's _sep_regex_sql)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _lines_expr(text_col: str, sep: str) -> str:
     return f"filter(split({text_col}, {_sep_regex_sql(sep)}), x -> x != '')"
 
@@ -113,6 +119,48 @@ def remove_boilerplate_lines(
                 sep,
             ).alias("clean_text"),
         )
+    )
+
+
+def dedup_lines_in_doc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """(id, n_lines, n_dup_lines, clean_text): WITHIN-document line dedup -
+    keep only the FIRST occurrence of each exact line inside a document,
+    preserving original order (the FineWeb/CCNet "remove duplicated lines
+    within doc" stage; `remove_boilerplate_lines` is the cross-document
+    complement).  ONE ROW PER INPUT DOC; empty lines are dropped by the
+    line splitter like everywhere else in this module.
+
+    Scale posture: a PURE PROJECTION - zero shuffles, zero joins.  All the
+    information is within one row, so the whole stage is a map the scanner
+    pipelines with whatever comes next.  Per row it is O(n log n) in the
+    line count, not O(n^2): lines are tagged with their position, sorted
+    (line, pos), first-of-run marked by comparing each element with its
+    sorted predecessor (array subscripts are O(1)), survivors re-sorted by
+    position.  No per-element array_position scan, no window function."""
+    ls = _lines_expr(text_col, sep)
+    tagged = docs.withColumn(
+        "_sorted",
+        F.expr(
+            f"array_sort(transform({ls}, (x, i) -> struct(x AS line, i AS pos)))"
+        ),
+    )
+    kept = (
+        "transform("
+        "  array_sort(transform("
+        "    filter(_sorted, (s, j) -> j = 0 OR s.line != _sorted[j - 1].line),"
+        "    s -> struct(s.pos AS pos, s.line AS line))),"
+        "  s -> s.line)"
+    )
+    return tagged.select(
+        F.col(id_col),
+        F.size("_sorted").cast("long").alias("n_lines"),
+        F.expr(f"size(_sorted) - size({kept})").cast("long").alias("n_dup_lines"),
+        F.expr(f"array_join({kept}, {_sql_str(sep)})").alias("clean_text"),
     )
 
 

@@ -139,3 +139,36 @@ def test_separator_with_regex_metachar_is_literal(spark):
     # line reaches df>=2, so reconstruction is identity with '.' separator
     assert out[1] == "dup.dup.keep"
     assert out[2] == "a|b.a|b"
+
+
+def test_dedup_lines_in_doc_first_occurrence_order(spark):
+    from boilerplate_buster_spark.operators.lines import dedup_lines_in_doc
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb\nd"),  # dups out of order
+            (2, "x\nx\nx"),           # all-dup run
+            (3, ""),                  # empty doc survives as a row
+            (4, "one"),               # single line untouched
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in dedup_lines_in_doc(df).collect()}
+    assert len(got) == 4  # one row per input doc
+    assert (got[1].n_lines, got[1].n_dup_lines, got[1].clean_text) == (
+        6, 2, "a\nb\nc\nd")
+    assert (got[2].n_lines, got[2].n_dup_lines, got[2].clean_text) == (
+        3, 2, "x")
+    assert (got[3].n_lines, got[3].n_dup_lines, got[3].clean_text) == (
+        0, 0, "")
+    assert (got[4].n_lines, got[4].n_dup_lines, got[4].clean_text) == (
+        1, 0, "one")
+
+
+def test_dedup_lines_in_doc_is_pure_projection(spark):
+    from boilerplate_buster_spark.operators.lines import dedup_lines_in_doc
+
+    df = spark.createDataFrame([(1, "a\nb")], ["doc_id", "text"])
+    plan = dedup_lines_in_doc(df)._jdf.queryExecution().executedPlan().toString()
+    # within-row semantics: the whole stage must be shuffle-free
+    assert "Exchange" not in plan
