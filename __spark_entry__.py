@@ -2301,6 +2301,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("score_e6").cast("long").alias("score_e6"),
         )
 
+    def bm25_search_q(spark, sf):
+        # Okapi BM25 (k1=1.2, b=0.75) over the same postings, OR
+        # semantics: exact integer surface (rational idf, milli-unit
+        # constants - see search.bm25_search); doc lengths are a pure
+        # projection, total-token scalar is one bounded action
+        from boilerplate_buster_spark.operators.search import (
+            bm25_search,
+            inverted_index,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 300)
+        dl = docs.select("doc_id", F.size("tokens").alias("dl"))
+        tot = int(dl.agg(F.sum("dl")).first()[0])
+        return bm25_search(
+            inverted_index(docs),
+            dl,
+            ["spark", "window", "merge"],
+            n_docs=300,
+            total_tokens=tot,
+        ).select(
+            "doc_id",
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.col("score_e3").cast("long").alias("score_e3"),
+        )
+
     def doc_chunks(spark, sf):
         # RAG-style fixed-size token chunking with overlap (chunk 64,
         # stride 48): every token covered, last chunk may run short; pure
@@ -2883,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stratified_sample=stratified_sample_q,
         inverted_index=inverted_index_q,
         term_search=term_search,
+        bm25_search=bm25_search_q,
         doc_chunks=doc_chunks,
         sentences=sentences,
         readability_scores=readability_scores,
@@ -4385,6 +4411,33 @@ def oracle_sql() -> dict[str, str]:
                      AS score_e6
             FROM p JOIN d USING (term)
             GROUP BY p.doc_id HAVING count(*) = 3
+        """,
+        # Okapi BM25, OR semantics, exact integer surface mirroring
+        # search.bm25_search (rational idf, k1/b in milli-units, idf log
+        # dropped - transcendentals are not cross-engine stable)
+        "bm25_search": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents WHERE doc_id < 300),
+            dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+            tot AS (SELECT sum(dl) AS total FROM dl),
+            p AS (SELECT term, doc_id, count(*) AS tf
+                  FROM t
+                  WHERE term IN ('merge', 'spark', 'window')
+                  GROUP BY term, doc_id),
+            d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+            s AS (SELECT p.doc_id,
+                    (((300 - d.df) * 2000 + 1000) // (2 * d.df + 1))
+                      * p.tf * 2200 AS num,
+                    (p.tf * 1000000 + (1200 * (1000000 - 750000
+                       + (750000 * ((dl.dl * 300000000)
+                                    // (SELECT total FROM tot)))
+                         // 1000000)) // 1000) AS den_e6
+                  FROM p JOIN d USING (term) JOIN dl USING (doc_id))
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_hit,
+                   CAST(sum(num // greatest(den_e6 // 1000, 1)) AS BIGINT)
+                     AS score_e3
+            FROM s GROUP BY doc_id
         """,
         # fixed-size token chunking, chunk 64 / stride 48; DuckDB list
         # slices are 1-based END-INCLUSIVE: l[s+1 : s+64] is 64 tokens

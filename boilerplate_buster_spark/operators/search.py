@@ -52,6 +52,74 @@ def term_stats(index: DataFrame) -> DataFrame:
     )
 
 
+def bm25_search(
+    index: DataFrame,
+    doc_lens: DataFrame,
+    terms: list[str],
+    n_docs: int,
+    total_tokens: int,
+    require_all: bool = False,
+    k1_e3: int = 1200,
+    b_e3: int = 750,
+) -> DataFrame:
+    """(doc_id, n_hit, score_e3): Okapi BM25 ranking over the posting
+    table, as an EXACT integer surface (Robertson & Walker's formula with
+    the idf log dropped - transcendentals are not cross-engine stable, the
+    same documented deviation as `search_terms`'s tf-idf):
+
+      idf_e3      = ((N - df) * 2000 + 1000) div (2*df + 1)
+                    [= 1e3 * (N - df + 0.5) / (df + 0.5), the rational core
+                     of BM25's idf, floored]
+      L_e6        = (dl * 1e6 * N) div total_tokens           [dl / avgdl]
+      den_e6      = tf*1e6 + (k1_e3 * (1e6 - b_e3*1e3
+                              + (b_e3*1e3 * L_e6) div 1e6)) div 1e3
+      term score  = (idf_e3 * tf * (k1_e3 + 1000))
+                      div greatest(den_e6 div 1000, 1)        [e3-scaled]
+      score_e3    = sum over matched query terms
+
+    Defaults k1=1.2, b=0.75 (the standard constants, carried in exact
+    milli-units).  int64 headroom: safe while N * max(tf) <= ~4e12 and
+    N * max(dl) <= ~9e12 - true for any per-shard index this would run on.
+
+    `doc_lens` is (doc_id, dl) - a pure projection of the corpus (token
+    count per doc), so its side of the doc_id join is scan-pipelined;
+    the postings side is pruned to the query terms' postings by the
+    IN-list, so AQE can flip the join to broadcast when the query is
+    selective.  df is recomputed from the pruned postings (query-sized,
+    broadcast), exactly as `search_terms` does."""
+    qterms = sorted(set(terms))
+    t = index.filter(F.col("term").isin(qterms))
+    df_t = t.groupBy("term").agg(F.count("*").alias("df"))
+    n, tot = int(n_docs), int(total_tokens)
+    k1, b1000 = int(k1_e3), int(b_e3) * 1000
+    idf_e3 = f"((({n} - df) * 2000 + 1000) div (2 * df + 1))"
+    # dl is typically size()-derived int32: cast before the e6 scale-up
+    # (int32 * int32 overflows under ANSI - same pitfall as search_terms)
+    l_e6 = f"((cast(dl AS bigint) * {1000000 * n}) div {max(tot, 1)})"
+    den_e6 = (
+        f"(tf * 1000000 + ({k1} * (1000000 - {b1000}"
+        f" + ({b1000} * {l_e6}) div 1000000)) div 1000)"
+    )
+    scored = (
+        t.join(F.broadcast(df_t), "term")
+        .join(doc_lens, "doc_id")
+        .withColumn(
+            "w",
+            F.expr(
+                f"({idf_e3} * tf * ({k1} + 1000))"
+                f" div greatest({den_e6} div 1000, 1)"
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_hit"),
+        F.sum("w").alias("score_e3"),
+    )
+    if require_all:
+        agg = agg.filter(F.col("n_hit") == len(qterms))
+    return agg
+
+
 def search_terms(
     index: DataFrame,
     terms: list[str],

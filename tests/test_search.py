@@ -86,3 +86,56 @@ def test_search_prunes_scan_to_query_terms(spark):
     idx = inverted_index(docs)
     plan = search_terms(idx, ["spark"], n_docs=5)._jdf.queryExecution().toString()
     assert "term#" in plan and "IN" in plan.upper()
+
+
+def test_bm25_hand_computed(spark):
+    from boilerplate_buster_spark.operators.search import (
+        bm25_search,
+        inverted_index,
+    )
+
+    # two docs: doc 1 = "a a b" (dl=3), doc 2 = "a c" (dl=2); N=2, tot=5
+    docs = spark.createDataFrame(
+        [(1, ["a", "a", "b"]), (2, ["a", "c"])], ["doc_id", "tokens"]
+    )
+    from pyspark.sql import functions as F
+
+    dl = docs.select("doc_id", F.size("tokens").alias("dl"))
+    got = {
+        r.doc_id: (r.n_hit, r.score_e3)
+        for r in bm25_search(
+            inverted_index(docs), dl, ["a", "b"], n_docs=2, total_tokens=5
+        ).collect()
+    }
+
+    def score(tf, df, dlen, n=2, tot=5):
+        idf = ((n - df) * 2000 + 1000) // (2 * df + 1)
+        l_e6 = (dlen * 1000000 * n) // tot
+        den = tf * 1000000 + (
+            1200 * (1000000 - 750000 + (750000 * l_e6) // 1000000)
+        ) // 1000
+        return (idf * tf * 2200) // max(den // 1000, 1)
+
+    # doc 1 matches a (tf=2, df=2) and b (tf=1, df=1), dl=3
+    assert got[1] == (2, score(2, 2, 3) + score(1, 1, 3))
+    # doc 2 matches only a (tf=1, df=2), dl=2
+    assert got[2] == (1, score(1, 2, 2))
+    # longer doc is penalized: same tf/df, bigger dl => smaller score
+    assert score(1, 1, 3) < score(1, 1, 2)
+
+
+def test_bm25_require_all(spark):
+    from boilerplate_buster_spark.operators.search import (
+        bm25_search,
+        inverted_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a"])], ["doc_id", "tokens"]
+    )
+    dl = docs.select("doc_id", F.size("tokens").alias("dl"))
+    got = bm25_search(
+        inverted_index(docs), dl, ["a", "b"], 2, 3, require_all=True
+    ).collect()
+    assert [r.doc_id for r in got] == [1]
