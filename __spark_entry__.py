@@ -464,6 +464,38 @@ def _d_simhash_bits() -> str:
 
 # ------------------------------------------------------------------ entry
 
+def _d_dhash_cte() -> str:
+    """DuckDB CTE computing the closed-form dHash (hi/lo 32-bit halves) of
+    every synthetic image id (doc_id < 90, id%3 = 0): mirrors
+    multimodal.dhash_images bit-for-bit - luma (299r+587g+114b)//1000 of
+    the (i*31 + p*7 + c*11) % 256 pixel formula, 9x8 nearest resample
+    (src x = X*w//9, y = Y*h//8), bit(y,x) = lum(x,y) < lum(x+1,y)."""
+    lum = (
+        "((299 * ((id*31 + {p}*7) % 256)"
+        " + 587 * ((id*31 + {p}*7 + 11) % 256)"
+        " + 114 * ((id*31 + {p}*7 + 22) % 256)) // 1000)"
+    )
+    return f"""
+            img AS (SELECT doc_id AS id, 8 + doc_id%5 AS w, 6 + doc_id%4 AS h
+                    FROM documents WHERE doc_id < 90 AND doc_id%3 = 0),
+            px AS (SELECT id, w, h, u.q, u.q // 8 AS y, u.q % 8 AS x
+                   FROM img, unnest(generate_series(0, 63)) AS u(q)),
+            pp AS (SELECT id, q,
+                     ((y*h) // 8) * w + ((x*w) // 9) AS p1,
+                     ((y*h) // 8) * w + (((x+1)*w) // 9) AS p2
+                   FROM px),
+            bt AS (SELECT id, q,
+                     CASE WHEN {lum.format(p='p1')} < {lum.format(p='p2')}
+                          THEN 1 ELSE 0 END AS bit
+                   FROM pp),
+            hs AS (SELECT id,
+                     sum(CASE WHEN q < 32
+                           THEN bit * (1::BIGINT << q) ELSE 0 END) AS hi,
+                     sum(CASE WHEN q >= 32
+                           THEN bit * (1::BIGINT << (q - 32)) ELSE 0 END) AS lo
+                   FROM bt GROUP BY id)"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BloomSpan maximal-frequent-phrase mining over sf0.001
     documents (the reference's headline query, SURVEY.md section 2.5)."""
@@ -769,6 +801,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
             .filter(F.col("doc_id") < 90)
             .select(F.col("doc_id").alias("media_id"))
+        )
+
+    def image_dhash(spark, sf):
+        # perceptual 64-bit difference hash of every decodable image
+        # (BMP/P6), REAL decode path; two 32-bit halves keep every value
+        # int64-safe in both engines
+        from boilerplate_buster_spark.operators import multimodal
+
+        media = multimodal.synthetic_media_df(_media_ids(spark, sf)).filter(
+            F.col("kind") == "image"
+        )
+        return multimodal.dhash_images(media)
+
+    def image_neardup_pairs(spark, sf):
+        # near-duplicate image pairs: 16-bit band blocking over the dhash
+        # then exact Hamming verify (<= 8) - the image twin of MinHash-LSH
+        from boilerplate_buster_spark.operators import multimodal
+
+        media = multimodal.synthetic_media_df(_media_ids(spark, sf)).filter(
+            F.col("kind") == "image"
+        )
+        return multimodal.dhash_candidate_pairs(
+            multimodal.dhash_images(media), max_hamming=8
         )
 
     def media_decode_features(spark, sf):
@@ -2871,6 +2926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_jpeg_decode=media_jpeg_decode,
         media_jpeg_progressive=media_jpeg_progressive,
         media_mjpeg_frames=media_mjpeg_frames,
+        image_dhash=image_dhash,
+        image_neardup_pairs=image_neardup_pairs,
         line_dedup_docs=line_dedup_docs,
         intradoc_dedup=intradoc_dedup,
         repetition_signals=repetition_signals_q,
@@ -3269,6 +3326,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # nearest-neighbor resize to 5x4: output pixel (X,Y) reads source
         # linear pixel p = ((Y*h)//4)*w + (X*w)//5 of the generative image
+        # perceptual dHash of the synthetic images, closed form (see
+        # _d_dhash_cte); two 32-bit halves
+        "image_dhash": f"""
+            WITH {_d_dhash_cte()}
+            SELECT id AS media_id,
+                   CAST(hi AS BIGINT) AS dhash_hi,
+                   CAST(lo AS BIGINT) AS dhash_lo
+            FROM hs
+        """,
+        # near-dup image pairs: 16-bit-band blocking (recall loss vs
+        # all-pairs is PART of the contract - the oracle mirrors the
+        # banding, not brute force) + exact Hamming <= 8
+        "image_neardup_pairs": f"""
+            WITH {_d_dhash_cte()},
+            bands AS (SELECT id, hi, lo,
+                        unnest([hi & 65535, (hi >> 16) & 65535,
+                                lo & 65535, (lo >> 16) & 65535]) AS val,
+                        unnest([0, 1, 2, 3]) AS band
+                      FROM hs),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                       a.hi AS h1, a.lo AS l1, b.hi AS h2, b.lo AS l2
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.val = b.val AND a.id < b.id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2))
+                        AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 8
+        """,
         "media_resize_pixels": """
             WITH img AS (
               SELECT doc_id AS id, 8 + doc_id%5 AS w, 6 + doc_id%4 AS h

@@ -836,6 +836,110 @@ def image_stats(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(run, schema)
 
 
+def dhash_images(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """(media_id, dhash_hi, dhash_lo): 64-bit perceptual difference hash
+    (dHash - the standard near-duplicate-image fingerprint) of each
+    decodable still image, packed as TWO 32-bit halves so every value is
+    int64-safe in every engine (a single 64-bit pack would set the sign
+    bit).  REAL pixels, never stubbed: raises on undecodable payloads,
+    same contract as image_stats.
+
+    Per image: decode -> integer luma (299r + 587g + 114b) div 1000 ->
+    9x8 nearest-neighbor resample (the same point-sampling map as
+    nearest_resize, so the oracle reproduces it in closed form) ->
+    bit(y, x) = luma[y, x] < luma[y, x+1] -> hi packs rows 0-3 LSB-first
+    at bit index y*8+x, lo packs rows 4-7 at (y-4)*8+x.
+
+    Arrow-batched mapInPandas, no shuffle - at 100 TB this pipelines with
+    the media scan like every other decode stage in this module."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("dhash_hi", T.LongType(), False),
+            T.StructField("dhash_lo", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, rec in pdf.iterrows():
+                what, rgb = _decode_media(bytes(rec[payload_col]), "image")
+                if what != "image":
+                    raise ValueError("dhash_images: payload is not a still image")
+                s = rgb.astype(np.int64)
+                lum = (299 * s[:, :, 0] + 587 * s[:, :, 1] + 114 * s[:, :, 2]) // 1000
+                g = nearest_resize(lum, 9, 8)
+                bits = (g[:, :-1] < g[:, 1:]).astype(np.int64)
+                hi = int(
+                    sum(int(bits[y, x]) << (y * 8 + x) for y in range(4) for x in range(8))
+                )
+                lo = int(
+                    sum(int(bits[y, x]) << ((y - 4) * 8 + x) for y in range(4, 8) for x in range(8))
+                )
+                rows.append((int(rec[id_col]), hi, lo))
+            yield pd.DataFrame(rows, columns=[id_col, "dhash_hi", "dhash_lo"])
+
+    return df.mapInPandas(run, schema)
+
+
+def dhash_candidate_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "media_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate IMAGE pairs from a dhash table
+    - 16-bit band blocking (4 bands over the 64 hash bits; by pigeonhole a
+    pair within hamming <= 3 ALWAYS shares a band, larger radii trade
+    recall for pruning exactly like MinHash-LSH banding) followed by an
+    exact Hamming verify (bit_count of xor, pure expressions).
+
+    Same no-self-join shape as dedup.lsh_candidate_pairs: ONE shuffle on
+    (band, val), members collected sorted, pairs expanded in-array, then
+    distinct; `max_bucket` guards the pathological all-identical bucket.
+    A 30-image sf0.001 corpus prunes ~2/3 of all-pairs; at crawl scale the
+    bucket join is what makes this feasible at all (all-pairs is O(n^2))."""
+    bands = hashes.select(
+        F.col(id_col),
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.expr(
+                "array(named_struct('band', 0, 'val', dhash_hi & 65535),"
+                "      named_struct('band', 1, 'val', shiftright(dhash_hi, 16) & 65535),"
+                "      named_struct('band', 2, 'val', dhash_lo & 65535),"
+                "      named_struct('band', 3, 'val', shiftright(dhash_lo, 16) & 65535))"
+            )
+        ).alias("bv"),
+    ).select(id_col, "dhash_hi", "dhash_lo", "bv.band", "bv.val")
+    grouped = bands.groupBy("band", "val").agg(
+        F.expr(
+            f"array_sort(collect_set(struct({id_col} AS id, "
+            "dhash_hi AS hi, dhash_lo AS lo)))"
+        ).alias("ms")
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ms") <= max_bucket)
+    pairs = grouped.filter(F.size("ms") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), y -> "
+                "named_struct('id_a', x.id, 'id_b', y.id, "
+                "'hamming', bit_count(x.hi ^ y.hi) + bit_count(x.lo ^ y.lo)))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.id_a", "p.id_b", F.col("p.hamming").cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for tests/bench: treat the documents table's text bytes as an
     opaque payload (the driver testdata ships no real media files)."""

@@ -323,3 +323,38 @@ def test_png_boundaries_and_dispatch():
     # resize_one takes the REAL path on PNG input (P6 output, not stub)
     out = mm.resize_one(mm.encode_png(img), 4, 4)
     assert out[:2] == b"P6"
+
+
+def test_dhash_identical_and_distinct_images(spark):
+    rng = np.random.RandomState(21)
+    a = _rand_rgb(rng, 12, 10)
+    b = 255 - a  # luma-inverted: flips every strict-inequality bit pattern
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(mm.encode_bmp(a)), None),
+            (2, "image", bytearray(mm.encode_ppm(a)), None),  # same pixels, other codec
+            (3, "image", bytearray(mm.encode_bmp(b)), None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    hashes = {r.media_id: (r.dhash_hi, r.dhash_lo)
+              for r in mm.dhash_images(media).collect()}
+    assert hashes[1] == hashes[2]  # codec-independent: pixels define the hash
+    assert 0 <= hashes[1][0] < 2 ** 32 and 0 <= hashes[1][1] < 2 ** 32
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in mm.dhash_candidate_pairs(
+                 mm.dhash_images(media), max_hamming=64).collect()}
+    assert pairs[(1, 2)] == 0  # exact perceptual duplicate found
+
+
+def test_dhash_pairs_max_bucket_guard(spark):
+    # three identical images share every band; max_bucket=2 drops the bucket
+    rng = np.random.RandomState(22)
+    img = _rand_rgb(rng, 9, 8)
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(mm.encode_bmp(img)), None) for i in (1, 2, 3)],
+        mm.MEDIA_SCHEMA,
+    )
+    h = mm.dhash_images(media)
+    assert mm.dhash_candidate_pairs(h, max_hamming=8).count() == 3
+    assert mm.dhash_candidate_pairs(h, max_hamming=8, max_bucket=2).count() == 0
