@@ -826,6 +826,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.dhash_images(media), max_hamming=8
         )
 
+    def video_scene_cuts(spark, sf):
+        # scene-change detection: per consecutive-frame SAD over the REAL
+        # decoded P6 streams, integer mean-abs-diff millis, cut at 30.0
+        from boilerplate_buster_spark.operators import multimodal
+
+        media = multimodal.synthetic_media_df(_media_ids(spark, sf)).filter(
+            F.col("kind") == "video"
+        )
+        return multimodal.frame_diffs(media, cut_mad_e3=30000)
+
+    def audio_window_stats(spark, sf):
+        # fixed-window audio analysis over the REAL decoded WAV samples:
+        # integer energy surface + zero-crossing counts, window 64
+        from boilerplate_buster_spark.operators import multimodal
+
+        media = multimodal.synthetic_media_df(_media_ids(spark, sf)).filter(
+            F.col("kind") == "audio"
+        )
+        return multimodal.audio_windows(media, win=64)
+
     def media_decode_features(spark, sf):
         from boilerplate_buster_spark.operators import multimodal
 
@@ -2928,6 +2948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_mjpeg_frames=media_mjpeg_frames,
         image_dhash=image_dhash,
         image_neardup_pairs=image_neardup_pairs,
+        video_scene_cuts=video_scene_cuts,
+        audio_window_stats=audio_window_stats,
         line_dedup_docs=line_dedup_docs,
         intradoc_dedup=intradoc_dedup,
         repetition_signals=repetition_signals_q,
@@ -3326,6 +3348,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         # nearest-neighbor resize to 5x4: output pixel (X,Y) reads source
         # linear pixel p = ((Y*h)//4)*w + (X*w)//5 of the generative image
+        # scene cuts: consecutive frames differ by +17 per value mod 256,
+        # so |diff| = 239 on wrap (base >= 239) else 17 - closed form
+        "video_scene_cuts": """
+            WITH vid AS (SELECT doc_id AS id, 3 + doc_id%4 AS nf,
+                                4 + doc_id%3 AS w, 3 + doc_id%3 AS h
+                         FROM documents WHERE doc_id < 90 AND doc_id%3 = 2),
+            fr AS (SELECT id, w, h, u.f
+                   FROM vid, unnest(generate_series(0, nf - 1)) AS u(f)),
+            sd AS (SELECT id, f, w, h,
+                     CASE WHEN f = 0 THEN 0 ELSE
+                       list_sum(list_transform(
+                         generate_series(0, w*h*3 - 1), q ->
+                         CASE WHEN (id*31 + (f-1)*17 + (q//3)*7
+                                    + (q%3)*11) % 256 >= 239
+                              THEN 239 ELSE 17 END))
+                     END AS sad
+                   FROM fr)
+            SELECT id AS media_id,
+                   CAST(f AS INT) AS frame_idx,
+                   CAST(sad AS BIGINT) AS sad,
+                   CAST((sad * 1000) // (w*h*3) AS BIGINT) AS mad_e3,
+                   (f > 0 AND (sad * 1000) // (w*h*3) >= 30000) AS is_cut
+            FROM sd
+        """,
+        # fixed-window audio stats over s[k] = ((i*77 + k*123) % 65536)
+        # - 32768; zero crossing = sign flip vs previous IN-window sample
+        "audio_window_stats": """
+            WITH aud AS (SELECT doc_id AS id, 256 + doc_id%100 AS n
+                         FROM documents WHERE doc_id < 90 AND doc_id%3 = 1),
+            kx AS (SELECT id, u.k, k // 64 AS win_idx,
+                     ((id*77 + u.k*123) % 65536) - 32768 AS s,
+                     CASE WHEN u.k % 64 > 0 THEN
+                       ((id*77 + (u.k-1)*123) % 65536) - 32768 END AS sp
+                   FROM aud, unnest(generate_series(0, n - 1)) AS u(k))
+            SELECT id AS media_id,
+                   CAST(win_idx AS INT) AS win_idx,
+                   CAST(count(*) AS INT) AS n_samples,
+                   CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+                   CAST(sum(s * s) AS BIGINT) AS sum_sq,
+                   CAST(sum(CASE WHEN sp IS NOT NULL
+                                  AND ((s < 0) != (sp < 0))
+                            THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+            FROM kx GROUP BY id, win_idx
+        """,
         # perceptual dHash of the synthetic images, closed form (see
         # _d_dhash_cte); two 32-bit halves
         "image_dhash": f"""

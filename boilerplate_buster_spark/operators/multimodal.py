@@ -940,6 +940,122 @@ def dhash_candidate_pairs(
     )
 
 
+def frame_diffs(
+    media: DataFrame,
+    cut_mad_e3: int = 20000,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, frame_idx, sad, mad_e3, is_cut): scene-change detection
+    over decodable video streams - per consecutive-frame pair, the sum of
+    absolute pixel differences (SAD, all channels), its per-value mean in
+    exact integer millis (mad_e3 = sad*1000 div (w*h*3)), and the cut flag
+    mad_e3 >= cut_mad_e3 (default 20.0/255 mean step - tune per corpus).
+    Frame 0 anchors the stream: sad = mad_e3 = 0, is_cut = false.
+    Raises on non-video payloads (same strictness as image_stats); frames
+    of differing sizes raise too - a REAL stream keeps one geometry.
+
+    Arrow-batched mapInPandas, one-to-many (one row per frame), no
+    shuffle: at 100 TB the decode+diff pipelines with the media scan."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("sad", T.LongType(), False),
+            T.StructField("mad_e3", T.LongType(), False),
+            T.StructField("is_cut", T.BooleanType(), False),
+        ]
+    )
+    thr = int(cut_mad_e3)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, rec in pdf.iterrows():
+                what, frames = _decode_media(bytes(rec[payload_col]), "video")
+                if what != "video":
+                    raise ValueError("frame_diffs: payload is not a video stream")
+                if len({f.shape for f in frames}) > 1:
+                    raise ValueError("frame_diffs: inconsistent frame geometry")
+                mid = int(rec[id_col])
+                nvals = frames[0].size
+                prev = None
+                for idx, fr in enumerate(frames):
+                    cur = fr.astype(np.int64)
+                    sad = 0 if prev is None else int(np.abs(cur - prev).sum())
+                    mad = (sad * 1000) // nvals
+                    rows.append((mid, idx, sad, mad, mad >= thr and idx > 0))
+                    prev = cur
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "sad", "mad_e3", "is_cut"]
+            )
+
+    return media.mapInPandas(run, schema)
+
+
+def audio_windows(
+    media: DataFrame,
+    win: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, win_idx, n_samples, sum_abs, sum_sq, zero_crossings):
+    fixed-size window analysis of decodable audio - per window of `win`
+    samples (last window may run short), the integer energy surface
+    (sum |s|, sum s^2; RMS = sqrt(sum_sq/n) stays caller-side - roots are
+    not cross-engine stable) and the zero-crossing count (sign flips
+    between consecutive samples WITHIN the window; sign(s) = s < 0, so 0
+    counts as non-negative).  int64-safe: s^2 <= 2^30, so ~2^33 samples
+    per window before overflow.  Raises on non-audio payloads.
+
+    Arrow-batched mapInPandas, one-to-many (one row per window), no
+    shuffle - the same 100-TB posture as every decode stage here."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("win_idx", T.IntegerType(), False),
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("sum_abs", T.LongType(), False),
+            T.StructField("sum_sq", T.LongType(), False),
+            T.StructField("zero_crossings", T.IntegerType(), False),
+        ]
+    )
+    w = int(win)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, rec in pdf.iterrows():
+                what, decoded = _decode_media(bytes(rec[payload_col]), "audio")
+                if what != "audio":
+                    raise ValueError("audio_windows: payload is not audio")
+                _, samples = decoded
+                s = samples.astype(np.int64)
+                mid = int(rec[id_col])
+                for wi in range(0, (len(s) + w - 1) // w):
+                    seg = s[wi * w : (wi + 1) * w]
+                    neg = seg < 0
+                    rows.append(
+                        (
+                            mid,
+                            wi,
+                            len(seg),
+                            int(np.abs(seg).sum()),
+                            int((seg * seg).sum()),
+                            int((neg[1:] != neg[:-1]).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "win_idx", "n_samples",
+                    "sum_abs", "sum_sq", "zero_crossings",
+                ],
+            )
+
+    return media.mapInPandas(run, schema)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for tests/bench: treat the documents table's text bytes as an
     opaque payload (the driver testdata ships no real media files)."""

@@ -358,3 +358,34 @@ def test_dhash_pairs_max_bucket_guard(spark):
     h = mm.dhash_images(media)
     assert mm.dhash_candidate_pairs(h, max_hamming=8).count() == 3
     assert mm.dhash_candidate_pairs(h, max_hamming=8, max_bucket=2).count() == 0
+
+
+def test_frame_diffs_hand_computed(spark):
+    # 3 frames 2x2: f1 == f0 (sad 0), f2 = f0 + 100 (hard cut)
+    base = np.full((2, 2, 3), 50, dtype=np.uint8)
+    stream = b"".join(
+        [mm.encode_ppm(base), mm.encode_ppm(base), mm.encode_ppm(base + 100)]
+    )
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(stream), None)], mm.MEDIA_SCHEMA
+    )
+    rows = {r.frame_idx: r for r in mm.frame_diffs(media, cut_mad_e3=30000).collect()}
+    assert (rows[0].sad, rows[0].mad_e3, rows[0].is_cut) == (0, 0, False)
+    assert (rows[1].sad, rows[1].is_cut) == (0, False)  # identical frame
+    assert rows[2].sad == 100 * 12 and rows[2].mad_e3 == 100000
+    assert rows[2].is_cut
+
+
+def test_audio_windows_hand_computed(spark):
+    # 5 samples, window 4: [3, -2, 0, -1 | 7] -> crossings within windows
+    s = np.array([3, -2, 0, -1, 7], dtype=np.int16)
+    media = spark.createDataFrame(
+        [(9, "audio", bytearray(mm.encode_wav(8000, s)), None)], mm.MEDIA_SCHEMA
+    )
+    rows = {r.win_idx: r for r in mm.audio_windows(media, win=4).collect()}
+    # window 0: |3|+|-2|+|0|+|-1|=6; sq=9+4+0+1=14; flips: 3/-2, -2/0, 0/-1
+    assert (rows[0].n_samples, rows[0].sum_abs, rows[0].sum_sq) == (4, 6, 14)
+    assert rows[0].zero_crossings == 3
+    # window 1: single sample, no in-window predecessor
+    assert (rows[1].n_samples, rows[1].sum_abs, rows[1].sum_sq,
+            rows[1].zero_crossings) == (1, 7, 49, 0)
