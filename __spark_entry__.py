@@ -685,6 +685,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def user_sessions(spark, sf):
+        # gap-based sessionization (8h gap ~ the corpus median inter-event
+        # gap, so real multi-session users emerge) + per-session stats;
+        # exact integer microseconds throughout
+        from boilerplate_buster_spark.operators.sessions import (
+            session_stats,
+            sessionize,
+        )
+
+        ev = _tbl(spark, sf, "events")
+        return session_stats(sessionize(ev, gap_s=28800)).select(
+            "user_id",
+            "session_idx",
+            F.col("n_events").cast("long").alias("n_events"),
+            "start_us",
+            "end_us",
+            "duration_us",
+        )
+
+    def events_asof_purchase(spark, sf):
+        # distributed AS-OF join: every event picks up the user's most
+        # recent STRICTLY-PRIOR purchase; right side pre-deduped per
+        # (user, ts) by max event_id so ties are engine-independent
+        from boilerplate_buster_spark.operators.sessions import asof_join
+
+        ev = _tbl(spark, sf, "events")
+        pur = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("purchase_id"))
+        )
+        return asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            pur,
+            on=["user_id"],
+            right_cols=["purchase_id"],
+            strict=True,
+        ).select("event_id", "user_id", "asof_purchase_id")
+
     # --- post-processing (T3 phrase-tree parent linking) -----------------
     def phrase_parents(spark, sf):
         from boilerplate_buster_spark.operators.corpus_stats import frequent_ngrams
@@ -2922,6 +2961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         revenue_running=revenue_running,
         supplier_part_volume=supplier_part_volume,
         events_hourly=events_hourly,
+        user_sessions=user_sessions,
+        events_asof_purchase=events_asof_purchase,
         phrase_parents=phrase_parents,
         bloomspan_documents=bloomspan_documents,
         bide_phrases=bide_phrases,
@@ -3235,6 +3276,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE p_brand = 'Brand#1'
             GROUP BY n_name
+        """,
+        # gap sessionization (28800 s): new session when the user's
+        # inter-event gap exceeds the threshold; exact integer micros
+        "user_sessions": """
+            WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+            l AS (SELECT user_id, ts_us,
+                    CASE WHEN lag(ts_us) OVER w IS NULL
+                          OR ts_us - lag(ts_us) OVER w > 28800000000
+                         THEN 1 ELSE 0 END AS new_s
+                  FROM t
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+            s AS (SELECT user_id, ts_us,
+                    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                     ROWS UNBOUNDED PRECEDING) AS session_idx
+                  FROM l)
+            SELECT user_id,
+                   CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(ts_us) AS BIGINT) AS start_us,
+                   CAST(max(ts_us) AS BIGINT) AS end_us,
+                   CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+            FROM s GROUP BY user_id, session_idx
+        """,
+        # strict AS-OF: DuckDB's native ASOF LEFT JOIN is the independent
+        # twin of the union-carry implementation
+        "events_asof_purchase": """
+            WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts)
+            SELECT e.event_id, e.user_id,
+                   p.purchase_id AS asof_purchase_id
+            FROM events e ASOF LEFT JOIN p
+              ON e.user_id = p.user_id AND e.ts > p.ts
         """,
         "events_hourly": """
             SELECT event_type,

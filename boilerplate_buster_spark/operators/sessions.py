@@ -1,0 +1,139 @@
+"""Event-stream temporal operators: gap-based sessionization and the
+distributed AS-OF join - the two classic time-keyed primitives Spark has
+no single built-in for (the builder brief names as-of joins explicitly as
+the custom-operator bar; sessionization is the standard web-analytics
+companion over the events table).
+
+Scale posture (100 TB):
+
+* `sessionize` / `session_stats`: ONE shuffle on the user key; session
+  boundaries come from lag() + a running sum inside the same window sort,
+  and the stats are a plain hash aggregate on (user, session_idx).  No
+  self-joins, no iteration: the gap rule is prefix-decomposable, so a
+  1000-executor run is exactly as correct as a local one.
+
+* `asof_join`: the classic union-carry formulation - tag both sides,
+  sort each key's rows by (ts, side-tag), carry the last non-null right
+  payload forward with last(ignorenulls) over an unbounded-preceding
+  window.  ONE shuffle on the join key, a single sort, linear scan; never
+  a range cross-join.  Strictness is encoded purely in the tag order:
+  strict (right_ts < left_ts) sorts right rows AFTER left rows at equal
+  timestamps so they can't be seen; inclusive (<=) sorts them before.
+  Ties among right rows with the SAME (key, ts) resolve to the greatest
+  right payload tuple (deterministic; pre-aggregate the right side per
+  (key, ts) when a different rule is needed).
+
+Timestamps are compared in exact integer microseconds (unix_micros), so
+SQL oracles reproduce every boundary bit-for-bit - no doubles, no
+truncating second-level casts.
+
+No reference anchor: the reference (corpus_miner.cpp) has no temporal
+surface; these mirror standard streaming/warehouse practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _micros(col: str):
+    """Exact epoch microseconds of a timestamp column.  Parquet often
+    scans as TIMESTAMP_NTZ, which unix_micros rejects - the cast maps NTZ
+    wall-clock to the session zone, and the repo session pins
+    spark.sql.session.timeZone=UTC, so the value equals DuckDB's
+    epoch_us(naive) bit-for-bit."""
+    return F.expr(f"unix_micros(cast({col} AS timestamp))")
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Input rows + (ts_us, session_idx): a new session starts at a row
+    whose gap to the user's previous event exceeds `gap_s` seconds (first
+    event = session 1).  Rows with equal timestamps always share a session
+    (their mutual gap is 0), so the assignment is deterministic regardless
+    of tie order within the sort."""
+    gap_us = int(gap_s) * 1_000_000
+    w = Window.partitionBy(user_col).orderBy("ts_us")
+    with_ts = events.withColumn("ts_us", _micros(ts_col))
+    is_new = (
+        F.col("ts_us") - F.lag("ts_us").over(w) > F.lit(gap_us)
+    ).cast("int")
+    run = Window.partitionBy(user_col).orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return with_ts.withColumn(
+        "session_idx",
+        F.sum(F.coalesce(is_new, F.lit(1))).over(run).cast("long"),
+    )
+
+
+def session_stats(
+    sessions: DataFrame, user_col: str = "user_id"
+) -> DataFrame:
+    """(user, session_idx, n_events, start_us, end_us, duration_us):
+    per-session aggregate over :func:`sessionize` output - a plain hash
+    aggregate on the (user, session) key."""
+    return sessions.groupBy(user_col, "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    right_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    strict: bool = True,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """LEFT AS-OF join: every left row, plus `right_cols` of the most
+    recent right row with the same `on` key and right_ts < left_ts
+    (`strict`) or <= (`strict=False`); nulls when no such row exists.
+    Output columns: all of left's, then `prefix`+c for c in right_cols.
+
+    `on` + ts + right_cols must not collide with left's column names
+    (rename upstream if they do)."""
+    lt, rt = (0, 1) if strict else (1, 0)
+    lrow = F.struct(*[F.col(c) for c in left.columns]).alias("_lrow")
+    rpay = F.struct(*[F.col(c) for c in right_cols]).alias("_rpay")
+    tagged_l = left.select(
+        *[F.col(c).alias(f"_k_{c}") for c in on],
+        _micros(left_ts).alias("_ts"),
+        F.lit(lt).alias("_tag"),
+        lrow,
+        F.lit(None).cast(
+            right.select(rpay).schema["_rpay"].dataType.simpleString()
+        ).alias("_rpay"),
+    )
+    tagged_r = right.select(
+        *[F.col(c).alias(f"_k_{c}") for c in on],
+        _micros(right_ts).alias("_ts"),
+        F.lit(rt).alias("_tag"),
+        F.lit(None).cast(
+            left.select(lrow).schema["_lrow"].dataType.simpleString()
+        ).alias("_lrow"),
+        rpay,
+    )
+    w = (
+        Window.partitionBy(*[f"_k_{c}" for c in on])
+        .orderBy("_ts", "_tag", "_rpay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_l.unionByName(tagged_r).withColumn(
+        "_carry", F.last("_rpay", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_lrow").isNotNull()).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_carry.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+    return out

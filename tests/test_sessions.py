@@ -1,0 +1,90 @@
+"""Gap sessionization + distributed AS-OF join: hand-computed fixtures,
+strict-vs-inclusive boundary semantics, single-shuffle plan shape."""
+
+from datetime import datetime as dt
+
+from boilerplate_buster_spark.operators.sessions import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+
+
+def _events(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10, dt(2024, 1, 1, 0, 0, 0)),
+            (2, 10, dt(2024, 1, 1, 0, 10, 0)),
+            (3, 10, dt(2024, 1, 1, 2, 0, 0)),  # 110-min gap -> new session
+            (4, 11, dt(2024, 1, 1, 0, 0, 0)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+
+
+def test_sessionize_gap_boundaries(spark):
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_us)
+        for r in session_stats(sessionize(_events(spark), gap_s=1800)).collect()
+    }
+    assert got[(10, 1)] == (2, 600_000_000)  # events 1+2, 10 minutes
+    assert got[(10, 2)] == (1, 0)
+    assert got[(11, 1)] == (1, 0)
+    # a gap EXACTLY equal to the threshold does NOT split (strictly greater)
+    flat = session_stats(sessionize(_events(spark), gap_s=7200)).collect()
+    assert {(r.user_id, r.session_idx, r.n_events) for r in flat} == {
+        (10, 1, 3), (11, 1, 1)
+    }
+
+
+def test_asof_strict_vs_inclusive(spark):
+    right = spark.createDataFrame(
+        [
+            (10, dt(2024, 1, 1, 0, 5, 0), 100),
+            (10, dt(2024, 1, 1, 2, 0, 0), 200),  # equal-ts with event 3
+        ],
+        "user_id long, ts timestamp, pid long",
+    )
+    strict = {
+        r.event_id: r.asof_pid
+        for r in asof_join(
+            _events(spark), right, on=["user_id"], right_cols=["pid"]
+        ).collect()
+    }
+    assert strict == {1: None, 2: 100, 3: 100, 4: None}
+    incl = {
+        r.event_id: r.asof_pid
+        for r in asof_join(
+            _events(spark), right, on=["user_id"], right_cols=["pid"],
+            strict=False,
+        ).collect()
+    }
+    assert incl == {1: None, 2: 100, 3: 200, 4: None}
+
+
+def test_asof_right_ts_tie_takes_greatest_payload(spark):
+    left = spark.createDataFrame(
+        [(1, 10, dt(2024, 1, 1, 1, 0, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, dt(2024, 1, 1, 0, 0, 0), 7), (10, dt(2024, 1, 1, 0, 0, 0), 9)],
+        "user_id long, ts timestamp, pid long",
+    )
+    [row] = asof_join(left, right, on=["user_id"], right_cols=["pid"]).collect()
+    assert row.asof_pid == 9
+
+
+def test_asof_single_shuffle_plan(spark):
+    ev, right = _events(spark), _events(spark).selectExpr(
+        "user_id", "ts", "event_id AS pid"
+    )
+    plan = (
+        asof_join(ev, right, on=["user_id"], right_cols=["pid"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # union-carry: exactly ONE key-partitioned exchange feeds the window
+    # (one Exchange per union branch pre-AQE counts once coalesced; the
+    # invariant that matters is no join operator and no extra shuffle)
+    assert "Join" not in plan.replace("inner join", "")
+    assert plan.count("Exchange hashpartitioning(_k_user_id") <= 2
