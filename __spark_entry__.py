@@ -724,6 +724,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             strict=True,
         ).select("event_id", "user_id", "asof_purchase_id")
 
+    def retention_cohorts_q(spark, sf):
+        # daily retention matrix (the corpus spans ~30 days): cohort =
+        # first-event day, cells count distinct returning users
+        from boilerplate_buster_spark.operators.sessions import (
+            retention_cohorts,
+        )
+
+        return retention_cohorts(
+            _tbl(spark, sf, "events"), bucket_s=86400
+        ).select(
+            "cohort_bucket",
+            "bucket_offset",
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+
+    def funnel_signup_purchase(spark, sf):
+        # two-step funnel: first signup -> first strictly-later purchase,
+        # converted iff within 7 days; one row per entering user
+        from boilerplate_buster_spark.operators.sessions import (
+            funnel_conversion,
+        )
+
+        return funnel_conversion(
+            _tbl(spark, sf, "events"), "signup", "purchase",
+            within_s=7 * 86400,
+        )
+
+    def cooccurrence_assoc(spark, sf):
+        # skip-gram co-occurrence (window 2, unordered) with the integer
+        # PMI-core association ratio; min_count=5 prunes before the joins
+        from boilerplate_buster_spark.operators.corpus_stats import (
+            cooccurrence,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        return cooccurrence(docs, window=2, min_count=5)
+
     # --- post-processing (T3 phrase-tree parent linking) -----------------
     def phrase_parents(spark, sf):
         from boilerplate_buster_spark.operators.corpus_stats import frequent_ngrams
@@ -2963,6 +3000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_hourly=events_hourly,
         user_sessions=user_sessions,
         events_asof_purchase=events_asof_purchase,
+        retention_cohorts=retention_cohorts_q,
+        funnel_signup_purchase=funnel_signup_purchase,
+        cooccurrence_assoc=cooccurrence_assoc,
         phrase_parents=phrase_parents,
         bloomspan_documents=bloomspan_documents,
         bide_phrases=bide_phrases,
@@ -3309,6 +3349,63 @@ def oracle_sql() -> dict[str, str]:
                    p.purchase_id AS asof_purchase_id
             FROM events e ASOF LEFT JOIN p
               ON e.user_id = p.user_id AND e.ts > p.ts
+        """,
+        # daily retention matrix, exact epoch-day integer buckets
+        "retention_cohorts": """
+            WITH t AS (SELECT user_id AS u,
+                              epoch_us(ts) // 86400000000 AS bucket
+                       FROM events),
+            f AS (SELECT u, min(bucket) AS cohort_bucket FROM t GROUP BY u)
+            SELECT f.cohort_bucket,
+                   t.bucket - f.cohort_bucket AS bucket_offset,
+                   CAST(count(DISTINCT t.u) AS BIGINT) AS n_users
+            FROM t JOIN f USING (u)
+            GROUP BY f.cohort_bucket, t.bucket - f.cohort_bucket
+        """,
+        # two-step funnel: first signup -> first strictly-later purchase
+        # within 7 days, exact integer micros
+        "funnel_signup_purchase": """
+            WITH b AS (SELECT user_id AS u, event_type AS et,
+                              epoch_us(ts) AS ts_us
+                       FROM events),
+            e AS (SELECT u, min(ts_us) AS first_us FROM b
+                  WHERE et = 'signup' GROUP BY u),
+            f AS (SELECT b.u, min(b.ts_us) AS next_us
+                  FROM b JOIN e USING (u)
+                  WHERE b.et = 'purchase' AND b.ts_us > e.first_us
+                  GROUP BY b.u)
+            SELECT e.u AS user_id,
+                   CAST(e.first_us AS BIGINT) AS first_us,
+                   CAST(f.next_us AS BIGINT) AS next_us,
+                   (f.next_us IS NOT NULL
+                    AND f.next_us - e.first_us <= 604800000000) AS converted
+            FROM e LEFT JOIN f USING (u)
+        """,
+        # skip-gram co-occurrence (window 2, unordered canonical pairs)
+        # with the integer PMI-core ratio; log honestly excluded
+        "cooccurrence_assoc": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE doc_id < 200),
+            tok AS (SELECT doc_id, u.i AS pos, t[u.i] AS term
+                    FROM d, unnest(generate_series(1, len(t))) AS u(i)),
+            pr AS (SELECT least(a.term, b.term) AS w1,
+                          greatest(a.term, b.term) AS w2
+                   FROM tok a JOIN tok b
+                     ON a.doc_id = b.doc_id
+                    AND b.pos BETWEEN a.pos + 1 AND a.pos + 2),
+            px AS (SELECT w1, w2, count(*) AS n_xy FROM pr
+                   GROUP BY w1, w2 HAVING count(*) >= 5),
+            uni AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+            tot AS (SELECT count(*) AS n_tokens FROM tok)
+            SELECT px.w1, px.w2,
+                   CAST(px.n_xy AS BIGINT) AS n_xy,
+                   CAST(u1.n AS BIGINT) AS n_x,
+                   CAST(u2.n AS BIGINT) AS n_y,
+                   CAST((px.n_xy * (SELECT n_tokens FROM tot) * 1000000)
+                        // (u1.n * u2.n) AS BIGINT) AS assoc_e6
+            FROM px
+            JOIN uni u1 ON px.w1 = u1.term
+            JOIN uni u2 ON px.w2 = u2.term
         """,
         "events_hourly": """
             SELECT event_type,

@@ -141,3 +141,67 @@ def corpus_composition(
             "token_share_e6"
         ),
     )
+
+
+def cooccurrence(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(w1, w2, n_xy, n_x, n_y, assoc_e6): skip-gram word co-occurrence
+    within +-`window` positions (unordered - every pair is canonicalized
+    to w1 <= w2 before counting) and the PMI CORE as exact integer
+    millionths:
+
+        assoc_e6 = (n_xy * N_tokens * 1e6) div (n_x * n_y)
+
+    i.e. the association ratio P(x,y)/(P(x)P(y)) up to the constant
+    N_pairs/N_tokens factor and WITHOUT the log - the standard documented
+    deviation (transcendentals are not cross-engine stable); the ranking
+    it induces is PMI's.  int64 headroom: n_xy * N_tokens <= ~9e12.
+
+    Plan shape: pair enumeration is a linear in-scan explode (window is a
+    small constant, so pairs = O(window * tokens)); `min_count` prunes the
+    pair table BEFORE the two vocabulary joins; the unigram table is
+    vocab-sized and shuffles on the word key (broadcast is wrong at
+    100 TB - a web vocab does not fit an executor); the token total rides
+    in via a 1-row broadcast cross join, never a collect."""
+    t = tokens_col
+    w = int(window)
+    pairs_expr = (
+        f"flatten(transform("
+        f"  slice(sequence(1, greatest(size({t}) - 1, 1)),"
+        f"        1, greatest(size({t}) - 1, 0)), i ->"
+        f"  transform(sequence(i + 1, least(i + {w}, size({t}))), j ->"
+        f"    struct("
+        f"      CASE WHEN element_at({t}, i) <= element_at({t}, j)"
+        f"           THEN element_at({t}, i) ELSE element_at({t}, j) END AS w1,"
+        f"      CASE WHEN element_at({t}, i) <= element_at({t}, j)"
+        f"           THEN element_at({t}, j) ELSE element_at({t}, i) END AS w2))))"
+    )
+    pairs = (
+        docs.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= int(min_count))
+    )
+    uni = (
+        docs.select(F.explode(F.col(t)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    total = docs.select(F.sum(F.size(t)).cast("long").alias("n_tokens"))
+    return (
+        pairs.join(uni.select(F.col("word").alias("w1"), F.col("n").alias("n_x")), "w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("n").alias("n_y")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.expr("(n_xy * n_tokens * 1000000) div (n_x * n_y)").alias("assoc_e6"),
+        )
+    )

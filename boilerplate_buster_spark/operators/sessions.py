@@ -86,6 +86,83 @@ def session_stats(
     )
 
 
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_s: int = 7 * 86400,
+) -> DataFrame:
+    """(cohort_bucket, bucket_offset, n_users): classic retention matrix -
+    a user's cohort is the epoch bucket (default: week) of their FIRST
+    event; each (cohort, offset) cell counts DISTINCT users from that
+    cohort active `offset` buckets later.  Buckets are exact integer
+    epoch-microsecond divisions, so the oracle reproduces every boundary.
+
+    Plan: one shuffle for the per-user min (hash agg), one broadcast-able
+    join back (per-user first-bucket table is |users|-sized), one
+    count-distinct agg on the (cohort, offset) cell key."""
+    b_us = int(bucket_s) * 1_000_000
+    with_b = events.select(
+        F.col(user_col).alias("u"), _micros(ts_col).alias("ts_us")
+    ).withColumn("bucket", F.expr(f"ts_us div {b_us}"))
+    first = with_b.groupBy("u").agg(F.min("bucket").alias("cohort_bucket"))
+    return (
+        with_b.join(first, "u")
+        .groupBy(
+            "cohort_bucket",
+            (F.col("bucket") - F.col("cohort_bucket")).alias("bucket_offset"),
+        )
+        .agg(F.count_distinct("u").alias("n_users"))
+    )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    first_step: str,
+    second_step: str,
+    within_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user, first_us, next_us, converted): two-step funnel - for every
+    user with a `first_step` event, the FIRST such event, the first
+    `second_step` event STRICTLY after it (null if none), and whether it
+    landed within `within_s` seconds.  One row per user who entered the
+    funnel.
+
+    Plan: one conditional hash-agg for the entry step, one matched-rows
+    join + min-agg for the follow-up - the entry table is |users|-sized,
+    so the join broadcasts at any corpus scale."""
+    w_us = int(within_s) * 1_000_000
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        _micros(ts_col).alias("ts_us"),
+    )
+    entry = (
+        base.filter(F.col("et") == first_step)
+        .groupBy("u")
+        .agg(F.min("ts_us").alias("first_us"))
+    )
+    follow = (
+        base.filter(F.col("et") == second_step)
+        .join(F.broadcast(entry), "u")
+        .filter(F.col("ts_us") > F.col("first_us"))
+        .groupBy("u")
+        .agg(F.min("ts_us").alias("next_us"))
+    )
+    return entry.join(follow, "u", "left").select(
+        F.col("u").alias(user_col),
+        "first_us",
+        "next_us",
+        (
+            F.col("next_us").isNotNull()
+            & (F.col("next_us") - F.col("first_us") <= F.lit(w_us))
+        ).alias("converted"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -88,3 +88,67 @@ def test_asof_single_shuffle_plan(spark):
     # invariant that matters is no join operator and no extra shuffle)
     assert "Join" not in plan.replace("inner join", "")
     assert plan.count("Exchange hashpartitioning(_k_user_id") <= 2
+
+
+def test_retention_cohorts_hand_computed(spark):
+    from boilerplate_buster_spark.operators.sessions import retention_cohorts
+
+    ev = spark.createDataFrame(
+        [
+            (10, dt(2024, 1, 1, 12, 0, 0)),   # day 19723 (cohort)
+            (10, dt(2024, 1, 3, 1, 0, 0)),    # offset 2
+            (11, dt(2024, 1, 1, 23, 0, 0)),   # same cohort, day 0 only
+            (12, dt(2024, 1, 3, 5, 0, 0)),    # later cohort
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r.cohort_bucket, r.bucket_offset): r.n_users
+        for r in retention_cohorts(ev, bucket_s=86400).collect()
+    }
+    d0 = (dt(2024, 1, 1) - dt(1970, 1, 1)).days
+    assert got == {(d0, 0): 2, (d0, 2): 1, (d0 + 2, 0): 1}
+
+
+def test_funnel_conversion_hand_computed(spark):
+    from boilerplate_buster_spark.operators.sessions import funnel_conversion
+
+    ev = spark.createDataFrame(
+        [
+            (10, "signup", dt(2024, 1, 1)),
+            (10, "purchase", dt(2024, 1, 5)),     # within 7d -> converted
+            (11, "signup", dt(2024, 1, 1)),
+            (11, "purchase", dt(2024, 1, 20)),    # too late
+            (12, "purchase", dt(2024, 1, 1)),     # purchase BEFORE signup
+            (12, "signup", dt(2024, 1, 2)),       # no later purchase
+            (13, "error", dt(2024, 1, 1)),        # never enters the funnel
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r.user_id: (r.converted, r.next_us is not None)
+        for r in funnel_conversion(
+            ev, "signup", "purchase", within_s=7 * 86400
+        ).collect()
+    }
+    assert got == {10: (True, True), 11: (False, True), 12: (False, False)}
+
+
+def test_cooccurrence_window_and_canonical_pairs(spark):
+    from boilerplate_buster_spark.operators.corpus_stats import cooccurrence
+
+    docs = spark.createDataFrame(
+        [(1, ["b", "a", "c"]), (2, ["a", "b"])], ["doc_id", "tokens"]
+    )
+    rows = {
+        (r.w1, r.w2): (r.n_xy, r.n_x, r.n_y, r.assoc_e6)
+        for r in cooccurrence(docs, window=2, min_count=1).collect()
+    }
+    # doc1 pairs: (b,a)->(a,b), (b,c), (a,c); doc2: (a,b) - canonicalized
+    assert rows[("a", "b")][0] == 2 and rows[("b", "c")][0] == 1
+    assert rows[("a", "c")][0] == 1
+    # unigrams: a=2, b=2, c=1; N=5 -> assoc(a,b) = 2*5*1e6 // 4
+    assert rows[("a", "b")] == (2, 2, 2, 2_500_000)
+    # single-token doc contributes nothing and nothing crashes
+    one = spark.createDataFrame([(3, ["solo"])], ["doc_id", "tokens"])
+    assert cooccurrence(one, min_count=1).count() == 0
