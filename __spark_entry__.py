@@ -496,6 +496,60 @@ def _d_dhash_cte() -> str:
                    FROM bt GROUP BY id)"""
 
 
+def _d_kmeans_sql(k: int = 4, iters: int = 2, scale: int = 1000) -> str:
+    """DuckDB twin of ann.kmeans_quantized: unrolled Lloyd iterations over
+    the exact integer surface (floor(x*scale) quantization, integer
+    squared-L2, TRUNCATING // means, empty cluster keeps its centroid,
+    argmin ties to the smallest cid)."""
+
+    def dist(qc: str, cc: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({qc})), "
+            f"i -> ({qc}[i] - {cc}[i]) * ({qc}[i] - {cc}[i])))"
+        )
+
+    parts = [
+        f"""q AS (SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(x * {scale}) AS BIGINT)) AS q
+                  FROM embeddings),
+            c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                          q AS c
+                   FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {k}))"""
+    ]
+    prev = "c0"
+    for it in range(iters):
+        a, u, nxt = f"a{it}", f"u{it}", f"c{it + 1}"
+        parts.append(
+            f"""{a} AS (SELECT vec_id, q, cid FROM (
+                   SELECT q.vec_id, q.q, {prev}.cid,
+                          row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {dist('q.q', prev + '.c')}, {prev}.cid)
+                            AS rn
+                   FROM q, {prev}) WHERE rn = 1),
+            {u} AS (SELECT cid, u.i, sum(q[u.i]) AS s, count(*) AS n
+                    FROM {a}, unnest(generate_series(1, len(q))) AS u(i)
+                    GROUP BY cid, u.i),
+            {nxt} AS (SELECT {prev}.cid,
+                        CASE WHEN count(u.i) = 0 THEN any_value({prev}.c)
+                             ELSE list(u.s // u.n ORDER BY u.i) END AS c
+                      FROM {prev} LEFT JOIN {u} u USING (cid)
+                      GROUP BY {prev}.cid)"""
+        )
+        prev = nxt
+    return f"""
+            WITH {', '.join(parts)},
+            fd AS (SELECT q.vec_id, {prev}.cid,
+                     {dist('q.q', prev + '.c')} AS d,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {dist('q.q', prev + '.c')}, {prev}.cid) AS rn
+                   FROM q, {prev})
+            SELECT vec_id,
+                   CAST(cid AS INT) AS cluster_id,
+                   CAST(d AS BIGINT) AS dist
+            FROM fd WHERE rn = 1
+        """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BloomSpan maximal-frequent-phrase mining over sf0.001
     documents (the reference's headline query, SURVEY.md section 2.5)."""
@@ -579,6 +633,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash16(_docs(spark, sf).filter(F.col("doc_id") < 100))
 
     # --- embeddings ------------------------------------------------------
+    def kmeans_clusters(spark, sf):
+        # distributed Lloyd k-means (k=4, 2 rounds) on the EXACT integer
+        # surface: floor(x*1000) quantization, integer squared-L2,
+        # truncating-mean updates, seeds = 4 smallest vec_ids
+        from boilerplate_buster_spark.operators.ann import kmeans_quantized
+
+        out, _ = kmeans_quantized(_emb(spark, sf), k=4, iters=2)
+        return out.select(
+            "vec_id",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+
     def ann_topk(spark, sf):
         return ann.cosine_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
 
@@ -2991,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         clean_corpus=clean_corpus,
         simhash=simhash,
         ann_topk=ann_topk,
+        kmeans_clusters=kmeans_clusters,
         embedding_neardup=embedding_neardup,
         pricing_summary=pricing_summary,
         top_customers=top_customers,
@@ -3225,6 +3293,8 @@ def oracle_sql() -> dict[str, str]:
             h AS (SELECT doc_id, list_transform(t, x -> {_dh60('x')}) AS hs FROM toks)
             SELECT doc_id, {_d_simhash_bits()} AS simhash FROM h
         """,
+        # 2-round integer Lloyd k-means, unrolled (see _d_kmeans_sql)
+        "kmeans_clusters": _d_kmeans_sql(k=4, iters=2, scale=1000),
         "ann_topk": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, round({_d_cos('embedding', 'qv')}, 4) AS cos

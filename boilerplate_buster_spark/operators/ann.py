@@ -551,3 +551,89 @@ def pq_adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def _tdiv(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division (SQL `div`/`//` semantics;
+    Python's // floors, which differs on negative sums)."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def _quant_expr(vec_col: str, scale: int) -> str:
+    """Element-wise quantization to exact integers: floor(x * scale).
+    float32 -> double is exact and IEEE double floor is engine-stable, so
+    Spark and any SQL oracle agree bit-for-bit."""
+    return f"transform({vec_col}, x -> CAST(floor(x * {scale}) AS bigint))"
+
+
+def _kq_assign_expr(q_col: str, centroids: list[list[int]]) -> str:
+    """0-based index of the min-squared-L2 centroid over INTEGER vectors
+    (deterministic: ties take the smallest index via first-occurrence
+    array_position)."""
+    dists = "array(" + ", ".join(
+        f"aggregate(zip_with({q_col}, array({', '.join(str(int(x)) + 'L' for x in c)}), "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+        for c in centroids
+    ) + ")"
+    return f"cast(array_position({dists}, array_min({dists})) - 1 AS int)"
+
+
+def kmeans_quantized(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[int]]]:
+    """Distributed Lloyd k-means over an EXACT integer surface - the
+    oracle-checkable twin of ivf_fit_centroids (whose float means no SQL
+    engine reproduces bit-for-bit).  Vectors quantize to floor(x * scale);
+    distances are integer squared-L2; the centroid update is the
+    TRUNCATING integer mean (SQL div semantics, _tdiv); empty clusters
+    keep their previous centroid.  Seeds = the k smallest `id_col`
+    vectors (deterministic, no RNG).
+
+    Returns (assignments, centroids): assignments = (id, cluster_id,
+    dist) after the FINAL round's reassignment; centroids = the final
+    k x dim integer matrix.
+
+    Scale posture: per iteration, assignment is a pure-expression scan
+    (centroids are constant-folded literals - k x dim ints, broadcast by
+    the plan itself) and the update is one (cluster, dim)-keyed hash
+    aggregate: k*dim groups, a tiny shuffle independent of corpus size.
+    The driver holds only the centroid matrix, never vectors."""
+    q = emb.select(
+        F.col(id_col), F.expr(_quant_expr(vec_col, int(scale))).alias("q")
+    )
+    seeds = q.orderBy(id_col).limit(int(k)).collect()
+    cents: list[list[int]] = [[int(x) for x in r["q"]] for r in seeds]
+    dim = len(cents[0])
+    for _ in range(int(iters)):
+        assign = _kq_assign_expr("q", cents)
+        sums = (
+            q.select(F.expr(assign).alias("c"), F.posexplode("q"))
+            .groupBy("c", "pos")
+            .agg(F.sum("col").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_c.setdefault(r["c"], {})[r["pos"]] = _tdiv(int(r["s"]), int(r["n"]))
+        cents = [
+            [by_c[c][i] for i in range(dim)] if c in by_c else cents[c]
+            for c in range(int(k))
+        ]
+    assign = _kq_assign_expr("q", cents)
+    darr = "array(" + ", ".join(
+        f"aggregate(zip_with(q, array({', '.join(str(int(x)) + 'L' for x in c)}), "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+        for c in cents
+    ) + ")"
+    out = q.select(
+        id_col,
+        F.expr(assign).alias("cluster_id"),
+        F.expr(f"array_min({darr})").alias("dist"),
+    )
+    return out, cents

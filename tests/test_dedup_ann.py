@@ -462,3 +462,39 @@ def test_fuzzy_pairs_complete_vs_bruteforce(spark):
     assert got == want
     assert got[(0, 7)] == 0 and got[(0, 1)] == 1 and got[(3, 4)] == 1
     assert (0, 2) in got and (1, 2) not in got  # pie~pies 1, pi~pies 2
+
+
+def test_kmeans_quantized_separates_obvious_clusters(spark):
+    from boilerplate_buster_spark.operators.ann import kmeans_quantized
+
+    # two tight groups around (0.9, 0.9, ...) and (-0.9, -0.9, ...)
+    rows = []
+    for i in range(6):
+        base = 0.9 if i % 2 == 0 else -0.9
+        rows.append((i, [base + 0.001 * i] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out, cents = kmeans_quantized(emb, k=2, iters=2)
+    got = {r.vec_id: r.cluster_id for r in out.collect()}
+    evens = {got[i] for i in range(0, 6, 2)}
+    odds = {got[i] for i in range(1, 6, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+    assert len(cents) == 2 and len(cents[0]) == 8
+    # members sit near their centroid: every dist is small and exact
+    assert all(r.dist < 100 for r in out.collect())
+
+
+def test_kmeans_truncating_mean_and_empty_cluster(spark):
+    from boilerplate_buster_spark.operators.ann import (
+        _tdiv,
+        kmeans_quantized,
+    )
+
+    assert _tdiv(-7, 2) == -3 and _tdiv(7, 2) == 3  # SQL div, not floor
+    # k=3 with only 2 distinct points: one cluster stays empty and must
+    # keep its seed centroid without crashing
+    emb = spark.createDataFrame(
+        [(0, [0.5] * 4), (1, [0.5] * 4), (2, [-0.5] * 4)],
+        "vec_id long, embedding array<float>",
+    )
+    out, cents = kmeans_quantized(emb, k=3, iters=2)
+    assert out.count() == 3 and len(cents) == 3
