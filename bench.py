@@ -365,6 +365,35 @@ def main() -> None:
             .agg(F.count("*"), F.sum("dist")).collect()),
     ]
 
+    from boilerplate_buster_spark.operators.ann import kmeans_quantized
+    from boilerplate_buster_spark.operators.sessions import (
+        asof_join as _asof,
+        session_stats,
+        sessionize,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+
+    queries += [
+        # iterative integer Lloyd over the 10k synthetic vectors: two
+        # constant-folded assignment scans + two k*dim hash aggregates
+        ("kmeans_vecs", lambda: kmeans_quantized(
+            bench_vecs, k=8, iters=2
+        )[0].agg(F.sum("dist"), F.count_distinct("cluster_id")).collect()),
+        # union-carry as-of join + gap sessionization over the events table
+        ("events_temporal", lambda: _asof(
+            ev.select("event_id", "user_id", "ts"), pur,
+            on=["user_id"], right_cols=["purchase_id"],
+        ).agg(F.count("*"), F.count("asof_purchase_id")).collect() and
+            session_stats(sessionize(ev, gap_s=28800))
+            .agg(F.count("*"), F.sum("n_events")).collect()),
+    ]
+
     samples: dict[str, list[float]] = {name: [] for name, _ in queries}
     loads: list[float] = []
 

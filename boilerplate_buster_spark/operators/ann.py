@@ -604,9 +604,14 @@ def kmeans_quantized(
     the plan itself) and the update is one (cluster, dim)-keyed hash
     aggregate: k*dim groups, a tiny shuffle independent of corpus size.
     The driver holds only the centroid matrix, never vectors."""
+    from pyspark import StorageLevel
+
     q = emb.select(
         F.col(id_col), F.expr(_quant_expr(vec_col, int(scale))).alias("q")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted because Lloyd is iterative: every round re-reads the same
+    # quantized vectors (seed scan + iters assignments + final labeling) -
+    # without the cache each action re-runs the source scan end-to-end
     seeds = q.orderBy(id_col).limit(int(k)).collect()
     cents: list[list[int]] = [[int(x) for x in r["q"]] for r in seeds]
     dim = len(cents[0])

@@ -152,3 +152,29 @@ def test_cooccurrence_window_and_canonical_pairs(spark):
     # single-token doc contributes nothing and nothing crashes
     one = spark.createDataFrame([(3, ["solo"])], ["doc_id", "tokens"])
     assert cooccurrence(one, min_count=1).count() == 0
+
+
+def test_sessionize_agrees_with_spark_native_session_window(spark):
+    """Cross-validation against Spark's OWN session_window aggregation:
+    the gap rule is the same (new session when gap > threshold), so the
+    per-user session count and each session's event count must match."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ours = (
+        session_stats(sessionize(ev, gap_s=28800))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "8 hours"))
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n").alias("n_events"))
+    )
+    o = {r.user_id: (r.n_sessions, r.n_events) for r in ours.collect()}
+    n = {r.user_id: (r.n_sessions, r.n_events) for r in native.collect()}
+    assert o == n
