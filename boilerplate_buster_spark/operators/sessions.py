@@ -132,8 +132,10 @@ def funnel_conversion(
     funnel.
 
     Plan: one conditional hash-agg for the entry step, one matched-rows
-    join + min-agg for the follow-up - the entry table is |users|-sized,
-    so the join broadcasts at any corpus scale."""
+    join + min-agg for the follow-up.  The entry table is |users|-sized -
+    small enough that AQE broadcasts it on most corpora, but NOT
+    constant-bounded, so no broadcast hint is forced (a billion-user
+    event log must be allowed to shuffle-join on the user key)."""
     w_us = int(within_s) * 1_000_000
     base = events.select(
         F.col(user_col).alias("u"),
@@ -147,7 +149,7 @@ def funnel_conversion(
     )
     follow = (
         base.filter(F.col("et") == second_step)
-        .join(F.broadcast(entry), "u")
+        .join(entry, "u")
         .filter(F.col("ts_us") > F.col("first_us"))
         .groupBy("u")
         .agg(F.min("ts_us").alias("next_us"))
