@@ -619,6 +619,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def jaccard_pairs(spark, sf):
         return dedup.jaccard_verified_pairs(_dedup_union(spark, sf), threshold=0.8)
 
+    def lsh_recall(spark, sf):
+        # banding-parameter certification: exact all-pairs Jaccard truth
+        # (integer cross-multiplied threshold 0.5) vs the LSH candidate
+        # set, O(n^2) by design on a bounded calibration corpus of 50
+        # docs + 50 exact clones + 50 PARTIAL (60%-prefix) clones - the
+        # partial clones sit near the threshold, so recall/precision are
+        # real measurements, not tautologies
+        base = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", "tokens")
+        )
+        part = base.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.expr(
+                "slice(tokens, 1, greatest(cast(size(tokens) * 3 div 5 AS int), 3))"
+            ).alias("tokens"),
+        )
+        clone = base.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "tokens"
+        )
+        uni = base.unionByName(clone).unionByName(part)
+        return dedup.lsh_recall_eval(uni, threshold_e6=500000)
+
+    def langid_confusion(spark, sf):
+        # language-ID eval against the corpus's own lang labels: the
+        # full (actual, predicted) confusion matrix.  On THIS synthetic
+        # corpus the text is label-independent (same vocabulary for all
+        # langs), so the matrix honestly shows the heuristic collapsing
+        # to the tie-break - the eval measures, it does not flatter
+        docs = _docs(spark, sf)
+        pred = text_stats.language_id(docs)
+        return (
+            docs.select("doc_id", F.col("lang").alias("lang_actual"))
+            .join(pred, "doc_id")
+            .groupBy("lang_actual", "lang_pred")
+            .agg(F.count("*").alias("n"))
+        )
+
     def clean_corpus(spark, sf):
         return text_stats.clean_corpus(
             _dedup_union(spark, sf), min_quality_e6=320000, langs=("en",)
@@ -3053,6 +3092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_exact=dedup_exact,
         minhash_bands=minhash_bands,
         lsh_pairs=lsh_pairs,
+        lsh_recall=lsh_recall,
+        langid_confusion=langid_confusion,
         jaccard_pairs=jaccard_pairs,
         dedup_clusters=dedup_clusters,
         clean_corpus=clean_corpus,
@@ -3243,6 +3284,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
             WHERE a.doc_id < b.doc_id
+        """,
+        # LSH blocking certification: exact integer-threshold truth vs
+        # candidates; single summary row
+        "lsh_recall": f"""
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 50),
+            toks AS (SELECT doc_id, t FROM base
+                     UNION ALL SELECT doc_id + 100000, t FROM base
+                     UNION ALL SELECT doc_id + 200000,
+                       t[1 : greatest((len(t) * 3) // 5, 3)] FROM base),
+            {_d_minhash_sig_sql(None)},
+            bands AS ({_d_bands_select()}),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket
+                     WHERE a.doc_id < b.doc_id),
+            truth AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+                      FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+                      WHERE len(sa.s) >= 1 AND len(sb.s) >= 1
+                        AND len(list_intersect(sa.s, sb.s)) * 1000000
+                            >= len(list_distinct(list_concat(sa.s, sb.s)))
+                               * 500000),
+            m AS (SELECT count(*) AS n_true,
+                         coalesce(sum(CASE WHEN c.doc_a IS NOT NULL
+                                           THEN 1 ELSE 0 END), 0) AS n_hit
+                  FROM truth t
+                  LEFT JOIN cand c
+                    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+            nc AS (SELECT count(*) AS n_cand FROM cand)
+            SELECT CAST(m.n_true AS BIGINT) AS n_true,
+                   CAST(nc.n_cand AS BIGINT) AS n_candidates,
+                   CAST(m.n_hit AS BIGINT) AS n_true_candidates,
+                   CAST(m.n_hit * 1000000 // greatest(m.n_true, 1)
+                        AS BIGINT) AS recall_e6,
+                   CAST(m.n_hit * 1000000 // greatest(nc.n_cand, 1)
+                        AS BIGINT) AS precision_e6
+            FROM m, nc
+        """,
+        # language-ID confusion matrix vs corpus labels
+        "langid_confusion": f"""
+            WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                          FROM documents)
+            SELECT lang AS lang_actual, {langid_case} AS lang_pred,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY lang, {langid_case}
         """,
         "jaccard_pairs": f"""
             WITH {_d_minhash_sig_sql(_D_UNI)},

@@ -445,3 +445,60 @@ def fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def lsh_recall_eval(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_shingle: int = 3,
+    threshold_e6: int = 800000,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """ONE ROW: (n_true, n_candidates, n_true_candidates, recall_e6,
+    precision_e6) - certification harness for the banding parameters.
+    Ground truth = EXACT all-pairs shingle Jaccard with an integer
+    cross-multiplied threshold (inter * 1e6 >= union * threshold_e6 - no
+    float rounding at the boundary); recall = the fraction of true pairs
+    the LSH blocking surfaces, precision = the fraction of candidates
+    that are truly above threshold.
+
+    EVALUATION operator: the truth join is O(n^2) BY DESIGN.  Run it on a
+    bounded calibration sample (thousands of docs), never the corpus -
+    the point is to measure what recall the (k, bands) choice buys
+    BEFORE committing a 100-TB dedup run to it."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(shingles_expr(tokens_col, n_shingle)).alias("sh"),
+    ).filter(F.size("sh") >= 1)
+    a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.expr(
+                f"size(array_intersect(sh_a, sh_b)) * 1000000 "
+                f">= size(array_union(sh_a, sh_b)) * {int(threshold_e6)}"
+            )
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = lsh_candidate_pairs(docs, id_col, tokens_col, n_shingle, k, bands, hash_fn)
+    hit = truth.join(
+        cand.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).agg(
+        F.count("*").alias("n_true"),
+        F.sum(F.coalesce("_c", F.lit(0))).alias("n_true_candidates"),
+    )
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    return hit.crossJoin(n_cand).select(
+        F.col("n_true").cast("long"),
+        F.col("n_candidates").cast("long"),
+        F.col("n_true_candidates").cast("long"),
+        F.expr("n_true_candidates * 1000000 div greatest(n_true, 1)")
+        .cast("long").alias("recall_e6"),
+        F.expr("n_true_candidates * 1000000 div greatest(n_candidates, 1)")
+        .cast("long").alias("precision_e6"),
+    )

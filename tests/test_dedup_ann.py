@@ -498,3 +498,21 @@ def test_kmeans_truncating_mean_and_empty_cluster(spark):
     )
     out, cents = kmeans_quantized(emb, k=3, iters=2)
     assert out.count() == 3 and len(cents) == 3
+
+
+def test_lsh_recall_eval_bounds_and_exact_dup_recall(spark):
+    from boilerplate_buster_spark.operators.dedup import lsh_recall_eval
+
+    # 3 docs: a == b (exact dup), c disjoint -> 1 true pair, LSH must
+    # surface it (identical signatures share every band)
+    toks = ["w%d x%d y%d" % (i, i, i) for i in range(12)]
+    text = " ".join(toks)
+    docs = spark.createDataFrame(
+        [(1, text.split(" ")), (2, text.split(" ")),
+         (3, ("zz " * 12).split())],
+        ["doc_id", "tokens"],
+    )
+    [r] = lsh_recall_eval(docs, threshold_e6=500000).collect()
+    assert (r.n_true, r.n_true_candidates, r.recall_e6) == (1, 1, 1000000)
+    assert 0 <= r.precision_e6 <= 1000000
+    assert r.n_candidates >= r.n_true_candidates
