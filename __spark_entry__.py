@@ -1008,6 +1008,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.dhash_images(media), max_hamming=8
         )
 
+    def image_patch_grid(spark, sf):
+        # ViT-style non-overlapping 4x4 patch tiling over the REAL
+        # decoded images; integer channel sums, edge patches run short
+        from boilerplate_buster_spark.operators import multimodal
+
+        media = multimodal.synthetic_media_df(_media_ids(spark, sf)).filter(
+            F.col("kind") == "image"
+        )
+        return multimodal.image_patches(media, patch=4)
+
     def video_scene_cuts(spark, sf):
         # scene-change detection: per consecutive-frame SAD over the REAL
         # decoded P6 streams, integer mean-abs-diff millis, cut at 30.0
@@ -3139,6 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         image_dhash=image_dhash,
         image_neardup_pairs=image_neardup_pairs,
         video_scene_cuts=video_scene_cuts,
+        image_patch_grid=image_patch_grid,
         audio_window_stats=audio_window_stats,
         line_dedup_docs=line_dedup_docs,
         intradoc_dedup=intradoc_dedup,
@@ -3675,6 +3686,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # nearest-neighbor resize to 5x4: output pixel (X,Y) reads source
         # linear pixel p = ((Y*h)//4)*w + (X*w)//5 of the generative image
+        # ViT patch grid: closed-form per-patch channel sums over the
+        # (i*31 + p*7 + c*11) % 256 pixel formula; edge tiles run short
+        "image_patch_grid": f"""
+            WITH img AS (SELECT doc_id AS id, 8 + doc_id%5 AS w,
+                                6 + doc_id%4 AS h
+                         FROM documents WHERE doc_id < 90 AND doc_id%3 = 0),
+            pt AS (SELECT id, w, h, u.pr, v.pc,
+                     least(h - u.pr*4, 4) AS ph, least(w - v.pc*4, 4) AS pw
+                   FROM img,
+                     unnest(generate_series(0, (h + 3) // 4 - 1)) AS u(pr),
+                     unnest(generate_series(0, (w + 3) // 4 - 1)) AS v(pc))
+            SELECT id AS media_id,
+                   CAST(pr AS INT) AS patch_row,
+                   CAST(pc AS INT) AS patch_col,
+                   CAST(ph AS INT) AS ph,
+                   CAST(pw AS INT) AS pw,
+                   {', '.join(
+                       "CAST(list_sum(list_transform("
+                       "generate_series(0, ph*pw - 1), q -> "
+                       "(id*31 + ((pr*4 + q // pw)*w + pc*4 + q % pw)*7"
+                       f" + {c * 11}) % 256)) AS BIGINT) AS sum_{n}"
+                       for c, n in ((0, 'r'), (1, 'g'), (2, 'b'))
+                   )}
+            FROM pt
+        """,
         # scene cuts: consecutive frames differ by +17 per value mod 256,
         # so |diff| = 239 on wrap (base >= 239) else 17 - closed form
         "video_scene_cuts": """

@@ -940,6 +940,70 @@ def dhash_candidate_pairs(
     )
 
 
+def image_patches(
+    df: DataFrame,
+    patch: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, patch_row, patch_col, ph, pw, sum_r, sum_g, sum_b):
+    non-overlapping `patch` x `patch` tiling of each decodable image -
+    the ViT/CLIP preprocessing shape (patch grid -> per-patch features),
+    with integer channel sums as the exact feature surface (means are
+    caller-side divisions).  Edge patches run short (ph/pw carry the
+    actual tile geometry); REAL pixels, raises on undecodable payloads
+    like image_stats.
+
+    Arrow-batched mapInPandas, one-to-many (one row per patch), no
+    shuffle - patch extraction pipelines with the media scan, and the
+    per-patch rows are what a downstream embedding UDF batches over."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("patch_row", T.IntegerType(), False),
+            T.StructField("patch_col", T.IntegerType(), False),
+            T.StructField("ph", T.IntegerType(), False),
+            T.StructField("pw", T.IntegerType(), False),
+            T.StructField("sum_r", T.LongType(), False),
+            T.StructField("sum_g", T.LongType(), False),
+            T.StructField("sum_b", T.LongType(), False),
+        ]
+    )
+    p = int(patch)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, rec in pdf.iterrows():
+                what, rgb = _decode_media(bytes(rec[payload_col]), "image")
+                if what != "image":
+                    raise ValueError("image_patches: payload is not a still image")
+                s = rgb.astype(np.int64)
+                h, w = s.shape[0], s.shape[1]
+                mid = int(rec[id_col])
+                for pr in range((h + p - 1) // p):
+                    for pc in range((w + p - 1) // p):
+                        tile = s[pr * p : (pr + 1) * p, pc * p : (pc + 1) * p]
+                        rows.append(
+                            (
+                                mid, pr, pc,
+                                tile.shape[0], tile.shape[1],
+                                int(tile[:, :, 0].sum()),
+                                int(tile[:, :, 1].sum()),
+                                int(tile[:, :, 2].sum()),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "patch_row", "patch_col", "ph", "pw",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.mapInPandas(run, schema)
+
+
 def frame_diffs(
     media: DataFrame,
     cut_mad_e3: int = 20000,

@@ -389,3 +389,22 @@ def test_audio_windows_hand_computed(spark):
     # window 1: single sample, no in-window predecessor
     assert (rows[1].n_samples, rows[1].sum_abs, rows[1].sum_sq,
             rows[1].zero_crossings) == (1, 7, 49, 0)
+
+
+def test_image_patches_tiling_and_edges(spark):
+    # 6x5 image, patch 4 -> 2x2 grid with short edge tiles
+    rng = np.random.RandomState(31)
+    img = _rand_rgb(rng, 6, 5)  # h=6, w=5
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(mm.encode_bmp(img)), None)], mm.MEDIA_SCHEMA
+    )
+    rows = {(r.patch_row, r.patch_col): r
+            for r in mm.image_patches(media, patch=4).collect()}
+    assert set(rows) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert (rows[(0, 0)].ph, rows[(0, 0)].pw) == (4, 4)
+    assert (rows[(1, 1)].ph, rows[(1, 1)].pw) == (2, 1)  # edge tile
+    s = img.astype(np.int64)
+    assert rows[(0, 0)].sum_r == int(s[:4, :4, 0].sum())
+    assert rows[(1, 1)].sum_b == int(s[4:, 4:, 2].sum())
+    # full coverage: patch sums reassemble the whole-image channel sum
+    assert sum(r.sum_g for r in rows.values()) == int(s[:, :, 1].sum())
