@@ -392,9 +392,9 @@ def test_audio_windows_hand_computed(spark):
 
 
 def test_image_patches_tiling_and_edges(spark):
-    # 6x5 image, patch 4 -> 2x2 grid with short edge tiles
+    # h=5 x w=6 image, patch 4 -> 2x2 grid with short edge tiles
     rng = np.random.RandomState(31)
-    img = _rand_rgb(rng, 6, 5)  # h=6, w=5
+    img = _rand_rgb(rng, 6, 5)  # (w, h) argument order -> shape (5, 6, 3)
     media = spark.createDataFrame(
         [(1, "image", bytearray(mm.encode_bmp(img)), None)], mm.MEDIA_SCHEMA
     )
@@ -402,7 +402,7 @@ def test_image_patches_tiling_and_edges(spark):
             for r in mm.image_patches(media, patch=4).collect()}
     assert set(rows) == {(0, 0), (0, 1), (1, 0), (1, 1)}
     assert (rows[(0, 0)].ph, rows[(0, 0)].pw) == (4, 4)
-    assert (rows[(1, 1)].ph, rows[(1, 1)].pw) == (2, 1)  # edge tile
+    assert (rows[(1, 1)].ph, rows[(1, 1)].pw) == (1, 2)  # edge tile
     s = img.astype(np.int64)
     assert rows[(0, 0)].sum_r == int(s[:4, :4, 0].sum())
     assert rows[(1, 1)].sum_b == int(s[4:, 4:, 2].sum())
