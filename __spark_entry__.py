@@ -1646,6 +1646,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_shared_spans").cast("long").alias("n_shared_spans"),
         )
 
+    def snapshot_diff(spark, sf):
+        # recrawl change measurement: token-set diff between consecutive
+        # snapshots of the same url (even docs gain ' updated' at v1 and
+        # revert at v2 - both transitions must register)
+        from boilerplate_buster_spark.operators.dedup import snapshot_diffs
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+        )
+        snaps = docs.select(
+            F.concat(F.lit("https://ex.com/"), F.col("doc_id")).alias("url"),
+            F.explode(F.expr("sequence(0, CAST(doc_id % 3 AS int))")).alias("v"),
+            "text",
+            "doc_id",
+        ).select(
+            "url",
+            F.expr("concat('2026-01-0', CAST(v + 1 AS string))").alias("ts"),
+            F.expr(
+                "concat(text, IF(v = 1 AND doc_id % 2 = 0, ' updated', ''))"
+            ).alias("content"),
+        )
+        return snapshot_diffs(snaps)
+
     def snapshot_history(spark, sf):
         # CDX-style recrawl history: per-url snapshot versioning with
         # changed/is_latest flags over a deterministic multi-crawl corpus
@@ -3169,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus_mix=corpus_mix,
         sequence_packing=sequence_packing,
         snapshot_history=snapshot_history,
+        snapshot_diff=snapshot_diff,
         exact_span_pairs=exact_span_pairs,
         robots_decisions=robots_decisions,
         page_meta=page_meta,
@@ -4377,6 +4403,31 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         # recrawl snapshot versioning: same per-url windows in DuckDB
+        # token-set diff between consecutive snapshots; first versions
+        # excluded; exact integer distinct-token Jaccard
+        "snapshot_diff": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            s AS (SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+                         '2026-01-0' || CAST(v + 1 AS VARCHAR) AS ts,
+                         list_distinct(list_filter(string_split(
+                           text || CASE WHEN v = 1 AND doc_id % 2 = 0
+                                        THEN ' updated' ELSE '' END, ' '),
+                           x -> x <> '')) AS cur
+                  FROM d, unnest(generate_series(0, doc_id % 3)) AS u(v)),
+            w AS (SELECT url, ts, cur,
+                    lag(cur) OVER (PARTITION BY url ORDER BY ts) AS prev
+                  FROM s)
+            SELECT url, ts,
+                   CAST(len(cur) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(cur, x -> NOT list_contains(prev, x)))
+                        AS BIGINT) AS n_added,
+                   CAST(len(list_filter(prev, x -> NOT list_contains(cur, x)))
+                        AS BIGINT) AS n_removed,
+                   CAST(len(list_intersect(cur, prev)) * 1000000
+                        // greatest(len(list_distinct(list_concat(cur, prev))), 1)
+                        AS BIGINT) AS jaccard_e6
+            FROM w WHERE prev IS NOT NULL
+        """,
         "snapshot_history": """
             WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
             s AS (SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,

@@ -502,3 +502,47 @@ def lsh_recall_eval(
         F.expr("n_true_candidates * 1000000 div greatest(n_candidates, 1)")
         .cast("long").alias("precision_e6"),
     )
+
+
+def snapshot_diffs(
+    snaps: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    content_col: str = "content",
+) -> DataFrame:
+    """(url, ts, n_tokens, n_added, n_removed, jaccard_e6): token-set
+    change measurement between each snapshot and its IMMEDIATE
+    predecessor of the same url - the incremental-crawl companion to
+    snapshot_versions (that one answers "did it change at all",
+    byte-level; this one answers "how much", token-level, which is what
+    recrawl schedulers and freshness models consume).  First snapshots
+    have no predecessor and are excluded.  jaccard_e6 is the exact
+    integer distinct-token Jaccard (intersect*1e6 div union).
+
+    One shuffle on the url key (the lag window); token sets are computed
+    inside the same projection, so the comparison never re-joins."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    t = (
+        snaps.select(
+            F.col(url_col),
+            F.col(ts_col),
+            F.expr(
+                f"array_distinct(filter(split({content_col}, ' '), x -> x != ''))"
+            ).alias("cur"),
+        )
+        .withColumn("prev", F.lag("cur").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    return t.select(
+        url_col,
+        ts_col,
+        F.size("cur").cast("long").alias("n_tokens"),
+        F.expr("size(array_except(cur, prev))").cast("long").alias("n_added"),
+        F.expr("size(array_except(prev, cur))").cast("long").alias("n_removed"),
+        F.expr(
+            "size(array_intersect(cur, prev)) * 1000000 "
+            "div greatest(size(array_union(cur, prev)), 1)"
+        ).cast("long").alias("jaccard_e6"),
+    )

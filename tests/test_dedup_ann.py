@@ -516,3 +516,25 @@ def test_lsh_recall_eval_bounds_and_exact_dup_recall(spark):
     assert (r.n_true, r.n_true_candidates, r.recall_e6) == (1, 1, 1000000)
     assert 0 <= r.precision_e6 <= 1000000
     assert r.n_candidates >= r.n_true_candidates
+
+
+def test_snapshot_diffs_add_remove_revert(spark):
+    from boilerplate_buster_spark.operators.dedup import snapshot_diffs
+
+    snaps = spark.createDataFrame(
+        [
+            ("u1", "t1", "a b c"),
+            ("u1", "t2", "a b c updated"),   # +1 token
+            ("u1", "t3", "a b c"),           # revert: -1 token
+            ("u2", "t1", "x y"),             # single snapshot -> no row
+        ],
+        ["url", "ts", "content"],
+    )
+    got = {(r.url, r.ts): r for r in snapshot_diffs(snaps).collect()}
+    assert set(got) == {("u1", "t2"), ("u1", "t3")}
+    r2 = got[("u1", "t2")]
+    assert (r2.n_tokens, r2.n_added, r2.n_removed, r2.jaccard_e6) == (
+        4, 1, 0, 750000)
+    r3 = got[("u1", "t3")]
+    assert (r3.n_tokens, r3.n_added, r3.n_removed, r3.jaccard_e6) == (
+        3, 0, 1, 750000)
