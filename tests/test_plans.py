@@ -275,3 +275,52 @@ def test_weighted_mix_is_pure_scan_filter(spark):
     # no shuffle, no Python - a deterministic filter in the scan stage
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_broadcasts_df_and_prunes_postings(spark):
+    from boilerplate_buster_spark.operators.search import (
+        bm25_search,
+        inverted_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c"]) for i in range(10)], ["doc_id", "tokens"]
+    )
+    dl = docs.select("doc_id", F.size("tokens").alias("dl"))
+    plan = explain_str(
+        bm25_search(inverted_index(docs), dl, ["a", "b"], 10, 30)
+    )
+    # per-term df is query-sized and must broadcast, never shuffle-join
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the IN-list reaches the posting build so non-query terms never
+    # survive the scan stage
+    assert "term" in plan and " IN " in plan.replace("INPUT", "")
+
+
+def test_cooccurrence_min_count_prunes_before_vocab_joins(spark):
+    from boilerplate_buster_spark.operators.corpus_stats import cooccurrence
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c", "d"]) for i in range(8)], ["doc_id", "tokens"]
+    )
+    plan = explain_str(cooccurrence(docs, min_count=5))
+    # the n_xy >= min_count filter must survive into the physical plan
+    # (it prunes the pair table BEFORE the two vocabulary joins)
+    assert "n_xy" in plan and ">= 5" in plan
+
+
+def test_dhash_pairs_no_self_join(spark):
+    import numpy as np
+
+    from boilerplate_buster_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    img = (rng.randint(0, 256, size=(8, 9, 3))).astype("uint8")
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(mm.encode_bmp(img)), None) for i in (1, 2)],
+        mm.MEDIA_SCHEMA,
+    )
+    plan = explain_str(mm.dhash_candidate_pairs(mm.dhash_images(media)))
+    # group -> in-array pair expansion: exactly zero join operators
+    assert "Join" not in plan
