@@ -1474,6 +1474,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("html"),
         )
 
+    def graph_triangles(spark, sf):
+        # exact triangle census via degree-ordered orientation over a
+        # deterministic 200-node / ~590-edge graph (local +1/+2 edges
+        # create triangles, the 7u+1 long-range edges create wedges that
+        # mostly DON'T close - n_wedges >> n_triangles is the point)
+        from boilerplate_buster_spark.operators.weblinks import (
+            triangle_count,
+        )
+
+        edges = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(
+                    F.expr(
+                        "array((doc_id + 1) % 200, (doc_id + 2) % 200, "
+                        "(doc_id * 7 + 1) % 200)"
+                    )
+                ).alias("dst"),
+            )
+        )
+        return triangle_count(edges)
+
     def web_links(spark, sf):
         # link edge extraction (the web-graph half of page parsing): real
         # html.parser walk + urljoin resolution inside one Arrow batch;
@@ -3195,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sequence_packing=sequence_packing,
         snapshot_history=snapshot_history,
         snapshot_diff=snapshot_diff,
+        graph_triangles=graph_triangles,
         exact_span_pairs=exact_span_pairs,
         robots_decisions=robots_decisions,
         page_meta=page_meta,
@@ -4403,6 +4428,35 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         # recrawl snapshot versioning: same per-url windows in DuckDB
+        # triangle census: the oracle REPLICATES the degree-ordered
+        # orientation (row comparison mirrors struct comparison), so
+        # n_wedges - the orientation's cost certificate - matches too
+        "graph_triangles": """
+            WITH d AS (SELECT doc_id AS u FROM documents WHERE doc_id < 200),
+            raw AS (SELECT u, unnest([(u + 1) % 200, (u + 2) % 200,
+                                      (u * 7 + 1) % 200]) AS v FROM d),
+            und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+                    FROM raw WHERE u <> v),
+            deg AS (SELECT n, count(*) AS dd
+                    FROM (SELECT a AS n FROM und
+                          UNION ALL SELECT b AS n FROM und)
+                    GROUP BY n),
+            o AS (SELECT CASE WHEN (da.dd, e.a) < (db.dd, e.b)
+                              THEN e.a ELSE e.b END AS lo,
+                         CASE WHEN (da.dd, e.a) < (db.dd, e.b)
+                              THEN e.b ELSE e.a END AS hi
+                  FROM und e
+                  JOIN deg da ON da.n = e.a
+                  JOIN deg db ON db.n = e.b),
+            w AS (SELECT w1.lo AS x, w1.hi AS y, w2.hi AS z
+                  FROM o w1 JOIN o w2 ON w2.lo = w1.hi),
+            c AS (SELECT count(*) AS n_tri
+                  FROM w WHERE EXISTS (SELECT 1 FROM o
+                                       WHERE o.lo = w.x AND o.hi = w.z))
+            SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+                   CAST((SELECT count(*) FROM w) AS BIGINT) AS n_wedges,
+                   CAST((SELECT n_tri FROM c) AS BIGINT) AS n_triangles
+        """,
         # token-set diff between consecutive snapshots; first versions
         # excluded; exact integer distinct-token Jaccard
         "snapshot_diff": """

@@ -113,3 +113,34 @@ def test_anchor_text_index(spark):
     assert x["anchors"] == "Click|Here"
     y = got["https://t.com/y"]
     assert y["n_links"] == 1 and y["n_sources"] == 1 and y["anchors"] == "Other"
+
+
+def test_triangle_count_known_and_bruteforce(spark):
+    import itertools
+    import random
+
+    from boilerplate_buster_spark.operators.weblinks import triangle_count
+
+    # K4 has 4 triangles; a pendant edge adds none; duplicate/reversed/
+    # self-loop edges must collapse
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(b, a) for a, b in k4] + [(0, 0), (3, 9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    [r] = triangle_count(df).collect()
+    assert (r.n_edges, r.n_triangles) == (7, 4)
+
+    # brute-force cross-check on a seeded random graph
+    rng = random.Random(7)
+    es = {(min(a, b), max(a, b))
+          for a, b in (sorted(rng.sample(range(12), 2)) for _ in range(30))}
+    df2 = spark.createDataFrame(sorted(es), ["src", "dst"])
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = sum(
+        1 for a, b, c in itertools.combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    [r2] = triangle_count(df2).collect()
+    assert r2.n_triangles == expected
