@@ -157,3 +157,50 @@ def test_extraction_stream_end_to_end_with_checkpoint_resume(spark, tmp_path):
     assert len(got) == N_PAGES  # no re-emits on resume
     for url, (want, _) in golden.items():
         assert got[url] == want, url
+
+
+def test_stream_session_window_equals_batch_sessionize(spark, tmp_path):
+    """Streaming sessionization: readStream -> session_window(8h) with a
+    watermark -> availableNow memory sink, cross-checked against the
+    BATCH sessionize operator on the same events (per-user session count
+    and event totals must agree - the streaming state machine and the
+    batch window recursion implement the same gap rule)."""
+    from pyspark.sql import functions as F
+
+    from boilerplate_buster_spark.operators.sessions import (
+        session_stats,
+        sessionize,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts"
+    )
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", "8 hours"))
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("sess_stream")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n").alias("n_events"))
+    )
+    streamed = {r.user_id: (r.n_sessions, r.n_events) for r in got.collect()}
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in session_stats(sessionize(ev, gap_s=28800))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+    assert streamed == batch
