@@ -1474,6 +1474,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("html"),
         )
 
+    def hll_sketch(spark, sf):
+        # HyperLogLog register table (p=6) over the 3-shingle stream of
+        # 200 docs: the distributed mergeable-sketch construction itself
+        # is what the oracle pins (the float estimate stays test-side)
+        from boilerplate_buster_spark.operators.dedup import shingles_expr
+        from boilerplate_buster_spark.operators.sketches import hll_registers
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        vals = docs.select(
+            F.explode(F.expr(shingles_expr("tokens", 3))).alias("value")
+        )
+        return hll_registers(vals, p=6)
+
+    def cms_point_queries(spark, sf):
+        # Count-Min (d=3, w=64) over the token stream of 300 docs; point
+        # estimates vs exact counts - the overestimate >= 0 guarantee is
+        # checked row by row ('zzz_absent' pins the never-seen path)
+        from boilerplate_buster_spark.operators.sketches import cms_estimates
+
+        vals = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") < 300)
+            .select(F.explode("tokens").alias("value"))
+        )
+        return cms_estimates(vals, ["spark", "merge", "zzz_absent"])
+
     def graph_triangles(spark, sf):
         # exact triangle census via degree-ordered orientation over a
         # deterministic 200-node / ~590-edge graph (local +1/+2 edges
@@ -3220,6 +3246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         snapshot_history=snapshot_history,
         snapshot_diff=snapshot_diff,
         graph_triangles=graph_triangles,
+        hll_sketch=hll_sketch,
+        cms_point_queries=cms_point_queries,
         exact_span_pairs=exact_span_pairs,
         robots_decisions=robots_decisions,
         page_meta=page_meta,
@@ -4428,6 +4456,54 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         # recrawl snapshot versioning: same per-url windows in DuckDB
+        # HLL register table: bucket = top 6 bits of the portable 60-bit
+        # hash, register = 1 + leading zeros of the remaining 54 bits
+        "hll_sketch": """
+            WITH d AS (SELECT string_split(text, ' ') AS t
+                       FROM documents WHERE doc_id < 200),
+            sh AS (SELECT unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(t) - 2, 0)),
+                     i -> array_to_string(t[i:i+2], ' ')))) AS value
+                   FROM d),
+            h AS (SELECT ('0x' || substr(md5(value), 1, 15))::BIGINT AS hx
+                  FROM sh),
+            r AS (SELECT hx // 18014398509481984 AS bucket,
+                         54 - (CASE WHEN hx % 18014398509481984 = 0 THEN 0
+                                    ELSE length(bin(hx % 18014398509481984))
+                               END) + 1 AS reg
+                  FROM h),
+            g AS (SELECT bucket, max(reg) AS register FROM r GROUP BY bucket)
+            SELECT u.b AS bucket,
+                   CAST(coalesce(g.register, 0) AS BIGINT) AS register
+            FROM unnest(generate_series(0, 63)) AS u(b)
+            LEFT JOIN g ON g.bucket = u.b
+        """,
+        # Count-Min d=3 w=64: per-term min over the joined counters;
+        # overestimate >= 0 row by row, absent cells count 0
+        "cms_point_queries": """
+            WITH v AS (SELECT unnest(string_split(text, ' ')) AS value
+                       FROM documents WHERE doc_id < 300),
+            co AS (SELECT j.j AS r,
+                     (('0x' || substr(md5(value || '#cms'
+                        || CAST(j.j AS VARCHAR)), 1, 15))::BIGINT) % 64 AS c
+                   FROM v, unnest([0, 1, 2]) AS j(j)),
+            sk AS (SELECT r, c, count(*) AS cnt FROM co GROUP BY r, c),
+            q AS (SELECT unnest(['merge', 'spark', 'zzz_absent']) AS term),
+            qc AS (SELECT term, j.j AS r,
+                     (('0x' || substr(md5(term || '#cms'
+                        || CAST(j.j AS VARCHAR)), 1, 15))::BIGINT) % 64 AS c
+                   FROM q, unnest([0, 1, 2]) AS j(j)),
+            e AS (SELECT term, min(coalesce(sk.cnt, 0)) AS est
+                  FROM qc LEFT JOIN sk USING (r, c) GROUP BY term),
+            x AS (SELECT value AS term, count(*) AS n FROM v
+                  WHERE value IN ('merge', 'spark', 'zzz_absent')
+                  GROUP BY value)
+            SELECT e.term,
+                   CAST(e.est AS BIGINT) AS est,
+                   CAST(coalesce(x.n, 0) AS BIGINT) AS exact,
+                   CAST(e.est - coalesce(x.n, 0) AS BIGINT) AS overestimate
+            FROM e LEFT JOIN x USING (term)
+        """,
         # triangle census: the oracle REPLICATES the degree-ordered
         # orientation (row comparison mirrors struct comparison), so
         # n_wedges - the orientation's cost certificate - matches too
