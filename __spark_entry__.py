@@ -857,6 +857,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             within_s=7 * 86400,
         )
 
+    def rolling_revenue_7d(spark, sf):
+        # trailing-7-day per-user event-value window (integer cents so
+        # the accumulation is order-independent), RANGE frame semantics
+        from boilerplate_buster_spark.operators.sessions import (
+            rolling_window_sum,
+        )
+
+        out = rolling_window_sum(
+            _tbl(spark, sf, "events").select("event_id", "user_id", "ts", "value"),
+            value_expr="CAST(round(value * 100) AS bigint)",
+            window_s=7 * 86400,
+        )
+        return out.select(
+            "event_id", "user_id", "ts_us",
+            F.col("win_sum").cast("long").alias("win_sum_cents"),
+            F.col("win_n").cast("long").alias("win_n"),
+        )
+
+    def host_top_terms(spark, sf):
+        # per-host top-3 term profile over a deterministic 10-host
+        # assignment; ties break to the lexicographically smallest term
+        from boilerplate_buster_spark.operators.corpus_stats import (
+            top_terms_per_group,
+        )
+
+        docs = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") < 300)
+            .select(
+                F.expr("concat('site', CAST(doc_id % 10 AS string))").alias("host"),
+                "tokens",
+            )
+        )
+        return top_terms_per_group(docs, "host", k=3)
+
     def cooccurrence_assoc(spark, sf):
         # skip-gram co-occurrence (window 2, unordered) with the integer
         # PMI-core association ratio; min_count=5 prunes before the joins
@@ -3197,6 +3232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         retention_cohorts=retention_cohorts_q,
         funnel_signup_purchase=funnel_signup_purchase,
         cooccurrence_assoc=cooccurrence_assoc,
+        rolling_revenue_7d=rolling_revenue_7d,
+        host_top_terms=host_top_terms,
         phrase_parents=phrase_parents,
         bloomspan_documents=bloomspan_documents,
         bide_phrases=bide_phrases,
@@ -3626,6 +3663,34 @@ def oracle_sql() -> dict[str, str]:
                    (f.next_us IS NOT NULL
                     AND f.next_us - e.first_us <= 604800000000) AS converted
             FROM e LEFT JOIN f USING (u)
+        """,
+        # trailing 7-day RANGE window per user, integer cents
+        "rolling_revenue_7d": """
+            WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                              CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events)
+            SELECT event_id, user_id, CAST(ts_us AS BIGINT) AS ts_us,
+                   CAST(sum(v) OVER w AS BIGINT) AS win_sum_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS win_n
+            FROM b
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                         RANGE BETWEEN 604800000000 PRECEDING
+                               AND CURRENT ROW)
+        """,
+        # per-host top-3 terms, count desc then lexicographic
+        "host_top_terms": """
+            WITH d AS (SELECT 'site' || CAST(doc_id % 10 AS VARCHAR) AS host,
+                              unnest(string_split(text, ' ')) AS term
+                       FROM documents WHERE doc_id < 300),
+            c AS (SELECT host, term, count(*) AS cnt FROM d
+                  GROUP BY host, term),
+            r AS (SELECT host, term, cnt,
+                    row_number() OVER (PARTITION BY host
+                                       ORDER BY cnt DESC, term) AS rank
+                  FROM c)
+            SELECT host, term, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 3
         """,
         # skip-gram co-occurrence (window 2, unordered canonical pairs)
         # with the integer PMI-core ratio; log honestly excluded

@@ -205,3 +205,38 @@ def cooccurrence(
             F.expr("(n_xy * n_tokens * 1000000) div (n_x * n_y)").alias("assoc_e6"),
         )
     )
+
+
+def top_terms_per_group(
+    docs: DataFrame,
+    group_col: str,
+    tokens_col: str = "tokens",
+    k: int = 3,
+) -> DataFrame:
+    """(group, term, cnt, rank): the k most frequent terms per group
+    (host / domain / source bucket), ranked by count with ties to the
+    lexicographically SMALLEST term - deterministic, oracle-reproducible.
+    The per-host vocabulary profile a curation run reads to spot template
+    farms and topic skew.
+
+    Plan: one (group, term) hash aggregate (uniform key), then the rank
+    window runs over per-group VOCABULARIES, not the corpus - the window
+    input is already aggregate-sized.  No collects."""
+    counts = (
+        docs.select(F.col(group_col).alias("grp"), F.explode(tokens_col).alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.col("cnt").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -165,6 +165,38 @@ def funnel_conversion(
     )
 
 
+def rolling_window_sum(
+    events: DataFrame,
+    value_expr: str,
+    window_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Input keys + (ts_us, win_sum, win_n): per event, the sum of
+    `value_expr` (an INTEGER SQL expression over the row - e.g. cents)
+    and the row count over the user's trailing `window_s`-second window,
+    INCLUSIVE of the current row and of equal-timestamp peers (RANGE
+    frame semantics - identical in every SQL engine, so the oracle
+    matches even on timestamp ties).
+
+    One shuffle on the user key; the RANGE frame runs inside the same
+    sort.  The value surface must be integral - float accumulation order
+    is not cross-engine stable, which is exactly why this operator takes
+    an expression, not a column: push the cents conversion in here."""
+    w_us = int(window_s) * 1_000_000
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("ts_us")
+        .rangeBetween(-w_us, 0)
+    )
+    base = events.withColumn("ts_us", _micros(ts_col)).withColumn(
+        "_v", F.expr(value_expr).cast("long")
+    )
+    return base.withColumn("win_sum", F.sum("_v").over(w)).withColumn(
+        "win_n", F.count("*").over(w)
+    ).drop("_v")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

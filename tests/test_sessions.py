@@ -178,3 +178,39 @@ def test_sessionize_agrees_with_spark_native_session_window(spark):
     o = {r.user_id: (r.n_sessions, r.n_events) for r in ours.collect()}
     n = {r.user_id: (r.n_sessions, r.n_events) for r in native.collect()}
     assert o == n
+
+
+def test_rolling_window_sum_range_semantics(spark):
+    from boilerplate_buster_spark.operators.sessions import rolling_window_sum
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, dt(2024, 1, 1, 0, 0, 0), 100),
+            (2, 10, dt(2024, 1, 1, 0, 30, 0), 200),
+            (3, 10, dt(2024, 1, 1, 2, 0, 0), 400),   # 1st falls out of 1h window
+            (4, 10, dt(2024, 1, 1, 2, 0, 0), 800),   # equal-ts PEER: included in #3 too
+        ],
+        "event_id long, user_id long, ts timestamp, cents long",
+    )
+    got = {r.event_id: (r.win_sum, r.win_n)
+           for r in rolling_window_sum(ev, "cents", window_s=3600).collect()}
+    assert got[1] == (100, 1)
+    assert got[2] == (300, 2)
+    # RANGE frame: equal-ts rows are peers - both see both
+    assert got[3] == (1200, 2) and got[4] == (1200, 2)
+
+
+def test_top_terms_per_group_ties_lexicographic(spark):
+    from boilerplate_buster_spark.operators.corpus_stats import (
+        top_terms_per_group,
+    )
+
+    docs = spark.createDataFrame(
+        [("h1", ["b", "a", "a", "b", "c"]), ("h2", ["z"])],
+        ["host", "tokens"],
+    )
+    got = [(r.host, r.term, r.cnt, r.rank)
+           for r in top_terms_per_group(docs, "host", k=2)
+           .orderBy("host", "rank").collect()]
+    # a and b tie at 2 -> 'a' ranks first
+    assert got == [("h1", "a", 2, 1), ("h1", "b", 2, 2), ("h2", "z", 1, 1)]
