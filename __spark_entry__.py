@@ -857,6 +857,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             within_s=7 * 86400,
         )
 
+    def event_transitions_q(spark, sf):
+        # first-order Markov transition counts of the per-user event
+        # stream; timestamp ties break by event_id
+        from boilerplate_buster_spark.operators.sessions import (
+            event_transitions,
+        )
+
+        return event_transitions(_tbl(spark, sf, "events"))
+
+    def hourly_spikes_q(spark, sf):
+        # burst detection: hour count > 3x the mean of the trailing-24h
+        # observed buckets (integer cross-multiplication, no division)
+        from boilerplate_buster_spark.operators.sessions import hourly_spikes
+
+        return hourly_spikes(_tbl(spark, sf, "events"))
+
     def rolling_revenue_7d(spark, sf):
         # trailing-7-day per-user event-value window (integer cents so
         # the accumulation is order-independent), RANGE frame semantics
@@ -3232,6 +3248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         retention_cohorts=retention_cohorts_q,
         funnel_signup_purchase=funnel_signup_purchase,
         cooccurrence_assoc=cooccurrence_assoc,
+        event_transitions=event_transitions_q,
+        hourly_spikes=hourly_spikes_q,
         rolling_revenue_7d=rolling_revenue_7d,
         host_top_terms=host_top_terms,
         phrase_parents=phrase_parents,
@@ -3663,6 +3681,42 @@ def oracle_sql() -> dict[str, str]:
                    (f.next_us IS NOT NULL
                     AND f.next_us - e.first_us <= 604800000000) AS converted
             FROM e LEFT JOIN f USING (u)
+        """,
+        # first-order Markov transitions, ts ties broken by event_id
+        "event_transitions": """
+            WITH b AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts) AS ts_us
+                       FROM events),
+            l AS (SELECT event_type,
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts_us, event_id)
+                      AS prev_type
+                  FROM b)
+            SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM l WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        """,
+        # hourly burst flags: cnt * prev_buckets > 3 * prev_sum over the
+        # trailing-24 OBSERVED hour buckets (RANGE ends at 1 PRECEDING)
+        "hourly_spikes": """
+            WITH h AS (SELECT event_type,
+                              epoch_us(ts) // 3600000000 AS hr
+                       FROM events),
+            c AS (SELECT event_type, hr, count(*) AS cnt FROM h
+                  GROUP BY event_type, hr),
+            w AS (SELECT event_type, hr, cnt,
+                    coalesce(sum(cnt) OVER tw, 0) AS prev_sum,
+                    count(cnt) OVER tw AS prev_buckets
+                  FROM c
+                  WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+                                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, CAST(hr AS BIGINT) AS hr,
+                   CAST(cnt AS BIGINT) AS cnt,
+                   CAST(prev_sum AS BIGINT) AS prev_sum,
+                   CAST(prev_buckets AS BIGINT) AS prev_buckets,
+                   (prev_buckets > 0
+                    AND cnt * prev_buckets * 1 > 3 * prev_sum) AS is_spike
+            FROM w
         """,
         # trailing 7-day RANGE window per user, integer cents
         "rolling_revenue_7d": """

@@ -165,6 +165,78 @@ def funnel_conversion(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(prev_type, event_type, n): the first-order Markov transition
+    counts of the per-user event stream (ties on timestamp break by
+    `id_col`, so the chain is deterministic).  Each user's first event
+    has no predecessor and is excluded.
+
+    One shuffle on the user key (the lag window), then a tiny
+    (|types|^2)-group hash aggregate."""
+    w = Window.partitionBy(user_col).orderBy("ts_us", id_col)
+    base = events.withColumn("ts_us", _micros(ts_col)).withColumn(
+        "prev_type", F.lag(type_col).over(w)
+    )
+    return (
+        base.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", type_col)
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def hourly_spikes(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    factor_num: int = 3,
+    factor_den: int = 1,
+    trailing_hours: int = 24,
+) -> DataFrame:
+    """(event_type, hr, cnt, prev_sum, prev_buckets, is_spike): burst
+    detection - an hour is a spike when its count exceeds
+    factor_num/factor_den times the mean of the trailing `trailing_hours`
+    PRESENT buckets (integer cross-multiplication, no division:
+    cnt * prev_buckets * den > num * prev_sum).  Hours with no history
+    are never spikes.  The trailing frame is a RANGE over the integer
+    hour index ending at 1 PRECEDING, so sparse hours (no events) simply
+    don't contribute - the mean is over observed buckets, documented.
+
+    One (type, hour) hash aggregate, then the window runs per type over
+    bucket rows (|types| x |hours| - aggregate-sized, never row-sized)."""
+    hr = events.select(F.col(type_col), _micros(ts_col).alias("_us")).select(
+        type_col, F.expr("_us div 3600000000").alias("hr")
+    )
+    counts = hr.groupBy(type_col, "hr").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("hr")
+        .rangeBetween(-int(trailing_hours), -1)
+    )
+    out = counts.withColumn(
+        "prev_sum", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).withColumn("prev_buckets", F.count("cnt").over(w))
+    return out.select(
+        type_col,
+        "hr",
+        F.col("cnt").cast("long"),
+        F.col("prev_sum").cast("long"),
+        F.col("prev_buckets").cast("long"),
+        (
+            (F.col("prev_buckets") > 0)
+            & (
+                F.col("cnt") * F.col("prev_buckets") * int(factor_den)
+                > int(factor_num) * F.col("prev_sum")
+            )
+        ).alias("is_spike"),
+    )
+
+
 def rolling_window_sum(
     events: DataFrame,
     value_expr: str,

@@ -214,3 +214,40 @@ def test_top_terms_per_group_ties_lexicographic(spark):
            .orderBy("host", "rank").collect()]
     # a and b tie at 2 -> 'a' ranks first
     assert got == [("h1", "a", 2, 1), ("h1", "b", 2, 2), ("h2", "z", 1, 1)]
+
+
+def test_event_transitions_chain_and_ties(spark):
+    from boilerplate_buster_spark.operators.sessions import event_transitions
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "a", dt(2024, 1, 1, 0, 0, 0)),
+            (2, 10, "b", dt(2024, 1, 1, 0, 1, 0)),
+            (3, 10, "b", dt(2024, 1, 1, 0, 1, 0)),  # tie: id 2 precedes 3
+            (4, 10, "c", dt(2024, 1, 1, 0, 2, 0)),
+            (5, 11, "a", dt(2024, 1, 1, 0, 0, 0)),  # lone event: no row
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    got = {(r.prev_type, r.event_type): r.n
+           for r in event_transitions(ev).collect()}
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "c"): 1}
+
+
+def test_hourly_spikes_flags_burst_only_with_history(spark):
+    from boilerplate_buster_spark.operators.sessions import hourly_spikes
+
+    rows = []
+    # hours 0-3: 2 events each; hour 4: 20 events (a 10x burst)
+    for h in range(4):
+        rows += [(f"e{h}_{i}", dt(2024, 1, 1, h, i, 0)) for i in range(2)]
+    rows += [(f"e4_{i}", dt(2024, 1, 1, 4, i, 0)) for i in range(20)]
+    ev = spark.createDataFrame(
+        [(i, "click", t) for i, (_, t) in enumerate(rows)],
+        "event_id long, event_type string, ts timestamp",
+    )
+    got = {r.hr % 24: r for r in hourly_spikes(ev).collect()}
+    assert not got[0].is_spike  # no history -> never a spike
+    assert not got[1].is_spike and not got[3].is_spike
+    assert got[4].is_spike      # 20 vs mean 2 over 4 buckets
+    assert (got[4].prev_sum, got[4].prev_buckets) == (8, 4)
