@@ -908,6 +908,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return top_terms_per_group(docs, "host", k=3)
 
+    def doc_keywords_q(spark, sf):
+        # per-doc top-3 keywords by integer tf-idf (rational idf, same
+        # surface as term_search); ties lexicographic
+        from boilerplate_buster_spark.operators.corpus_stats import (
+            doc_keywords,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 100)
+        return doc_keywords(docs, n_docs=100, k=3)
+
+    def quality_pct(spark, sf):
+        # percentile-normalized quality: strictly-below-count percentile
+        # over a VALUE histogram (no global row window - see operator)
+        from boilerplate_buster_spark.operators.corpus_stats import (
+            quality_percentiles,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        return quality_percentiles(text_stats.quality_score(docs))
+
+    def code_detect(spark, sf):
+        # code-vs-prose signals over docs with a code snippet injected
+        # into every 4th doc (the deterministic positive class)
+        from boilerplate_buster_spark.operators.filters import code_signals
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select(
+                "doc_id",
+                F.expr(
+                    "concat(text, IF(doc_id % 4 = 0, "
+                    "' def f(x) { return x; } x = 1; import os', ''))"
+                ).alias("ctext"),
+            )
+        )
+        out = code_signals(docs, text_col="ctext")
+        nums = [
+            "n_words", "n_braces", "n_semicolons", "n_equals",
+            "kw_hits", "code_score_e6",
+        ]
+        return out.select(
+            "doc_id",
+            *[F.col(c).cast("long").alias(c) for c in nums],
+            "is_code",
+        )
+
     def cooccurrence_assoc(spark, sf):
         # skip-gram co-occurrence (window 2, unordered) with the integer
         # PMI-core association ratio; min_count=5 prunes before the joins
@@ -3248,6 +3295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         retention_cohorts=retention_cohorts_q,
         funnel_signup_purchase=funnel_signup_purchase,
         cooccurrence_assoc=cooccurrence_assoc,
+        doc_keywords=doc_keywords_q,
+        quality_pct=quality_pct,
+        code_detect=code_detect,
         event_transitions=event_transitions_q,
         hourly_spikes=hourly_spikes_q,
         rolling_revenue_7d=rolling_revenue_7d,
@@ -3681,6 +3731,61 @@ def oracle_sql() -> dict[str, str]:
                    (f.next_us IS NOT NULL
                     AND f.next_us - e.first_us <= 604800000000) AS converted
             FROM e LEFT JOIN f USING (u)
+        """,
+        # per-doc top-3 keywords by integer tf-idf
+        "doc_keywords": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents WHERE doc_id < 100),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+                   GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            s AS (SELECT doc_id, term,
+                         tf * ((100 * 1000000) // df) AS tfidf_e6
+                  FROM tf JOIN df USING (term)),
+            r AS (SELECT doc_id, term, tfidf_e6,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf_e6 DESC, term) AS rank
+                  FROM s)
+            SELECT doc_id, term,
+                   CAST(tfidf_e6 AS BIGINT) AS tfidf_e6,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 3
+        """,
+        # strictly-below value-histogram percentile of the quality score
+        "quality_pct": f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 200),
+            s AS (SELECT doc_id,
+                    (400000 * len(list_filter(t, x -> x IN ({{en_words}})))
+                     + 300000 * len(list_distinct(t))) // greatest(len(t), 1)
+                    + 3000 * least(len(t), 100) AS q
+                  FROM toks),
+            h AS (SELECT q, count(*) AS cnt FROM s GROUP BY q),
+            c AS (SELECT q,
+                    coalesce(sum(cnt) OVER (ORDER BY q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below
+                  FROM h)
+            SELECT s.doc_id,
+                   CAST(s.q AS BIGINT) AS quality_e6,
+                   CAST(c.below * 1000000 // 199 AS BIGINT) AS pct_rank_e6
+            FROM s JOIN c ON s.q = c.q
+        """.replace("{en_words}", en_words),
+        # code-detection signals; every 4th doc carries the injected
+        # snippet (the deterministic positive class)
+        "code_detect": f"""
+            WITH d AS (SELECT doc_id,
+                         text || CASE WHEN doc_id % 4 = 0
+                           THEN ' def f(x) {{ return x; }} x = 1; import os'
+                           ELSE '' END AS ctext
+                       FROM documents WHERE doc_id < 200)
+            SELECT doc_id,
+                   {', '.join(
+                       ('CAST(' + e + ' AS BIGINT) AS ' + n)
+                       if n != 'is_code' else (e + ' AS is_code')
+                       for n, e in _filters.code_exprs('ctext', 'duckdb')
+                   )}
+            FROM d
         """,
         # first-order Markov transitions, ts ties broken by event_id
         "event_transitions": """

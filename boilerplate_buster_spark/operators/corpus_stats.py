@@ -240,3 +240,78 @@ def top_terms_per_group(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def doc_keywords(
+    docs: DataFrame,
+    n_docs: int,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 3,
+) -> DataFrame:
+    """(doc, term, tfidf_e6, rank): the k most characteristic terms per
+    document by integer tf-idf (tf * ((n_docs * 1e6) div df) - the same
+    rational-idf surface as search.search_terms), ties to the
+    lexicographically smallest term.  The keyword-tagging primitive of a
+    curation stack (topic routing, index summaries).
+
+    Plan: (doc, term) tf agg + term df agg, one join on the term key
+    (vocabulary-sized - NOT broadcast, a web vocabulary is executor-sized),
+    then the rank window runs over per-doc vocabularies."""
+    tf = (
+        docs.select(F.col(doc_col), F.explode(tokens_col).alias("term"))
+        .groupBy(doc_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_t, "term").withColumn(
+        "tfidf_e6", F.expr(f"tf * ({int(n_docs) * 1000000} div df)")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(doc_col).orderBy(
+        F.col("tfidf_e6").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            doc_col, "term",
+            F.col("tfidf_e6").cast("long").alias("tfidf_e6"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def quality_percentiles(
+    scores: DataFrame,
+    score_col: str = "quality_e6",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, score, pct_rank_e6): each document's score percentile,
+    pct_rank_e6 = (#docs with STRICTLY smaller score) * 1e6 div (n - 1)
+    (equal scores share a percentile - the deterministic, value-keyed
+    convention).  The corpus-trimming primitive: 'keep the top 30% by
+    quality' becomes a pure filter on pct_rank_e6.
+
+    Scale shape: NO global row window (that is a single-partition sort).
+    Instead a value histogram (|distinct scores| rows), a running sum
+    over that aggregate-sized table, and a join back on the score key."""
+    n = scores.count()
+    hist = scores.groupBy(score_col).agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).select(score_col, "below")
+    return scores.join(cum, score_col).select(
+        id_col,
+        F.col(score_col).cast("long"),
+        F.expr(f"below * 1000000 div greatest({int(n) - 1}, 1)")
+        .cast("long")
+        .alias("pct_rank_e6"),
+    )

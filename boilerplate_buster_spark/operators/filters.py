@@ -239,3 +239,60 @@ def c4_filters(
         F.col(id_col),
         *[F.expr(e).alias(n) for n, e in c4_exprs(text_col, badwords, "spark")],
     )
+
+
+CODE_KEYWORDS = [
+    "def", "return", "class", "function", "var", "const", "import",
+]
+CODE_SCORE_MIN_E6 = 100_000  # 10% code-marker density
+
+
+def code_exprs(text_col: str, dialect: str = "spark") -> list[tuple[str, str]]:
+    """Ordered (column, expr) pairs for code-vs-prose detection - the
+    RedPajama/StarCoder-style signal family that keeps source code out of
+    (or routes it into) a text corpus: brace/semicolon/assignment counts,
+    code-keyword token hits, and an integer density score.  The same
+    generator renders the Spark plan and the DuckDB oracle (the
+    gopher_exprs pattern)."""
+    d = _dial(dialect)
+    t = text_col
+
+    def cc(ch: str) -> str:
+        # single-char occurrence count: a pure length difference, integer
+        # in both engines (_count_str's needle-length division is a
+        # float in Spark - unusable inside the integer score)
+        return f"(length({t}) - length(replace({t}, '{ch}', '')))"
+
+    flat = f"replace({t}, {d['nl']}, ' ')"
+    words = f"{d['flt']}({d['split']}({flat}, ' '), x -> x <> '')"
+    n_words = f"{d['size']}({words})"
+    n_braces = f"({cc('{')} + {cc('}')})"
+    n_semis = cc(";")
+    n_equals = cc("=")
+    kws = ", ".join(f"'{w}'" for w in CODE_KEYWORDS)
+    kw_hits = f"{d['size']}({d['flt']}({words}, x -> x IN ({kws})))"
+    score = (
+        f"(1000000 * ({n_braces} + {n_semis} + {kw_hits}))"
+        f" {d['div']} greatest({n_words}, 1)"
+    )
+    return [
+        ("n_words", n_words),
+        ("n_braces", n_braces),
+        ("n_semicolons", n_semis),
+        ("n_equals", n_equals),
+        ("kw_hits", kw_hits),
+        ("code_score_e6", score),
+        ("is_code", f"{score} >= {CODE_SCORE_MIN_E6}"),
+    ]
+
+
+def code_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_words, n_braces, n_semicolons, n_equals, kw_hits,
+    code_score_e6, is_code): pure-projection code detection - a single
+    scan-stage map, no shuffle, same 100-TB posture as gopher_filters."""
+    return docs.select(
+        F.col(id_col),
+        *[F.expr(e).alias(n) for n, e in code_exprs(text_col, "spark")],
+    )

@@ -275,3 +275,25 @@ def test_crawl_frontier_stages(spark):
     assert set(rows) == {"https://a.com/ok", "https://a.com/p1", "https://a.com/p2"}
     assert rows["https://a.com/ok"]["priority_e1"] == 9  # max over variants
     assert rows["https://a.com/ok"]["rank"] == 1
+
+
+def test_code_signals_hand_computed(spark):
+    from boilerplate_buster_spark.operators.filters import code_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "def f(x) { return x; } x = 1; import os"),
+            (2, "plain prose about the weather today"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in code_signals(docs).collect()}
+    c = got[1]
+    # tokens: def f(x) { return x; } x = 1; import os -> 12 words
+    assert (c.n_braces, c.n_semicolons, c.n_equals) == (2, 2, 1)
+    assert c.kw_hits == 3  # def, return, import ('x;' and '1;' don't count)
+    assert c.code_score_e6 == (1000000 * (2 + 2 + 3)) // c.n_words
+    assert c.is_code
+    p = got[2]
+    assert (p.n_braces, p.kw_hits, p.code_score_e6, bool(p.is_code)) == (
+        0, 0, 0, False)

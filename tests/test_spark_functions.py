@@ -246,3 +246,39 @@ def test_exact_percentiles_nearest_rank(spark):
     s = sorted(vals)
     want = {p: s[max(1, math.ceil(p * len(s) / 100)) - 1] for p in got}
     assert got == want == {10: 1, 25: 2, 50: 3, 90: 7, 100: 9}
+
+
+def test_doc_keywords_idf_favors_rare_terms(spark):
+    from boilerplate_buster_spark.operators.corpus_stats import doc_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["common", "rare1", "common"]),
+            (2, ["common", "rare2"]),
+        ],
+        ["doc_id", "tokens"],
+    )
+    got = {(r.doc_id, r.rank): (r.term, r.tfidf_e6)
+           for r in doc_keywords(docs, n_docs=2, k=2).collect()}
+    # doc 1: common tf=2 * idf 1e6 TIES rare1 tf=1 * idf 2e6 -> lex order
+    assert got[(1, 1)] == ("common", 2_000_000)
+    assert got[(1, 2)] == ("rare1", 2_000_000)
+    # doc 2: rare2 (tf=1, idf 2e6) outranks common (tf=1, idf 1e6)
+    assert got[(2, 1)] == ("rare2", 2_000_000)
+    assert got[(2, 2)] == ("common", 1_000_000)
+
+
+def test_quality_percentiles_strict_below_ties_share(spark):
+    from boilerplate_buster_spark.operators.corpus_stats import (
+        quality_percentiles,
+    )
+    from pyspark.sql import functions as F
+
+    s = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 30), (5, 40)],
+        ["doc_id", "quality_e6"],
+    )
+    got = {r.doc_id: r.pct_rank_e6 for r in quality_percentiles(s).collect()}
+    # n=5: below-counts 0,0,2,3,4 -> /4
+    assert got[1] == got[2] == 0
+    assert got[3] == 500_000 and got[4] == 750_000 and got[5] == 1_000_000
