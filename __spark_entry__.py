@@ -1598,6 +1598,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cms_estimates(vals, ["spark", "merge", "zzz_absent"])
 
+    def bloom_filter(spark, sf):
+        # Bloom membership probes (k=3, m=256) vs ground truth: the
+        # no-false-negative guarantee checked row by row
+        from boilerplate_buster_spark.operators.sketches import (
+            bloom_membership,
+        )
+
+        vals = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") < 300)
+            .select(F.explode("tokens").alias("value"))
+        )
+        return bloom_membership(vals, ["spark", "merge", "zzz_absent"])
+
+    def jl_projection(spark, sf):
+        # Johnson-Lindenstrauss sign projection to 8 dims on the exact
+        # integer surface; the sign matrix is hash-derived, never stored
+        from boilerplate_buster_spark.operators.ann import jl_sign_projection
+
+        out = jl_sign_projection(_emb(spark, sf), out_dim=8)
+        return out.select(
+            "vec_id",
+            F.col("j").cast("int").alias("j"),
+            F.col("y").cast("long").alias("y"),
+        )
+
     def graph_triangles(spark, sf):
         # exact triangle census via degree-ordered orientation over a
         # deterministic 200-node / ~590-edge graph (local +1/+2 edges
@@ -3353,6 +3379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         graph_triangles=graph_triangles,
         hll_sketch=hll_sketch,
         cms_point_queries=cms_point_queries,
+        bloom_filter=bloom_filter,
+        jl_projection=jl_projection,
         exact_span_pairs=exact_span_pairs,
         robots_decisions=robots_decisions,
         page_meta=page_meta,
@@ -4727,6 +4755,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(x.n, 0) AS BIGINT) AS exact,
                    CAST(e.est - coalesce(x.n, 0) AS BIGINT) AS overestimate
             FROM e LEFT JOIN x USING (term)
+        """,
+        # Bloom probes vs ground truth: bits_set counts set probe bits
+        "bloom_filter": """
+            WITH v AS (SELECT unnest(string_split(text, ' ')) AS value
+                       FROM documents WHERE doc_id < 300),
+            bits AS (SELECT DISTINCT
+                       (('0x' || substr(md5(value || '#bf'
+                          || CAST(j.j AS VARCHAR)), 1, 15))::BIGINT) % 256
+                         AS bit
+                     FROM v, unnest([0, 1, 2]) AS j(j)),
+            q AS (SELECT unnest(['merge', 'spark', 'zzz_absent']) AS term),
+            p AS (SELECT term,
+                    (('0x' || substr(md5(term || '#bf'
+                       || CAST(j.j AS VARCHAR)), 1, 15))::BIGINT) % 256
+                      AS bit
+                  FROM q, unnest([0, 1, 2]) AS j(j)),
+            h AS (SELECT term,
+                    sum(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END)
+                      AS bits_set
+                  FROM p LEFT JOIN bits USING (bit) GROUP BY term),
+            x AS (SELECT value AS term, count(*) AS n FROM v
+                  WHERE value IN ('merge', 'spark', 'zzz_absent')
+                  GROUP BY value)
+            SELECT h.term,
+                   CAST(h.bits_set AS BIGINT) AS bits_set,
+                   (h.bits_set = 3) AS maybe_member,
+                   (coalesce(x.n, 0) > 0) AS exact_present
+            FROM h LEFT JOIN x USING (term)
+        """,
+        # JL sign projection: sign(i, j) from the portable hash of the
+        # index pair; integer-exact sums
+        "jl_projection": """
+            WITH q AS (SELECT vec_id, list_transform(embedding,
+                         x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+                       FROM embeddings),
+            u AS (SELECT vec_id, u.i - 1 AS i, q[u.i] AS v
+                  FROM q, unnest(generate_series(1, len(q))) AS u(i)),
+            s AS (SELECT vec_id, j.j AS j,
+                    CASE WHEN (('0x' || substr(md5(CAST(i AS VARCHAR)
+                           || '#jl' || CAST(j.j AS VARCHAR)), 1, 15))
+                           ::BIGINT) % 2 = 0
+                         THEN v ELSE -v END AS sv
+                  FROM u, unnest(generate_series(0, 7)) AS j(j))
+            SELECT vec_id, CAST(j AS INT) AS j,
+                   CAST(sum(sv) AS BIGINT) AS y
+            FROM s GROUP BY vec_id, j
         """,
         # triangle census: the oracle REPLICATES the degree-ordered
         # orientation (row comparison mirrors struct comparison), so

@@ -642,3 +642,38 @@ def kmeans_quantized(
         F.expr(f"array_min({darr})").alias("dist"),
     )
     return out, cents
+
+
+def jl_sign_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, j, y): Johnson-Lindenstrauss random projection with a SIGN
+    matrix (Achlioptas 2001: +-1 entries preserve distances like Gaussian
+    ones) on the exact integer surface - input coordinates quantize to
+    floor(x*scale), the sign of matrix cell (i, j) comes from the
+    portable hash of the INDEX PAIR (deterministic, no RNG state, any
+    engine can rebuild the matrix), and y_j = sum_i s(i,j) * q_i is
+    integer-exact.  The dimensionality-reduction front end for cheap
+    distance sketching ahead of exact re-ranking.
+
+    Pure projection + one explode: no shuffle, no collected matrix - the
+    sign matrix exists only as an expression."""
+    from boilerplate_buster_spark.operators.text_stats import h60
+
+    q = f"transform({vec_col}, x -> CAST(floor(x * {int(scale)}) AS bigint))"
+    cols = []
+    for j in range(int(out_dim)):
+        sgn = h60(f"concat(CAST(i AS string), '#jl{j}')")
+        cols.append(
+            f"named_struct('j', {j}, 'y', "
+            f"aggregate(transform({q}, (v, i) -> "
+            f"IF(pmod({sgn}, 2) = 0, v, -v)), 0L, (a, b) -> a + b))"
+        )
+    return emb.select(
+        F.col(id_col),
+        F.explode(F.expr(f"array({', '.join(cols)})")).alias("p"),
+    ).select(id_col, F.col("p.j").alias("j"), F.col("p.y").alias("y"))

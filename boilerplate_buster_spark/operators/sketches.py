@@ -142,3 +142,65 @@ def cms_estimates(
         .cast("long")
         .alias("overestimate"),
     )
+
+
+def bloom_bits(
+    values: DataFrame, col: str = "value", k: int = 3, m: int = 256
+) -> DataFrame:
+    """(bit,): the SET bit positions of a Bloom filter over the value
+    stream - k portable-hash functions over m bits, fully deterministic,
+    so the filter's exact bit array is oracle-checkable (the reference
+    uses a counting Bloom as its pre-filter, bloom_gram_miner.cpp:284;
+    this is that primitive made first-class and verifiable).
+    One explode (k rows per value) + one distinct - m-bounded output."""
+    parts = []
+    for j in range(int(k)):
+        hj = h60(f"concat({col}, '#bf{j}')")
+        parts.append(f"pmod({hj}, {int(m)})")
+    return (
+        values.select(F.explode(F.expr(f"array({', '.join(parts)})")).alias("bit"))
+        .distinct()
+        .select(F.col("bit").cast("long"))
+    )
+
+
+def bloom_membership(
+    values: DataFrame,
+    terms: list[str],
+    col: str = "value",
+    k: int = 3,
+    m: int = 256,
+) -> DataFrame:
+    """(term, bits_set, maybe_member, exact_present): Bloom point probes
+    next to ground truth.  maybe_member = all k positions set; the Bloom
+    guarantee - NO false negatives (exact_present implies maybe_member) -
+    is therefore oracle-checked row by row, and any (maybe_member AND NOT
+    exact_present) row is a live false positive, the filter's documented
+    trade.  The bit array is m-bounded and broadcasts."""
+    spark = values.sparkSession
+    bits = bloom_bits(values, col, k, m)
+    qterms = sorted(set(terms))
+    tdf = spark.createDataFrame([(t,) for t in qterms], "term string")
+    parts = []
+    for j in range(int(k)):
+        hj = h60(f"concat(term, '#bf{j}')")
+        parts.append(f"pmod({hj}, {int(m)})")
+    probes = tdf.select(
+        "term", F.explode(F.expr(f"array({', '.join(parts)})")).alias("bit")
+    )
+    hit = (
+        probes.join(F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left")
+        .groupBy("term")
+        .agg(F.sum(F.coalesce("_set", F.lit(0))).alias("bits_set"))
+    )
+    exact = (
+        values.filter(F.col(col).isin(qterms))
+        .groupBy(F.col(col).alias("term"))
+        .agg(F.count("*").alias("n"))
+    )
+    return hit.join(exact, "term", "left").select(
+        "term",
+        F.col("bits_set").cast("long"),
+        (F.col("bits_set") == int(k)).alias("maybe_member"),
+        (F.coalesce("n", F.lit(0)) > 0).alias("exact_present"),
+    )

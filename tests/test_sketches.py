@@ -45,3 +45,41 @@ def test_cms_never_underestimates_and_counts_total(spark):
     per_row = {r.r: r.total for r in sk.groupBy("r").agg(
         F.sum("cnt").alias("total")).collect()}
     assert set(per_row.values()) == {900}
+
+
+def test_bloom_no_false_negatives_and_fp_exists(spark):
+    from boilerplate_buster_spark.operators.sketches import bloom_membership
+
+    vals = spark.range(200).select(
+        F.expr("concat('w', id)").alias("value")
+    )
+    present = [f"w{i}" for i in range(0, 200, 20)]
+    absent = [f"zz{i}" for i in range(60)]  # tiny m makes an FP likely
+    rows = bloom_membership(vals, present + absent, k=3, m=64).collect()
+    by = {r.term: r for r in rows}
+    # no false negatives: every present term must be maybe_member
+    assert all(by[t].maybe_member for t in present)
+    assert all(by[t].exact_present for t in present)
+    # absent terms are never exact_present; with m=64 and 200 inserts the
+    # filter is saturated enough that at least one FP shows up
+    assert not any(by[t].exact_present for t in absent)
+    assert any(by[t].maybe_member for t in absent)
+
+
+def test_jl_projection_hand_computed(spark):
+    import hashlib
+
+    from boilerplate_buster_spark.operators.ann import jl_sign_projection
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125])], "vec_id long, embedding array<float>"
+    )
+    got = {r.j: r.y for r in jl_sign_projection(emb, out_dim=4).collect()}
+    q = [500, -250, 125]  # floor(x * 1000); all exact in float32
+
+    def sign(i, j):
+        h = int(hashlib.md5(f"{i}#jl{j}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    for j in range(4):
+        assert got[j] == sum(sign(i, j) * q[i] for i in range(3))
