@@ -1598,6 +1598,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cms_estimates(vals, ["spark", "merge", "zzz_absent"])
 
+    def join_skew_report(spark, sf):
+        # pre-join skew diagnostic over the events user key: top-3
+        # heaviest keys, row share and skew ratio in exact millionths
+        from boilerplate_buster_spark.functions.skew import skew_report
+
+        return skew_report(_tbl(spark, sf, "events"), "user_id", top_k=3)
+
+    def topic_segments(spark, sf):
+        # TextTiling topic-shift signal: adjacent 8-token tiles, distinct
+        # overlap + exact Jaccard per gap; pure projection
+        from boilerplate_buster_spark.operators.text_stats import (
+            topic_boundaries,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 100)
+        return topic_boundaries(docs, block=8)
+
     def bloom_filter(spark, sf):
         # Bloom membership probes (k=3, m=256) vs ground truth: the
         # no-false-negative guarantee checked row by row
@@ -3381,6 +3398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cms_point_queries=cms_point_queries,
         bloom_filter=bloom_filter,
         jl_projection=jl_projection,
+        join_skew_report=join_skew_report,
+        topic_segments=topic_segments,
         exact_span_pairs=exact_span_pairs,
         robots_decisions=robots_decisions,
         page_meta=page_meta,
@@ -4755,6 +4774,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(x.n, 0) AS BIGINT) AS exact,
                    CAST(e.est - coalesce(x.n, 0) AS BIGINT) AS overestimate
             FROM e LEFT JOIN x USING (term)
+        """,
+        # pre-join skew diagnostic: top-3 keys by count, tie by key;
+        # share and skew ratio in exact integer millionths
+        "join_skew_report": """
+            WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                              count(*) AS cnt
+                       FROM events GROUP BY user_id),
+            t AS (SELECT sum(cnt) AS total_rows, count(*) AS n_keys FROM c),
+            r AS (SELECT key, cnt,
+                    row_number() OVER (ORDER BY cnt DESC, key) AS rank
+                  FROM c)
+            SELECT CAST(r.rank AS INT) AS rank, r.key,
+                   CAST(r.cnt AS BIGINT) AS cnt,
+                   CAST(t.total_rows AS BIGINT) AS total_rows,
+                   CAST(t.n_keys AS BIGINT) AS n_keys,
+                   CAST(r.cnt * 1000000 // t.total_rows AS BIGINT)
+                     AS share_e6,
+                   CAST(r.cnt * t.n_keys * 1000000 // t.total_rows
+                        AS BIGINT) AS skew_e6
+            FROM r, t WHERE r.rank <= 3
+        """,
+        # TextTiling gaps: adjacent 8-token tiles, distinct overlap +
+        # exact integer Jaccard per gap
+        "topic_segments": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE doc_id < 100),
+            g AS (SELECT doc_id, j.j AS gap_idx,
+                    list_distinct(t[(j.j - 1) * 8 + 1 : (j.j - 1) * 8 + 8])
+                      AS l,
+                    list_distinct(t[j.j * 8 + 1 : j.j * 8 + 8]) AS r
+                  FROM d,
+                    unnest(generate_series(1,
+                      greatest((len(t) + 7) // 8 - 1, 0))) AS j(j))
+            SELECT doc_id, CAST(gap_idx AS INT) AS gap_idx,
+                   CAST(len(list_intersect(l, r)) AS BIGINT) AS n_shared,
+                   CAST((1000000 * len(list_intersect(l, r)))
+                        // greatest(len(list_distinct(list_concat(l, r))), 1)
+                        AS BIGINT) AS jaccard_e6
+            FROM g
         """,
         # Bloom probes vs ground truth: bits_set counts set probe bits
         "bloom_filter": """

@@ -66,3 +66,43 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     out = lhs.join(rhs, [key, "_salt"])
     return out.drop("_salt")
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_k: int = 3
+) -> DataFrame:
+    """(rank, key, cnt, total_rows, n_keys, share_e6, skew_e6): the
+    pre-join skew diagnostic - the top_k heaviest keys with their row
+    share (cnt * 1e6 div total) and the skew ratio (cnt * n_keys * 1e6
+    div total: 1e6 = perfectly uniform, >> 1e6 = this key is a hot
+    reducer).  Read THIS before shipping a corpus-sized equi-join: a
+    skew_e6 in the tens of millions is the signal to salt
+    (salted_join) or pre-aggregate.
+
+    One hash aggregate on the key + a scalar aggregate; the top_k comes
+    from orderBy().limit() - TakeOrderedAndProject, a per-partition heap
+    + k-row merge, NEVER a single-partition global window over the key
+    table (which can itself be billions of rows)."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("total_rows"), F.count("*").alias("n_keys")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(int(top_k))
+    from pyspark.sql import Window
+
+    # rank over the ALREADY-LIMITED k rows (a k-row window, not corpus)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    top = top.withColumn("rank", F.row_number().over(w))
+    return top.crossJoin(F.broadcast(totals)).select(
+        F.col("rank").cast("int"),
+        F.col("key").cast("string").alias("key"),
+        F.col("cnt").cast("long"),
+        F.col("total_rows").cast("long"),
+        F.col("n_keys").cast("long"),
+        F.expr("cnt * 1000000 div total_rows").cast("long").alias("share_e6"),
+        F.expr("cnt * n_keys * 1000000 div total_rows")
+        .cast("long")
+        .alias("skew_e6"),
+    )

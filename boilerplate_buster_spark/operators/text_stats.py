@@ -553,3 +553,40 @@ def script_mix(
         F.col(id_col),
         *[F.expr(e).alias(n) for n, e in script_mix_exprs(text_col, "spark")],
     )
+
+
+def topic_boundaries(
+    docs: DataFrame,
+    block: int = 10,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, gap_idx, n_shared, jaccard_e6): TextTiling-style topic-shift
+    signal (Hearst 1997) - tokens split into fixed `block`-token tiles;
+    for each adjacent tile pair, the DISTINCT-token overlap count and
+    exact integer Jaccard.  Low-similarity gaps mark topic boundaries;
+    thresholding stays caller-side (corpora differ).  gap_idx = i means
+    the gap between tiles i-1 and i (1-based tiles).
+
+    A PURE PROJECTION + explode - all the information is within one row,
+    zero shuffles, same posture as dedup_lines_in_doc."""
+    t, b = tokens_col, int(block)
+    nb = f"((size({t}) + {b} - 1) div {b})"
+    left = f"array_distinct(slice({t}, (j - 1) * {b} + 1, {b}))"
+    right = f"array_distinct(slice({t}, j * {b} + 1, {b}))"
+    gaps = (
+        f"transform(slice(sequence(1, greatest({nb} - 1, 1)), 1, "
+        f"greatest({nb} - 1, 0)), j -> named_struct("
+        f"'gap_idx', j, "
+        f"'n_shared', size(array_intersect({left}, {right})), "
+        f"'jaccard_e6', (1000000 * size(array_intersect({left}, {right}))) "
+        f"div greatest(size(array_union({left}, {right})), 1)))"
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.expr(gaps)).alias("g")
+    ).select(
+        id_col,
+        F.col("g.gap_idx").cast("int").alias("gap_idx"),
+        F.col("g.n_shared").cast("long").alias("n_shared"),
+        F.col("g.jaccard_e6").cast("long").alias("jaccard_e6"),
+    )

@@ -282,3 +282,42 @@ def test_quality_percentiles_strict_below_ties_share(spark):
     # n=5: below-counts 0,0,2,3,4 -> /4
     assert got[1] == got[2] == 0
     assert got[3] == 500_000 and got[4] == 750_000 and got[5] == 1_000_000
+
+
+def test_skew_report_hand_computed(spark):
+    from boilerplate_buster_spark.functions.skew import skew_report
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["hot"] * 6 + ["warm"] * 3 + ["a", "b", "c"]],
+        ["key"],
+    )
+    rows = {r.rank: r for r in skew_report(df, "key", top_k=2).collect()}
+    h = rows[1]
+    assert (h.key, h.cnt, h.total_rows, h.n_keys) == ("hot", 6, 12, 5)
+    assert h.share_e6 == 500_000          # 6/12
+    assert h.skew_e6 == 2_500_000          # 6*5/12 -> 2.5x uniform
+    assert rows[2].key == "warm"
+    # uniform data reads ~1e6
+    uni = spark.createDataFrame([(k,) for k in "abcd" * 5], ["key"])
+    [r] = skew_report(uni, "key", top_k=1).collect()
+    assert r.skew_e6 == 1_000_000
+
+
+def test_topic_boundaries_detects_vocabulary_shift(spark):
+    from boilerplate_buster_spark.operators.text_stats import (
+        topic_boundaries,
+    )
+
+    # two tiles of topic A, two of topic B: the A|B gap scores 0
+    doc = (["cat dog fish bird"] * 2 + ["car road fuel wheel"] * 2)
+    tokens = " ".join(doc).split(" ")
+    df = spark.createDataFrame([(1, tokens)], ["doc_id", "tokens"])
+    got = {r.gap_idx: (r.n_shared, r.jaccard_e6)
+           for r in topic_boundaries(df, block=4).collect()}
+    assert got[1] == (4, 1_000_000)   # A|A: identical tiles
+    assert got[2] == (0, 0)           # A|B: the topic boundary
+    assert got[3] == (4, 1_000_000)   # B|B
+    # short doc (< 2 tiles) emits no gaps and doesn't crash
+    one = spark.createDataFrame([(2, ["only", "three", "words"])],
+                                ["doc_id", "tokens"])
+    assert topic_boundaries(one, block=4).count() == 0
