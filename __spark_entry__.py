@@ -1598,6 +1598,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cms_estimates(vals, ["spark", "merge", "zzz_absent"])
 
+    def novelty(spark, sf):
+        # leave-one-out content novelty: the share of each doc's distinct
+        # 3-grams with corpus df=1
+        from boilerplate_buster_spark.operators.corpus_stats import (
+            novelty_scores,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        return novelty_scores(docs, n=3)
+
+    def source_vocab_stats(spark, sf):
+        # per-source vocabulary audit: types, hapax legomena, integer
+        # type-token and hapax ratios
+        from boilerplate_buster_spark.operators.corpus_stats import (
+            vocab_stats,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 300)
+        return vocab_stats(docs, "source")
+
     def join_skew_report(spark, sf):
         # pre-join skew diagnostic over the events user key: top-3
         # heaviest keys, row share and skew ratio in exact millionths
@@ -3400,6 +3420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         jl_projection=jl_projection,
         join_skew_report=join_skew_report,
         topic_segments=topic_segments,
+        novelty=novelty,
+        source_vocab_stats=source_vocab_stats,
         exact_span_pairs=exact_span_pairs,
         robots_decisions=robots_decisions,
         page_meta=page_meta,
@@ -4774,6 +4796,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(x.n, 0) AS BIGINT) AS exact,
                    CAST(e.est - coalesce(x.n, 0) AS BIGINT) AS overestimate
             FROM e LEFT JOIN x USING (term)
+        """,
+        # leave-one-out novelty over distinct 3-grams
+        "novelty": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE doc_id < 200),
+            g AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(t) - 2, 0)),
+                      i -> array_to_string(t[i:i+2], ' '))) AS gs
+                  FROM d),
+            p AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+            df AS (SELECT gram, count(*) AS df FROM p GROUP BY gram),
+            u AS (SELECT p.doc_id, count(*) AS nu
+                  FROM p JOIN df USING (gram) WHERE df.df = 1
+                  GROUP BY p.doc_id)
+            SELECT g.doc_id,
+                   CAST(len(g.gs) AS BIGINT) AS n_grams,
+                   CAST(coalesce(u.nu, 0) AS BIGINT) AS n_unique_to_doc,
+                   CAST(coalesce(u.nu, 0) * 1000000
+                        // greatest(len(g.gs), 1) AS BIGINT) AS novelty_e6
+            FROM g LEFT JOIN u USING (doc_id)
+        """,
+        # per-source vocabulary stats: types, hapax, integer ratios
+        "source_vocab_stats": """
+            WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                       FROM documents WHERE doc_id < 300),
+            tf AS (SELECT source, term, count(*) AS cnt FROM t
+                   GROUP BY source, term)
+            SELECT source,
+                   CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hapax,
+                   CAST(count(*) * 1000000 // greatest(sum(cnt), 1)
+                        AS BIGINT) AS ttr_e6,
+                   CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000000
+                        // greatest(count(*), 1) AS BIGINT) AS hapax_e6
+            FROM tf GROUP BY source
         """,
         # pre-join skew diagnostic: top-3 keys by count, tie by key;
         # share and skew ratio in exact integer millionths

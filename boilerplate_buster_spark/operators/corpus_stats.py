@@ -315,3 +315,86 @@ def quality_percentiles(
         .cast("long")
         .alias("pct_rank_e6"),
     )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    n: int = 3,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(doc, n_grams, n_unique_to_doc, novelty_e6): how much of each
+    document exists NOWHERE else - the fraction of its distinct word
+    n-grams whose corpus document-frequency is exactly 1 (leave-one-out:
+    df=1 means only this doc carries it).  High novelty = original
+    content; near-zero = boilerplate/mirror.  Exact integer millionths.
+
+    Plan: the (gram, doc) pairs are deduped in-scan (array_distinct), the
+    df aggregate shuffles once on the gram key, and the df=1 subset joins
+    back gram-keyed - matched rows only, since df=1 grams hit exactly one
+    doc each."""
+    grams = (
+        f"array_distinct(transform(slice(sequence(1, greatest(size({tokens_col}) - {n} + 1, 1)), "
+        f"1, greatest(size({tokens_col}) - {n} + 1, 0)), "
+        f"i -> array_join(slice({tokens_col}, i, {n}), ' ')))"
+    )
+    pairs = docs.select(
+        F.col(doc_col), F.explode(F.expr(grams)).alias("gram")
+    )
+    df_t = pairs.groupBy("gram").agg(F.count("*").alias("df"))
+    uniq = (
+        pairs.join(df_t.filter(F.col("df") == 1).select("gram"), "gram")
+        .groupBy(doc_col)
+        .agg(F.count("*").alias("n_unique_to_doc"))
+    )
+    totals = docs.select(
+        F.col(doc_col), F.expr(f"size({grams})").cast("long").alias("n_grams")
+    )
+    return totals.join(uniq, doc_col, "left").select(
+        doc_col,
+        "n_grams",
+        F.coalesce("n_unique_to_doc", F.lit(0)).cast("long").alias(
+            "n_unique_to_doc"
+        ),
+        F.expr(
+            "coalesce(n_unique_to_doc, 0) * 1000000 div greatest(n_grams, 1)"
+        ).cast("long").alias("novelty_e6"),
+    )
+
+
+def vocab_stats(
+    docs: DataFrame,
+    group_col: str,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(group, n_tokens, n_types, n_hapax, ttr_e6, hapax_e6): per-slice
+    vocabulary statistics - token total, distinct types, hapax legomena
+    (types occurring exactly once IN the slice), integer type-token ratio
+    and hapax share.  The Heaps/Zipf-shape diagnostic a corpus audit
+    reads per source/language/date slice.
+
+    Plan: one (group, term) hash aggregate, then a group rollup over the
+    aggregate - vocabulary-sized, never row-sized."""
+    tf = (
+        docs.select(F.col(group_col).alias("grp"), F.explode(tokens_col).alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        tf.groupBy("grp")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_tokens").cast("long"),
+            F.col("n_types").cast("long"),
+            F.col("n_hapax").cast("long"),
+            F.expr("n_types * 1000000 div greatest(n_tokens, 1)")
+            .cast("long").alias("ttr_e6"),
+            F.expr("n_hapax * 1000000 div greatest(n_types, 1)")
+            .cast("long").alias("hapax_e6"),
+        )
+    )

@@ -321,3 +321,35 @@ def test_topic_boundaries_detects_vocabulary_shift(spark):
     one = spark.createDataFrame([(2, ["only", "three", "words"])],
                                 ["doc_id", "tokens"])
     assert topic_boundaries(one, block=4).count() == 0
+
+
+def test_novelty_scores_leave_one_out(spark):
+    from boilerplate_buster_spark.operators.corpus_stats import novelty_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d".split()),   # grams: 'a b c', 'b c d'
+            (2, "a b c x".split()),   # shares 'a b c'
+            (3, "q r s t".split()),   # fully novel
+        ],
+        ["doc_id", "tokens"],
+    )
+    got = {r.doc_id: (r.n_grams, r.n_unique_to_doc, r.novelty_e6)
+           for r in novelty_scores(docs, n=3).collect()}
+    assert got[1] == (2, 1, 500_000)     # 'b c d' unique, 'a b c' shared
+    assert got[2] == (2, 1, 500_000)
+    assert got[3] == (2, 2, 1_000_000)
+
+
+def test_vocab_stats_hapax_and_ttr(spark):
+    from boilerplate_buster_spark.operators.corpus_stats import vocab_stats
+
+    docs = spark.createDataFrame(
+        [("web", "a a b".split()), ("web", ["c"]), ("code", "x y".split())],
+        ["source", "tokens"],
+    )
+    got = {r.source: (r.n_tokens, r.n_types, r.n_hapax, r.ttr_e6, r.hapax_e6)
+           for r in vocab_stats(docs, "source").collect()}
+    # web: tokens a,a,b,c -> types {a,b,c}, hapax {b,c}
+    assert got["web"] == (4, 3, 2, 750_000, 666_666)
+    assert got["code"] == (2, 2, 2, 1_000_000, 1_000_000)
