@@ -1116,6 +1116,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return multimodal.image_patches(media, patch=4)
 
+    def image_dup_clusters(spark, sf):
+        # cross-module composition: dHash banding pairs (hamming <= 4)
+        # feed the GENERIC connected-components clustering - perceptual
+        # image dedup ends in survivor clusters like text dedup does
+        from boilerplate_buster_spark.operators import multimodal
+        from boilerplate_buster_spark.operators.dedup import (
+            duplicate_clusters,
+        )
+
+        media = multimodal.synthetic_media_df(_media_ids(spark, sf)).filter(
+            F.col("kind") == "image"
+        )
+        pairs = multimodal.dhash_candidate_pairs(
+            multimodal.dhash_images(media), max_hamming=4
+        )
+        return duplicate_clusters(
+            pairs.select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            )
+        )
+
     def video_scene_cuts(spark, sf):
         # scene-change detection: per consecutive-frame SAD over the REAL
         # decoded P6 streams, integer mean-abs-diff millis, cut at 30.0
@@ -3393,6 +3414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         image_neardup_pairs=image_neardup_pairs,
         video_scene_cuts=video_scene_cuts,
         image_patch_grid=image_patch_grid,
+        image_dup_clusters=image_dup_clusters,
         audio_window_stats=audio_window_stats,
         line_dedup_docs=line_dedup_docs,
         intradoc_dedup=intradoc_dedup,
@@ -4126,6 +4148,32 @@ def oracle_sql() -> dict[str, str]:
                                   AND ((s < 0) != (sp < 0))
                             THEN 1 ELSE 0 END) AS INT) AS zero_crossings
             FROM kx GROUP BY id, win_idx
+        """,
+        # dHash pairs (hamming <= 4) -> recursive-CTE connected
+        # components; cluster_id = smallest member id
+        "image_dup_clusters": f"""
+            WITH RECURSIVE
+            {_d_dhash_cte()},
+            bands AS (SELECT id, hi, lo,
+                        unnest([hi & 65535, (hi >> 16) & 65535,
+                                lo & 65535, (lo >> 16) & 65535]) AS val,
+                        unnest([0, 1, 2, 3]) AS band
+                      FROM hs),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.val = b.val AND a.id < b.id
+                     WHERE bit_count(xor(a.hi, b.hi))
+                           + bit_count(xor(a.lo, b.lo)) <= 4),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                      UNION SELECT id_b, id_a FROM cand),
+            reach(id, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e
+              JOIN reach ON reach.id = e.dst
+            )
+            SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id
         """,
         # perceptual dHash of the synthetic images, closed form (see
         # _d_dhash_cte); two 32-bit halves
