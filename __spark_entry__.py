@@ -643,6 +643,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         uni = base.unionByName(clone).unionByName(part)
         return dedup.lsh_recall_eval(uni, threshold_e6=500000)
 
+    def containment_dups(spark, sf):
+        # containment-verified dedup: the 60%-prefix excerpts have
+        # Jaccard ~0.6 (invisible to a 0.8 Jaccard gate) but containment
+        # ~1.0 - the quote/subset detector, exact integer surface
+        base = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", "tokens")
+        )
+        part = base.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.expr(
+                "slice(tokens, 1, greatest(cast(size(tokens) * 3 div 5 AS int), 3))"
+            ).alias("tokens"),
+        )
+        clone = base.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "tokens"
+        )
+        uni = base.unionByName(clone).unionByName(part)
+        return dedup.containment_pairs(uni, min_containment_e6=900000)
+
     def langid_confusion(spark, sf):
         # language-ID eval against the corpus's own lang labels: the
         # full (actual, predicted) confusion matrix.  On THIS synthetic
@@ -3360,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         minhash_bands=minhash_bands,
         lsh_pairs=lsh_pairs,
         lsh_recall=lsh_recall,
+        containment_dups=containment_dups,
         langid_confusion=langid_confusion,
         jaccard_pairs=jaccard_pairs,
         dedup_clusters=dedup_clusters,
@@ -3607,6 +3629,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(m.n_hit * 1000000 // greatest(nc.n_cand, 1)
                         AS BIGINT) AS precision_e6
             FROM m, nc
+        """,
+        # containment on LSH candidates over the prefix-clone corpus
+        "containment_dups": f"""
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 50),
+            toks AS (SELECT doc_id, t FROM base
+                     UNION ALL SELECT doc_id + 100000, t FROM base
+                     UNION ALL SELECT doc_id + 200000,
+                       t[1 : greatest((len(t) * 3) // 5, 3)] FROM base),
+            {_d_minhash_sig_sql(None)},
+            bands AS ({_d_bands_select()}),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket
+                     WHERE a.doc_id < b.doc_id)
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_intersect(sa.s, sb.s)) * 1000000
+                        // greatest(len(sa.s), 1) AS BIGINT) AS cont_a_e6,
+                   CAST(len(list_intersect(sa.s, sb.s)) * 1000000
+                        // greatest(len(sb.s), 1) AS BIGINT) AS cont_b_e6
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+            WHERE len(list_intersect(sa.s, sb.s)) * 1000000
+                    >= greatest(len(sa.s), 1) * 900000
+               OR len(list_intersect(sa.s, sb.s)) * 1000000
+                    >= greatest(len(sb.s), 1) * 900000
         """,
         # language-ID confusion matrix vs corpus labels
         "langid_confusion": f"""

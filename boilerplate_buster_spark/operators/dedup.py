@@ -546,3 +546,48 @@ def snapshot_diffs(
             "div greatest(size(array_union(cur, prev)), 1)"
         ).cast("long").alias("jaccard_e6"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_shingle: int = 3,
+    min_containment_e6: int = 900000,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """(doc_a, doc_b, cont_a_e6, cont_b_e6): CONTAINMENT-verified near-dup
+    pairs - cont_a_e6 = |A n B| * 1e6 div |A| (how much of A lives inside
+    B), kept when EITHER direction clears the threshold.  This is the
+    quote/subset detector Jaccard structurally misses: a 60%-prefix
+    excerpt of a long page has Jaccard ~0.6 (below any dedup threshold)
+    but containment ~1.0.  Exact integer cross-multiplied comparison.
+
+    Same scale shape as jaccard_verified_pairs: the expensive set math
+    runs ONLY on LSH candidates (note banding recall is Jaccard-tuned -
+    heavily asymmetric pairs may not band together; pair this with
+    exact-substring dedup for the adversarial tail, as Lee et al. do)."""
+    cand = lsh_candidate_pairs(docs, id_col, tokens_col, n_shingle, k, bands, hash_fn)
+    sh = docs.select(
+        F.col(id_col), F.expr(shingles_expr(tokens_col, n_shingle)).alias("sh")
+    )
+    t = int(min_containment_e6)
+    return (
+        cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "size(array_intersect(sh_a, sh_b)) * 1000000"
+                " div greatest(size(sh_a), 1)"
+            ).cast("long").alias("cont_a_e6"),
+            F.expr(
+                "size(array_intersect(sh_a, sh_b)) * 1000000"
+                " div greatest(size(sh_b), 1)"
+            ).cast("long").alias("cont_b_e6"),
+        )
+        .filter((F.col("cont_a_e6") >= t) | (F.col("cont_b_e6") >= t))
+    )

@@ -538,3 +538,31 @@ def test_snapshot_diffs_add_remove_revert(spark):
     r3 = got[("u1", "t3")]
     assert (r3.n_tokens, r3.n_added, r3.n_removed, r3.jaccard_e6) == (
         3, 0, 1, 750000)
+
+
+def test_containment_catches_prefix_excerpt_jaccard_misses(spark):
+    from boilerplate_buster_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_verified_pairs,
+    )
+
+    toks = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (1, toks),            # full document
+            (2, toks[:24]),       # 60% prefix excerpt: contained, J ~ 0.6
+            (3, [f"z{i}" for i in range(40)]),  # unrelated
+        ],
+        ["doc_id", "tokens"],
+    )
+    cont = {(r.doc_a, r.doc_b): (r.cont_a_e6, r.cont_b_e6)
+            for r in containment_pairs(docs).collect()}
+    assert (1, 2) in cont
+    a_in_b, b_in_a = cont[(1, 2)]
+    assert b_in_a == 1_000_000       # the excerpt lives fully inside
+    assert a_in_b < 900_000          # the full doc is NOT inside the excerpt
+    # a 0.8-Jaccard gate would have missed this pair entirely
+    jac = {(r.doc_a, r.doc_b)
+           for r in jaccard_verified_pairs(docs, threshold=0.8).collect()}
+    assert (1, 2) not in jac
+    assert not any(3 in p for p in cont)
