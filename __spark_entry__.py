@@ -1703,6 +1703,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("y").cast("long").alias("y"),
         )
 
+    def page_outline(spark, sf):
+        # h1-h6 outline extraction through the REAL tolerant HTML parser
+        # over synthesized sectioned pages; parent = nearest prior
+        # strictly-higher heading
+        from boilerplate_buster_spark.operators.pagemeta import (
+            heading_outline,
+        )
+
+        pages = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select(
+                F.expr("concat('https://ex.com/', CAST(doc_id AS string))").alias("url"),
+                F.expr(
+                    "concat('<html><body><h1>doc ', CAST(doc_id AS string), "
+                    "'</h1><h2>alpha ', CAST(doc_id % 3 AS string), "
+                    "'</h2><p>text</p><h3>deep ', CAST(doc_id % 2 AS string), "
+                    "'</h3><h2>beta</h2></body></html>')"
+                ).alias("html"),
+            )
+        )
+        return heading_outline(pages)
+
     def graph_triangles(spark, sf):
         # exact triangle census via degree-ordered orientation over a
         # deterministic 200-node / ~590-edge graph (local +1/+2 edges
@@ -3458,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         snapshot_history=snapshot_history,
         snapshot_diff=snapshot_diff,
         graph_triangles=graph_triangles,
+        page_outline=page_outline,
         hll_sketch=hll_sketch,
         cms_point_queries=cms_point_queries,
         bloom_filter=bloom_filter,
@@ -4846,6 +4870,21 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         # recrawl snapshot versioning: same per-url windows in DuckDB
+        # fixed 4-heading outline per synthesized page, closed form
+        "page_outline": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+            SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(u.pos AS INT) AS pos,
+                   CAST(u.level AS INT) AS level,
+                   CASE u.pos
+                     WHEN 0 THEN 'doc ' || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN 'alpha ' || CAST(doc_id % 3 AS VARCHAR)
+                     WHEN 2 THEN 'deep ' || CAST(doc_id % 2 AS VARCHAR)
+                     ELSE 'beta' END AS text,
+                   CAST(u.parent AS INT) AS parent_pos
+            FROM d, (VALUES (0, 1, -1), (1, 2, 0),
+                            (2, 3, 1), (3, 2, 0)) AS u(pos, level, parent)
+        """,
         # HLL register table: bucket = top 6 bits of the portable 60-bit
         # hash, register = 1 + leading zeros of the remaining 54 bits
         "hll_sketch": """

@@ -96,3 +96,53 @@ def extract_meta(raw: bytes | str | None) -> dict[str, str]:
     except Exception:
         return dict(empty)
     return p.meta
+
+
+class _OutlineParser(HTMLParser):
+    """h1-h6 headings in document order with text content."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.headings: list[tuple[int, str]] = []
+        self._level = 0
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if len(tag) == 2 and tag[0] == "h" and tag[1] in "123456":
+            self._level = int(tag[1])
+            self._buf = []
+
+    def handle_data(self, data):
+        if self._level:
+            self._buf.append(data)
+
+    def handle_endtag(self, tag):
+        if self._level and tag == f"h{self._level}":
+            self.headings.append((self._level, "".join(self._buf).strip()))
+            self._level = 0
+
+
+def extract_outline(html) -> list[tuple[int, int, str, int]]:
+    """(pos, level, text, parent_pos) per h1-h6 heading, document order;
+    parent = the nearest PRIOR heading of a strictly smaller level number
+    (-1 = root).  Malformed HTML yields whatever headings close properly
+    - never raises (html.parser is tolerant by design)."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", "replace")
+    p = _OutlineParser()
+    try:
+        p.feed(str(html))
+        p.close()
+    except Exception:
+        pass
+    out: list[tuple[int, int, str, int]] = []
+    stack: list[tuple[int, int]] = []  # (level, pos)
+    for pos, (level, text) in enumerate(p.headings):
+        while stack and stack[-1][0] >= level:
+            stack.pop()
+        parent = stack[-1][1] if stack else -1
+        out.append((pos, level, text, parent))
+        stack.append((level, pos))
+    return out

@@ -188,3 +188,32 @@ def feed_entries(
         "feed_url string, item_idx long, title string, link string, "
         "published string",
     )
+
+
+OUTLINE_SCHEMA = (
+    "url string, pos int, level int, text string, parent_pos int"
+)
+
+
+def heading_outline(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, pos, level, text, parent_pos): the h1-h6 document outline in
+    order, each heading linked to its nearest PRIOR strictly-higher
+    heading (-1 = root) - the structural skeleton section-aware chunkers
+    and citation anchors consume.  One Arrow-batched mapInPandas over the
+    page scan, one-to-many, no shuffle; kernel in core/htmlmeta.py
+    (same tolerant stdlib parser as the metadata kernel)."""
+    from boilerplate_buster_spark.core.htmlmeta import extract_outline
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for u, h in zip(pdf[url_col], pdf[html_col]):
+                for pos, level, text, parent in extract_outline(h):
+                    rows.append((u, pos, level, text, parent))
+            yield pd.DataFrame(
+                rows, columns=["url", "pos", "level", "text", "parent_pos"]
+            )
+
+    return pages.select(url_col, html_col).mapInPandas(run, OUTLINE_SCHEMA)

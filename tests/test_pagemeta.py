@@ -209,3 +209,27 @@ def test_parse_feed_never_crashes_on_mutated_feed():
                 s[i] = rng.choice("<>/&;\"' abc")
         out = parse_feed("".join(s))
         assert isinstance(out, list)
+
+
+def test_heading_outline_parenting_and_malformed(spark):
+    from boilerplate_buster_spark.core.htmlmeta import extract_outline
+    from boilerplate_buster_spark.operators.pagemeta import heading_outline
+
+    # level jumps down AND up; h4 after h2 parents to the h2
+    html = ("<body><h1>A</h1><h3>B</h3><h2>C</h2><h4>D</h4>"
+            "<h1>E</h1><h6>F</h6></body>")
+    got = extract_outline(html)
+    assert got == [
+        (0, 1, "A", -1), (1, 3, "B", 0), (2, 2, "C", 0),
+        (3, 4, "D", 2), (4, 1, "E", -1), (5, 6, "F", 4),
+    ]
+    # unclosed heading never emits; nested markup text concatenates
+    assert extract_outline("<h2>one <b>two</b></h2><h3>never") == [
+        (0, 2, "one two", -1)
+    ]
+    assert extract_outline(None) == [] and extract_outline(b"<h1>x</h1>") == [
+        (0, 1, "x", -1)
+    ]
+    # distributed path: one row per heading
+    pages = spark.createDataFrame([("u1", html)], ["url", "html"])
+    assert heading_outline(pages).count() == 6
