@@ -1703,6 +1703,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("y").cast("long").alias("y"),
         )
 
+    def doc_dates(spark, sf):
+        # ISO-date mention extraction over docs with deterministic
+        # injected publication/update dates (every 5th doc)
+        from boilerplate_buster_spark.operators.urls import date_mentions
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select(
+                "doc_id",
+                F.expr(
+                    "concat(text, IF(doc_id % 5 = 0, concat("
+                    "' published 2024-0', CAST(doc_id % 9 + 1 AS string), "
+                    "'-15 updated 2024-03-0', CAST(doc_id % 9 + 1 AS string)"
+                    "), ''))"
+                ).alias("dtext"),
+            )
+        )
+        return date_mentions(docs, text_col="dtext")
+
     def page_outline(spark, sf):
         # h1-h6 outline extraction through the REAL tolerant HTML parser
         # over synthesized sectioned pages; parent = nearest prior
@@ -3482,6 +3502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         snapshot_diff=snapshot_diff,
         graph_triangles=graph_triangles,
         page_outline=page_outline,
+        doc_dates=doc_dates,
         hll_sketch=hll_sketch,
         cms_point_queries=cms_point_queries,
         bloom_filter=bloom_filter,
@@ -4870,6 +4891,27 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         # recrawl snapshot versioning: same per-url windows in DuckDB
+        # ISO-date mentions: regex extraction on BOTH engines, min/max
+        # lexicographic = chronological for ISO
+        "doc_dates": """
+            WITH d AS (SELECT doc_id,
+                         text || CASE WHEN doc_id % 5 = 0 THEN
+                           ' published 2024-0'
+                           || CAST(doc_id % 9 + 1 AS VARCHAR)
+                           || '-15 updated 2024-03-0'
+                           || CAST(doc_id % 9 + 1 AS VARCHAR)
+                         ELSE '' END AS dtext
+                       FROM documents WHERE doc_id < 200),
+            e AS (SELECT doc_id,
+                    regexp_extract_all(dtext,
+                      '\\d{4}-\\d{2}-\\d{2}') AS ds
+                  FROM d)
+            SELECT doc_id,
+                   CAST(len(ds) AS BIGINT) AS n_dates,
+                   coalesce(list_min(ds), '') AS first_date,
+                   coalesce(list_max(ds), '') AS last_date
+            FROM e
+        """,
         # fixed 4-heading outline per synthesized page, closed form
         "page_outline": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200)

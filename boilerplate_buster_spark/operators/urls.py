@@ -410,3 +410,25 @@ def crawl_frontier(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+DATE_RE = r"\d{4}-\d{2}-\d{2}"
+
+
+def date_mentions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_dates, first_date, last_date): ISO-date (YYYY-MM-DD)
+    mentions per document - publication/update-date extraction, the
+    temporal-metadata primitive freshness scoring reads.  first/last are
+    lexicographic min/max, which IS chronological order for ISO dates;
+    docs without dates carry 0 and empty strings.  Pure projection
+    (regexp_extract_all in the scan), no shuffle."""
+    # backslashes doubled inside the SQL string literal
+    arr = f"regexp_extract_all({text_col}, '\\\\d{{4}}-\\\\d{{2}}-\\\\d{{2}}', 0)"
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"size({arr})").cast("long").alias("n_dates"),
+        F.expr(f"coalesce(array_min({arr}), '')").alias("first_date"),
+        F.expr(f"coalesce(array_max({arr}), '')").alias("last_date"),
+    )

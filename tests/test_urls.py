@@ -225,3 +225,21 @@ def test_spam_host_filter_thresholds(spark):
     assert kept2 == {u for u, _ in rows if "ok.com" in u}
     # no thresholds -> everything survives
     assert spam_host_filter(df).count() == len(rows)
+
+
+def test_date_mentions_extraction(spark):
+    from boilerplate_buster_spark.operators.urls import date_mentions
+
+    docs = spark.createDataFrame(
+        [
+            (1, "posted 2023-11-05, updated 2024-01-02 and 2022-06-30"),
+            (2, "no dates at all"),
+            (3, "almost 2024-1-02 and 20240102 but 2024-01-02 counts"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.n_dates, r.first_date, r.last_date)
+           for r in date_mentions(docs).collect()}
+    assert got[1] == (3, "2022-06-30", "2024-01-02")
+    assert got[2] == (0, "", "")
+    assert got[3] == (1, "2024-01-02", "2024-01-02")
