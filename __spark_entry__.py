@@ -1158,6 +1158,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def media_pipeline(spark, sf):
+        # the MULTIMODAL capstone: one table over the whole media corpus
+        # - every branch the REAL codec path - images decode to pixel
+        # checksums + perceptual dup clusters (dHash<=4 -> CC), audio to
+        # sample counts + energy, video to frame counts + scene cuts
+        from boilerplate_buster_spark.operators import multimodal
+        from boilerplate_buster_spark.operators.dedup import (
+            duplicate_clusters,
+        )
+
+        media = multimodal.synthetic_media_df(_media_ids(spark, sf))
+        img = media.filter(F.col("kind") == "image")
+        stats = multimodal.image_stats(img.select("media_id", "payload"))
+        pairs = multimodal.dhash_candidate_pairs(
+            multimodal.dhash_images(img), max_hamming=4
+        )
+        clus = duplicate_clusters(
+            pairs.select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            )
+        ).select(F.col("doc_id").alias("media_id"), "cluster_id")
+        img_out = (
+            stats.join(clus, "media_id", "left")
+            .select(
+                "media_id",
+                F.lit("image").alias("kind"),
+                F.expr("cast(img_w AS bigint) * img_h").alias("n_units"),
+                (F.col("sum_r") + F.col("sum_g") + F.col("sum_b")).alias(
+                    "checksum"
+                ),
+                F.coalesce("cluster_id", "media_id").alias("cluster_id"),
+                F.lit(0).cast("long").alias("n_cuts"),
+            )
+        )
+        aud_out = (
+            multimodal.audio_windows(
+                media.filter(F.col("kind") == "audio"), win=64
+            )
+            .groupBy("media_id")
+            .agg(
+                F.sum("n_samples").cast("long").alias("n_units"),
+                F.sum("sum_abs").alias("checksum"),
+            )
+            .select(
+                "media_id", F.lit("audio").alias("kind"), "n_units",
+                "checksum", F.col("media_id").alias("cluster_id"),
+                F.lit(0).cast("long").alias("n_cuts"),
+            )
+        )
+        vid_out = (
+            multimodal.frame_diffs(
+                media.filter(F.col("kind") == "video"), cut_mad_e3=30000
+            )
+            .groupBy("media_id")
+            .agg(
+                F.count("*").cast("long").alias("n_units"),
+                F.sum("sad").alias("checksum"),
+                F.sum(F.col("is_cut").cast("long")).alias("n_cuts"),
+            )
+            .select(
+                "media_id", F.lit("video").alias("kind"), "n_units",
+                "checksum", F.col("media_id").alias("cluster_id"), "n_cuts",
+            )
+        )
+        return img_out.unionByName(aud_out).unionByName(vid_out)
+
     def video_scene_cuts(spark, sf):
         # scene-change detection: per consecutive-frame SAD over the REAL
         # decoded P6 streams, integer mean-abs-diff millis, cut at 30.0
@@ -3480,6 +3546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         video_scene_cuts=video_scene_cuts,
         image_patch_grid=image_patch_grid,
         image_dup_clusters=image_dup_clusters,
+        media_pipeline=media_pipeline,
         audio_window_stats=audio_window_stats,
         line_dedup_docs=line_dedup_docs,
         intradoc_dedup=intradoc_dedup,
@@ -4242,6 +4309,80 @@ def oracle_sql() -> dict[str, str]:
                                   AND ((s < 0) != (sp < 0))
                             THEN 1 ELSE 0 END) AS INT) AS zero_crossings
             FROM kx GROUP BY id, win_idx
+        """,
+        # multimodal capstone: image pixel checksums + dHash CC clusters,
+        # audio energy, video SAD + scene-cut counts - one table
+        "media_pipeline": f"""
+            WITH RECURSIVE
+            {_d_dhash_cte()},
+            bands AS (SELECT id, hi, lo,
+                        unnest([hi & 65535, (hi >> 16) & 65535,
+                                lo & 65535, (lo >> 16) & 65535]) AS val,
+                        unnest([0, 1, 2, 3]) AS band
+                      FROM hs),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.val = b.val AND a.id < b.id
+                     WHERE bit_count(xor(a.hi, b.hi))
+                           + bit_count(xor(a.lo, b.lo)) <= 4),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                      UNION SELECT id_b, id_a FROM cand),
+            reach(id, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e
+              JOIN reach ON reach.id = e.dst
+            ),
+            cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+            imgsum AS (SELECT id, w, h,
+                         list_sum(list_transform(
+                           generate_series(0, w*h*3 - 1), q ->
+                           (id*31 + (q // 3)*7 + (q % 3)*11) % 256))
+                           AS checksum
+                       FROM img),
+            iout AS (SELECT i.id AS media_id, 'image' AS kind,
+                       CAST(i.w * i.h AS BIGINT) AS n_units,
+                       CAST(i.checksum AS BIGINT) AS checksum,
+                       CAST(coalesce(cc.cluster_id, i.id) AS BIGINT)
+                         AS cluster_id,
+                       CAST(0 AS BIGINT) AS n_cuts
+                     FROM imgsum i LEFT JOIN cc ON cc.id = i.id),
+            aud AS (SELECT doc_id AS id, 256 + doc_id%100 AS n
+                    FROM documents WHERE doc_id < 90 AND doc_id%3 = 1),
+            akx AS (SELECT id, ((id*77 + u.k*123) % 65536) - 32768 AS s
+                    FROM aud, unnest(generate_series(0, n - 1)) AS u(k)),
+            aout AS (SELECT aud.id AS media_id, 'audio' AS kind,
+                       CAST(aud.n AS BIGINT) AS n_units,
+                       CAST(sum(abs(akx.s)) AS BIGINT) AS checksum,
+                       CAST(aud.id AS BIGINT) AS cluster_id,
+                       CAST(0 AS BIGINT) AS n_cuts
+                     FROM aud JOIN akx ON akx.id = aud.id
+                     GROUP BY aud.id, aud.n),
+            vid AS (SELECT doc_id AS id, 3 + doc_id%4 AS nf,
+                           4 + doc_id%3 AS w, 3 + doc_id%3 AS h
+                    FROM documents WHERE doc_id < 90 AND doc_id%3 = 2),
+            vfr AS (SELECT id, w, h, u.f
+                    FROM vid, unnest(generate_series(0, nf - 1)) AS u(f)),
+            vsd AS (SELECT id, f, w, h,
+                      CASE WHEN f = 0 THEN 0 ELSE
+                        list_sum(list_transform(
+                          generate_series(0, w*h*3 - 1), q ->
+                          CASE WHEN (id*31 + (f-1)*17 + (q//3)*7
+                                     + (q%3)*11) % 256 >= 239
+                               THEN 239 ELSE 17 END))
+                      END AS sad
+                    FROM vfr),
+            vout AS (SELECT id AS media_id, 'video' AS kind,
+                       CAST(count(*) AS BIGINT) AS n_units,
+                       CAST(sum(sad) AS BIGINT) AS checksum,
+                       CAST(id AS BIGINT) AS cluster_id,
+                       CAST(sum(CASE WHEN f > 0
+                                      AND (sad*1000) // (w*h*3) >= 30000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+                     FROM vsd GROUP BY id)
+            SELECT * FROM iout
+            UNION ALL SELECT * FROM aout
+            UNION ALL SELECT * FROM vout
         """,
         # dHash pairs (hamming <= 4) -> recursive-CTE connected
         # components; cluster_id = smallest member id

@@ -408,3 +408,26 @@ def test_image_patches_tiling_and_edges(spark):
     assert rows[(1, 1)].sum_b == int(s[4:, 4:, 2].sum())
     # full coverage: patch sums reassemble the whole-image channel sum
     assert sum(r.sum_g for r in rows.values()) == int(s[:, :, 1].sum())
+
+
+def test_media_pipeline_invariants(spark):
+    """The composed multimodal capstone: one row per media id, every
+    branch through the real codec path, clusters only among images."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["media_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 90
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r.kind, []).append(r)
+    assert {k: len(v) for k, v in by_kind.items()} == {
+        "image": 30, "audio": 30, "video": 30}
+    # audio/video never cluster across ids; images may
+    assert all(r.cluster_id == r.media_id for r in by_kind["audio"])
+    assert all(r.cluster_id == r.media_id for r in by_kind["video"])
+    assert any(r.cluster_id != r.media_id for r in by_kind["image"])
+    # scene cuts only on videos, and at least one video has one
+    assert all(r.n_cuts == 0 for r in by_kind["image"] + by_kind["audio"])
+    assert any(r.n_cuts > 0 for r in by_kind["video"])
