@@ -233,3 +233,38 @@ def test_heading_outline_parenting_and_malformed(spark):
     # distributed path: one row per heading
     pages = spark.createDataFrame([("u1", html)], ["url", "html"])
     assert heading_outline(pages).count() == 6
+
+
+def test_outline_parser_never_crashes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from boilerplate_buster_spark.core.htmlmeta import extract_outline
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=400))
+    def run(s):
+        out = extract_outline(s)
+        # structural invariants hold on ANY input
+        for pos, (p, level, text, parent) in enumerate(out):
+            assert p == pos and 1 <= level <= 6 and parent < pos
+            assert parent == -1 or out[parent][1] < level
+
+    run()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=300))
+    def run_bytes(b):
+        extract_outline(b)
+
+    run_bytes()
+
+    # structured mutation: shuffle/truncate real heading markup
+    import random
+
+    rng = random.Random(9)
+    base = "<h1>a</h1><h2>b</h2><h3>c</h3><h2>d</h2><h6>e</h6>"
+    for _ in range(200):
+        cut = rng.randrange(len(base))
+        mutated = base[:cut] + base[cut + rng.randrange(1, 4):]
+        extract_outline(mutated)  # must not raise
