@@ -664,6 +664,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         uni = base.unionByName(clone).unionByName(part)
         return dedup.containment_pairs(uni, min_containment_e6=900000)
 
+    def best_quality_survivors(spark, sf):
+        # keep-BEST-per-cluster dedup: prefix clones score differently
+        # from their originals, so the survivor choice is a real decision
+        from boilerplate_buster_spark.operators.dedup import (
+            quality_survivors,
+        )
+
+        base = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", "tokens")
+        )
+        part = base.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.expr(
+                "slice(tokens, 1, greatest(cast(size(tokens) * 3 div 5 AS int), 3))"
+            ).alias("tokens"),
+        )
+        clone = base.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "tokens"
+        )
+        uni = base.unionByName(clone).unionByName(part)
+        scores = text_stats.quality_score(uni)
+        clusters = dedup.duplicate_clusters(dedup.lsh_candidate_pairs(uni))
+        return quality_survivors(scores, clusters)
+
     def langid_confusion(spark, sf):
         # language-ID eval against the corpus's own lang labels: the
         # full (actual, predicted) confusion matrix.  On THIS synthetic
@@ -3491,6 +3517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lsh_pairs=lsh_pairs,
         lsh_recall=lsh_recall,
         containment_dups=containment_dups,
+        best_quality_survivors=best_quality_survivors,
         langid_confusion=langid_confusion,
         jaccard_pairs=jaccard_pairs,
         dedup_clusters=dedup_clusters,
@@ -3768,6 +3795,47 @@ def oracle_sql() -> dict[str, str]:
                     >= greatest(len(sa.s), 1) * 900000
                OR len(list_intersect(sa.s, sb.s)) * 1000000
                     >= greatest(len(sb.s), 1) * 900000
+        """,
+        # best-quality survivor per LSH-CC cluster over the prefix-clone
+        # corpus; ties to the smallest id
+        "best_quality_survivors": f"""
+            WITH RECURSIVE
+            base AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents WHERE doc_id < 50),
+            toks AS (SELECT doc_id, t FROM base
+                     UNION ALL SELECT doc_id + 100000, t FROM base
+                     UNION ALL SELECT doc_id + 200000,
+                       t[1 : greatest((len(t) * 3) // 5, 3)] FROM base),
+            {_d_minhash_sig_sql(None)},
+            bands AS ({_d_bands_select()}),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket
+                     WHERE a.doc_id < b.doc_id),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                      UNION SELECT doc_b, doc_a FROM cand),
+            reach(id, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e
+              JOIN reach ON reach.id = e.dst
+            ),
+            cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+            q AS (SELECT doc_id,
+                    (400000 * len(list_filter(t, x -> x IN ({en_words})))
+                     + 300000 * len(list_distinct(t))) // greatest(len(t), 1)
+                    + 3000 * least(len(t), 100) AS qv
+                  FROM toks),
+            j AS (SELECT q.doc_id,
+                         coalesce(cc.cluster_id, q.doc_id) AS cluster_id,
+                         q.qv
+                  FROM q LEFT JOIN cc ON cc.id = q.doc_id)
+            SELECT doc_id, cluster_id,
+                   CAST(qv AS BIGINT) AS quality_e6,
+                   (row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY qv DESC, doc_id) = 1)
+                     AS is_survivor
+            FROM j
         """,
         # language-ID confusion matrix vs corpus labels
         "langid_confusion": f"""

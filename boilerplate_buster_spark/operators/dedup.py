@@ -591,3 +591,34 @@ def containment_pairs(
         )
         .filter((F.col("cont_a_e6") >= t) | (F.col("cont_b_e6") >= t))
     )
+
+
+def quality_survivors(
+    docs_scores: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_e6",
+) -> DataFrame:
+    """(id, cluster_id, score, is_survivor): keep-BEST-per-cluster
+    survivor selection - the FineWeb-style refinement of min-id survival
+    (min-id keeps an ARBITRARY member; this keeps the highest-`score_col`
+    member, ties to the smallest id, so dedup stops throwing away the
+    best copy of duplicated content).  `docs_scores` covers ALL docs;
+    docs absent from `clusters` are singleton survivors.
+
+    One left join on the id key + a rank window over CLUSTER-sized
+    partitions (bounded by duplicate-group size, never corpus-sized)."""
+    from pyspark.sql import Window
+
+    j = docs_scores.join(clusters, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return j.select(
+        id_col,
+        "cluster_id",
+        F.col(score_col).cast("long").alias(score_col),
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )

@@ -566,3 +566,23 @@ def test_containment_catches_prefix_excerpt_jaccard_misses(spark):
            for r in jaccard_verified_pairs(docs, threshold=0.8).collect()}
     assert (1, 2) not in jac
     assert not any(3 in p for p in cont)
+
+
+def test_quality_survivors_keeps_best_not_min_id(spark):
+    from boilerplate_buster_spark.operators.dedup import quality_survivors
+
+    scores = spark.createDataFrame(
+        [(1, 300), (2, 900), (3, 900), (9, 500)],  # 9 unclustered
+        ["doc_id", "quality_e6"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["doc_id", "cluster_id"]
+    )
+    got = {r.doc_id: (r.cluster_id, r.is_survivor)
+           for r in quality_survivors(scores, clusters).collect()}
+    # min-id survival would keep doc 1 (score 300); best-quality keeps 2
+    # (score 900, tie vs 3 broken by smaller id)
+    assert got[1] == (1, False)
+    assert got[2] == (1, True)
+    assert got[3] == (1, False)
+    assert got[9] == (9, True)  # singleton survives itself
