@@ -1795,6 +1795,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("y").cast("long").alias("y"),
         )
 
+    def aug_word_dropout(spark, sf):
+        # reproducible 10% word dropout: hash-coin per (doc, pos, tag)
+        from boilerplate_buster_spark.operators.augment import word_dropout
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        return word_dropout(docs, rate_e6=100000)
+
+    def aug_span_infilling(spark, sf):
+        # BART-style span infilling, merged overlapping spans, one
+        # <mask> per maximal run
+        from boilerplate_buster_spark.operators.augment import (
+            span_infilling,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        return span_infilling(docs, span=3, rate_e6=80000)
+
     def doc_dates(spark, sf):
         # ISO-date mention extraction over docs with deterministic
         # injected publication/update dates (every 5th doc)
@@ -3597,6 +3614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         graph_triangles=graph_triangles,
         page_outline=page_outline,
         doc_dates=doc_dates,
+        aug_word_dropout=aug_word_dropout,
+        aug_span_infilling=aug_span_infilling,
         hll_sketch=hll_sketch,
         cms_point_queries=cms_point_queries,
         bloom_filter=bloom_filter,
@@ -5100,6 +5119,59 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         # recrawl snapshot versioning: same per-url windows in DuckDB
+        # reproducible word dropout: the hash coin per (doc, pos) is
+        # recomputed verbatim
+        "aug_word_dropout": f"""
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE doc_id < 200),
+            u AS (SELECT doc_id, u.i AS i, t[u.i + 1] AS x, len(t) AS n
+                  FROM d, unnest(generate_series(0, len(t) - 1)) AS u(i)),
+            k AS (SELECT doc_id, i, x, n,
+                    {_dh60("CAST(doc_id AS VARCHAR) || '#wd#' || CAST(i AS VARCHAR)")}
+                      % 1000000 >= 100000 AS keep
+                  FROM u),
+            a AS (SELECT doc_id,
+                    CAST(max(n) AS BIGINT) AS n_tokens,
+                    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                      AS n_dropped,
+                    coalesce(string_agg(CASE WHEN keep THEN x END,
+                                        ' ' ORDER BY i), '') AS aug_text
+                  FROM k GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_dropped, 0) AS n_dropped,
+                   coalesce(a.aug_text, '') AS aug_text
+            FROM d LEFT JOIN a USING (doc_id)
+        """,
+        # BART span infilling: masked(i) = a coin fired at i, i-1 or
+        # i-2; one <mask> per maximal run
+        "aug_span_infilling": f"""
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE doc_id < 200),
+            u AS (SELECT doc_id, u.i AS i, t[u.i + 1] AS x, len(t) AS n
+                  FROM d, unnest(generate_series(0, len(t) - 1)) AS u(i)),
+            c AS (SELECT doc_id, i, x, n,
+                    (i >= 0 AND {_dh60("CAST(doc_id AS VARCHAR) || '#sc#' || CAST(i AS VARCHAR)")} % 1000000 < 80000)
+                    OR (i >= 1 AND {_dh60("CAST(doc_id AS VARCHAR) || '#sc#' || CAST(i - 1 AS VARCHAR)")} % 1000000 < 80000)
+                    OR (i >= 2 AND {_dh60("CAST(doc_id AS VARCHAR) || '#sc#' || CAST(i - 2 AS VARCHAR)")} % 1000000 < 80000)
+                      AS m,
+                    (i >= 1 AND {_dh60("CAST(doc_id AS VARCHAR) || '#sc#' || CAST(i - 1 AS VARCHAR)")} % 1000000 < 80000)
+                    OR (i >= 2 AND {_dh60("CAST(doc_id AS VARCHAR) || '#sc#' || CAST(i - 2 AS VARCHAR)")} % 1000000 < 80000)
+                    OR (i >= 3 AND {_dh60("CAST(doc_id AS VARCHAR) || '#sc#' || CAST(i - 3 AS VARCHAR)")} % 1000000 < 80000)
+                      AS m_prev
+                  FROM u)
+            SELECT doc_id,
+                   CAST(max(n) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_masked,
+                   CAST(sum(CASE WHEN m AND NOT m_prev THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_spans,
+                   coalesce(string_agg(
+                     CASE WHEN NOT m THEN x
+                          WHEN m AND NOT m_prev THEN '<mask>' END,
+                     ' ' ORDER BY i), '') AS corrupted
+            FROM c GROUP BY doc_id
+        """,
         # ISO-date mentions: regex extraction on BOTH engines, min/max
         # lexicographic = chronological for ISO
         "doc_dates": """

@@ -353,3 +353,42 @@ def test_vocab_stats_hapax_and_ttr(spark):
     # web: tokens a,a,b,c -> types {a,b,c}, hapax {b,c}
     assert got["web"] == (4, 3, 2, 750_000, 666_666)
     assert got["code"] == (2, 2, 2, 1_000_000, 1_000_000)
+
+
+def test_word_dropout_deterministic_and_tagged(spark):
+    from boilerplate_buster_spark.operators.augment import word_dropout
+
+    docs = spark.createDataFrame(
+        [(1, [f"w{i}" for i in range(200)])], ["doc_id", "tokens"]
+    )
+    a = word_dropout(docs, rate_e6=100000).collect()[0]
+    b = word_dropout(docs, rate_e6=100000).collect()[0]
+    assert (a.n_dropped, a.aug_text) == (b.n_dropped, b.aug_text)  # reproducible
+    # the empirical rate lands near 10% on 200 coins
+    assert 5 <= a.n_dropped <= 40
+    # a different tag draws an INDEPENDENT corruption
+    c = word_dropout(docs, rate_e6=100000, tag="wd2").collect()[0]
+    assert c.aug_text != a.aug_text
+    # rate 0 keeps everything; rate 1e6 drops everything
+    z = word_dropout(docs, rate_e6=0).collect()[0]
+    assert z.n_dropped == 0
+    f = word_dropout(docs, rate_e6=1000000).collect()[0]
+    assert f.n_dropped == 200 and f.aug_text == ""
+
+
+def test_span_infilling_runs_merge_and_count(spark):
+    from boilerplate_buster_spark.operators.augment import span_infilling
+
+    docs = spark.createDataFrame(
+        [(1, [f"w{i}" for i in range(300)])], ["doc_id", "tokens"]
+    )
+    r = span_infilling(docs, span=3, rate_e6=80000).collect()[0]
+    toks = r.corrupted.split(" ")
+    # exactly one <mask> per maximal run, never two adjacent
+    assert toks.count("<mask>") == r.n_spans
+    assert all(not (a == b == "<mask>") for a, b in zip(toks, toks[1:]))
+    # token conservation: kept + masked = total
+    assert (r.n_tokens - r.n_masked) + r.n_spans == len(toks)
+    # every span covers at least `span` tokens unless truncated at the
+    # end, so n_masked >= n_spans (strict when any full span exists)
+    assert r.n_masked >= r.n_spans
