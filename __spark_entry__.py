@@ -1795,6 +1795,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("y").cast("long").alias("y"),
         )
 
+    def jsonl_parse(spark, sf):
+        # JSONL corpus-line parsing (the Pile/Dolma interchange shape):
+        # PERMISSIVE - every 10th line is truncated mid-object and must
+        # surface as corrupt=true with null fields, never a crash
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select(
+                "doc_id",
+                F.expr(
+                    "concat('{\"id\": \"d', CAST(doc_id AS string), "
+                    "'\", \"text\": \"', text, '\", \"meta\": {\"src\": \"s', "
+                    "CAST(doc_id % 3 AS string), '\"}}')"
+                ).alias("line"),
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    "IF(doc_id % 10 = 0, substring(line, 1, length(line) - 1), line)"
+                ).alias("line"),
+            )
+        )
+        parsed = docs.select(
+            "doc_id",
+            F.from_json(
+                "line", "id string, text string, meta map<string,string>"
+            ).alias("j"),
+        )
+        return parsed.select(
+            "doc_id",
+            F.col("j.id").alias("json_id"),
+            F.expr("size(split(j.text, ' '))").cast("long").alias("n_tokens"),
+            F.expr("j.meta['src']").alias("meta_src"),
+            (F.col("j").isNull() | F.col("j.id").isNull()).alias("corrupt"),
+        )
+
     def aug_word_dropout(spark, sf):
         # reproducible 10% word dropout: hash-coin per (doc, pos, tag)
         from boilerplate_buster_spark.operators.augment import word_dropout
@@ -3614,6 +3650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         graph_triangles=graph_triangles,
         page_outline=page_outline,
         doc_dates=doc_dates,
+        jsonl_parse=jsonl_parse,
         aug_word_dropout=aug_word_dropout,
         aug_span_infilling=aug_span_infilling,
         hll_sketch=hll_sketch,
@@ -5119,6 +5156,34 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         # recrawl snapshot versioning: same per-url windows in DuckDB
+        # JSONL line parsing, PERMISSIVE: truncated lines -> corrupt
+        # with null fields (json_valid gates the extraction)
+        "jsonl_parse": """
+            WITH d AS (SELECT doc_id,
+                         '{"id": "d' || CAST(doc_id AS VARCHAR)
+                         || '", "text": "' || text
+                         || '", "meta": {"src": "s'
+                         || CAST(doc_id % 3 AS VARCHAR) || '"}}' AS line0
+                       FROM documents WHERE doc_id < 200),
+            l AS (SELECT doc_id,
+                    CASE WHEN doc_id % 10 = 0
+                         THEN substr(line0, 1, length(line0) - 1)
+                         ELSE line0 END AS line
+                  FROM d),
+            v AS (SELECT doc_id, json_valid(line) AS ok,
+                    CASE WHEN json_valid(line) THEN line
+                         ELSE '{}' END AS jl
+                  FROM l)
+            SELECT doc_id,
+                   json_extract_string(jl, '$.id') AS json_id,
+                   CAST(CASE WHEN ok THEN len(string_split(
+                     json_extract_string(jl, '$.text'), ' ')) END
+                     AS BIGINT) AS n_tokens,
+                   json_extract_string(jl, '$.meta.src') AS meta_src,
+                   (NOT ok OR json_extract_string(jl, '$.id') IS NULL)
+                     AS corrupt
+            FROM v
+        """,
         # reproducible word dropout: the hash coin per (doc, pos) is
         # recomputed verbatim
         "aug_word_dropout": f"""

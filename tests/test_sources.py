@@ -140,3 +140,30 @@ public class MockSpmf {
     # jar missing -> FileNotFoundError, never a silent pass
     with pytest.raises(FileNotFoundError):
         run_spmf(docs, "MockAlgo", str(tmp_path / "absent.jar"), "3")
+
+
+def test_jsonl_corpus_roundtrip_and_permissive(spark, tmp_path):
+    from boilerplate_buster_spark.sources.jsonl_corpus import (
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "hello world", {"src": "web"}), ("b", "x", {"src": "code"})],
+        "id string, text string, meta map<string,string>",
+    )
+    path = str(tmp_path / "corpus")
+    write_jsonl_corpus(df, path)
+    back = read_jsonl_corpus(spark, path)
+    got = {r.id: (r.text, dict(r.meta), r.corrupt) for r in back.collect()}
+    assert got == {
+        "a": ("hello world", {"src": "web"}, False),
+        "b": ("x", {"src": "code"}, False),
+    }
+    # PERMISSIVE: a malformed line becomes one corrupt row, not a crash
+    with open(f"{tmp_path}/corpus/zz_bad.txt", "w") as f:
+        f.write('{"id": "c", "text": "fine"}\n{broken json\n')
+    rows = read_jsonl_corpus(spark, path).collect()
+    assert len(rows) == 4
+    assert sum(r.corrupt for r in rows) == 1
+    assert {r.id for r in rows if not r.corrupt} == {"a", "b", "c"}
