@@ -1732,6 +1732,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cms_estimates(vals, ["spark", "merge", "zzz_absent"])
 
+    def vocab_oov_rates(spark, sf):
+        # per-doc OOV rate against the corpus's own top-40 vocabulary -
+        # the coverage check before freezing V
+        from boilerplate_buster_spark.operators.corpus_stats import oov_rates
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        return oov_rates(docs, vocab_size=40)
+
     def novelty(spark, sf):
         # leave-one-out content novelty: the share of each doc's distinct
         # 3-grams with corpus df=1
@@ -3661,6 +3669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         topic_segments=topic_segments,
         novelty=novelty,
         source_vocab_stats=source_vocab_stats,
+        vocab_oov_rates=vocab_oov_rates,
         exact_span_pairs=exact_span_pairs,
         robots_decisions=robots_decisions,
         page_meta=page_meta,
@@ -5320,6 +5329,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(x.n, 0) AS BIGINT) AS exact,
                    CAST(e.est - coalesce(x.n, 0) AS BIGINT) AS overestimate
             FROM e LEFT JOIN x USING (term)
+        """,
+        # OOV rates vs the corpus's own top-40 vocabulary (count desc,
+        # tie lexicographic)
+        "vocab_oov_rates": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE doc_id < 200),
+            tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+            c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+            v AS (SELECT term FROM c ORDER BY cnt DESC, term LIMIT 40),
+            o AS (SELECT doc_id, count(*) AS n_oov FROM tok
+                  WHERE term NOT IN (SELECT term FROM v)
+                  GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(len(d.t) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+                   CAST(coalesce(o.n_oov, 0) * 1000000
+                        // greatest(len(d.t), 1) AS BIGINT) AS oov_e6
+            FROM d LEFT JOIN o USING (doc_id)
         """,
         # leave-one-out novelty over distinct 3-grams
         "novelty": """

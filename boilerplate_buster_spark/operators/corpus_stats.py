@@ -398,3 +398,49 @@ def vocab_stats(
             .cast("long").alias("hapax_e6"),
         )
     )
+
+
+def oov_rates(
+    docs: DataFrame,
+    vocab_size: int,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(doc, n_tokens, n_oov, oov_e6): per-document out-of-vocabulary
+    rate against the corpus's OWN top-`vocab_size` vocabulary (by count,
+    ties to the lexicographically smallest term) - the coverage check a
+    tokenizer/vocab build runs before freezing V.  Exact integer
+    millionths.
+
+    Plan: one term-count aggregate; the top-V cut is orderBy().limit()
+    (TakeOrderedAndProject, never a global window); the vocabulary is
+    V-bounded BY CONSTRUCTION so it broadcast-anti-joins against the
+    exploded tokens; one per-doc count shuffle."""
+    counts = (
+        docs.select(F.explode(tokens_col).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(int(vocab_size))
+        .select("term")
+    )
+    toks = docs.select(F.col(doc_col), F.explode(tokens_col).alias("term"))
+    oov = (
+        toks.join(F.broadcast(vocab), "term", "left_anti")
+        .groupBy(doc_col)
+        .agg(F.count("*").alias("n_oov"))
+    )
+    return (
+        docs.select(F.col(doc_col), F.size(tokens_col).cast("long").alias("n_tokens"))
+        .join(oov, doc_col, "left")
+        .select(
+            doc_col,
+            "n_tokens",
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.expr("coalesce(n_oov, 0) * 1000000 div greatest(n_tokens, 1)")
+            .cast("long")
+            .alias("oov_e6"),
+        )
+    )

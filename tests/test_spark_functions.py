@@ -392,3 +392,23 @@ def test_span_infilling_runs_merge_and_count(spark):
     # every span covers at least `span` tokens unless truncated at the
     # end, so n_masked >= n_spans (strict when any full span exists)
     assert r.n_masked >= r.n_spans
+
+
+def test_oov_rates_top_v_cut_and_ties(spark):
+    from boilerplate_buster_spark.operators.corpus_stats import oov_rates
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "a", "b", "z"]),   # a freq 2; b/z tie at 1 -> b in V
+            (2, ["b", "z", "z"]),        # wait: z freq 3 total, b freq 2
+        ],
+        ["doc_id", "tokens"],
+    )
+    # corpus counts: a=2, b=2, z=3 -> V=2 keeps z, then tie(a,b)->a
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_e6)
+           for r in oov_rates(docs, vocab_size=2).collect()}
+    assert got[1] == (4, 1, 250_000)   # b is OOV
+    assert got[2] == (3, 1, 333_333)
+    # vocab >= all types -> zero OOV everywhere
+    full = oov_rates(docs, vocab_size=10).collect()
+    assert all(r.n_oov == 0 for r in full)
