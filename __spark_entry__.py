@@ -1732,6 +1732,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cms_estimates(vals, ["spark", "merge", "zzz_absent"])
 
+    def shard_balance(spark, sf):
+        # output-sharding certification: docs hash into 16 shards;
+        # per-shard doc/token counts + integer balance ratio vs uniform
+        # (the pre-write check that a shard key isn't pathological)
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 300)
+        sh = docs.select(
+            F.expr(
+                f"pmod({text_stats.h60('CAST(doc_id AS string)')}, 16)"
+            ).alias("shard"),
+            F.size("tokens").alias("n"),
+        )
+        agg = sh.groupBy("shard").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        tot = agg.agg(
+            F.sum("n_docs").alias("td"), F.sum("n_tokens").alias("tt")
+        )
+        return agg.crossJoin(F.broadcast(tot)).select(
+            "shard",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_tokens",
+            F.expr("n_docs * 16 * 1000000 div td").cast("long").alias(
+                "doc_balance_e6"
+            ),
+            F.expr("n_tokens * 16 * 1000000 div tt").cast("long").alias(
+                "token_balance_e6"
+            ),
+        )
+
     def vocab_oov_rates(spark, sf):
         # per-doc OOV rate against the corpus's own top-40 vocabulary -
         # the coverage check before freezing V
@@ -3670,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         novelty=novelty,
         source_vocab_stats=source_vocab_stats,
         vocab_oov_rates=vocab_oov_rates,
+        shard_balance=shard_balance,
         exact_span_pairs=exact_span_pairs,
         robots_decisions=robots_decisions,
         page_meta=page_meta,
@@ -5329,6 +5360,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(x.n, 0) AS BIGINT) AS exact,
                    CAST(e.est - coalesce(x.n, 0) AS BIGINT) AS overestimate
             FROM e LEFT JOIN x USING (term)
+        """,
+        # 16-shard hash balance certification, integer vs-uniform ratios
+        "shard_balance": f"""
+            WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+                       FROM documents WHERE doc_id < 300),
+            s AS (SELECT {_dh60("CAST(doc_id AS VARCHAR)")} % 16 AS shard, n
+                  FROM d),
+            a AS (SELECT shard, count(*) AS n_docs, sum(n) AS n_tokens
+                  FROM s GROUP BY shard),
+            t AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM a)
+            SELECT a.shard,
+                   CAST(a.n_docs AS BIGINT) AS n_docs,
+                   CAST(a.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(a.n_docs * 16 * 1000000 // t.td AS BIGINT)
+                     AS doc_balance_e6,
+                   CAST(a.n_tokens * 16 * 1000000 // t.tt AS BIGINT)
+                     AS token_balance_e6
+            FROM a, t
         """,
         # OOV rates vs the corpus's own top-40 vocabulary (count desc,
         # tie lexicographic)
