@@ -1078,6 +1078,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_lsh(spark, sf):
         return ann.ann_lsh_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
 
+    def ann_recall(spark, sf):
+        # ANN certification: recall@10 of the single-probe LSH bucket
+        # against the exact brute-force top-10 (ID-set overlap - integer,
+        # no float surface); n_bucket shows the candidate-set economy
+        qv = _query_vec(spark, sf)
+        e = _emb(spark, sf)
+        brute = ann.cosine_topk(e, qv, k=10).select("vec_id")
+        approx = ann.ann_lsh_topk(e, qv, k=10)
+        hits = brute.join(approx.select("vec_id"), "vec_id").agg(
+            F.count("*").alias("n_hit")
+        )
+        nb = approx.agg(F.count("*").alias("n_returned"))
+        return (
+            hits.crossJoin(nb)
+            .select(
+                F.lit(10).cast("long").alias("k"),
+                F.col("n_returned").cast("long"),
+                F.col("n_hit").cast("long"),
+                F.expr("n_hit * 1000000 div 10").cast("long").alias(
+                    "recall_e6"
+                ),
+            )
+        )
+
     def multimodal_resize(spark, sf):
         from boilerplate_buster_spark.operators import multimodal
 
@@ -3642,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         prefixspan_maximal=prefixspan_maximal,
         extract_pages=extract_pages,
         ann_lsh=ann_lsh,
+        ann_recall=ann_recall,
         multimodal_resize=multimodal_resize,
         multimodal_frames=multimodal_frames,
         multimodal_features=multimodal_features,
@@ -3992,6 +4017,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # 2-round integer Lloyd k-means, unrolled (see _d_kmeans_sql)
         "kmeans_clusters": _d_kmeans_sql(k=4, iters=2, scale=1000),
+        # ANN recall@10: ID-set overlap of bucket-restricted vs exact
+        # top-10 (both orderings use the same rounded-cosine tie rule)
+        "ann_recall": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            brute AS (SELECT vec_id
+                      FROM embeddings, q
+                      ORDER BY round({_d_cos('embedding', 'qv')}, 4) DESC,
+                               vec_id LIMIT 10),
+            qb AS (SELECT {_d_hyperplane_bucket('qv')} AS qbucket FROM q),
+            b AS (SELECT vec_id, embedding,
+                         {_d_hyperplane_bucket('embedding')} AS bucket
+                  FROM embeddings),
+            ap AS (SELECT vec_id
+                   FROM b, q, qb WHERE bucket = qbucket
+                   ORDER BY round({_d_cos('embedding', 'qv')}, 4) DESC,
+                            vec_id LIMIT 10),
+            h AS (SELECT count(*) AS n_hit FROM brute
+                  WHERE vec_id IN (SELECT vec_id FROM ap)),
+            n AS (SELECT count(*) AS n_returned FROM ap)
+            SELECT CAST(10 AS BIGINT) AS k,
+                   CAST(n.n_returned AS BIGINT) AS n_returned,
+                   CAST(h.n_hit AS BIGINT) AS n_hit,
+                   CAST(h.n_hit * 1000000 // 10 AS BIGINT) AS recall_e6
+            FROM h, n
+        """,
         "ann_topk": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, round({_d_cos('embedding', 'qv')}, 4) AS cos
