@@ -3096,6 +3096,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("score_e6").cast("long").alias("score_e6"),
         )
 
+    def phrase_search_q(spark, sf):
+        # exact-phrase retrieval over the positional index: the
+        # positional-join form, postings pruned to the phrase's words
+        from boilerplate_buster_spark.operators.search import (
+            phrase_search,
+            positional_index,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 300)
+        return phrase_search(positional_index(docs), ["part", "filter"])
+
     def bm25_search_q(spark, sf):
         # Okapi BM25 (k1=1.2, b=0.75) over the same postings, OR
         # semantics: exact integer surface (rational idf, milli-unit
@@ -3746,6 +3757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         inverted_index=inverted_index_q,
         term_search=term_search,
         bm25_search=bm25_search_q,
+        phrase_search=phrase_search_q,
         doc_chunks=doc_chunks,
         sentences=sentences,
         readability_scores=readability_scores,
@@ -6174,6 +6186,22 @@ def oracle_sql() -> dict[str, str]:
                      AS score_e6
             FROM p JOIN d USING (term)
             GROUP BY p.doc_id HAVING count(*) = 3
+        """,
+        # exact phrase 'part filter': consecutive-position join
+        "phrase_search": """
+            WITH t AS (SELECT doc_id, u.i - 1 AS pos, tt[u.i] AS term
+                       FROM (SELECT doc_id, string_split(text, ' ') AS tt
+                             FROM documents WHERE doc_id < 300) d,
+                            unnest(generate_series(1, len(tt))) AS u(i)),
+            a AS (SELECT doc_id, pos AS pos0 FROM t WHERE term = 'part'),
+            b AS (SELECT doc_id, pos - 1 AS pos0 FROM t
+                  WHERE term = 'filter'),
+            m AS (SELECT a.doc_id, a.pos0 FROM a JOIN b
+                    ON a.doc_id = b.doc_id AND a.pos0 = b.pos0)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_matches,
+                   CAST(min(pos0) AS BIGINT) AS first_pos
+            FROM m GROUP BY doc_id
         """,
         # Okapi BM25, OR semantics, exact integer surface mirroring
         # search.bm25_search (rational idf, k1/b in milli-units, idf log

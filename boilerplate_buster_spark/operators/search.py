@@ -151,3 +151,47 @@ def search_terms(
     if require_all:
         agg = agg.filter(F.col("n_hit") == len(qterms))
     return agg
+
+
+def positional_index(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """(term, doc_id, pos): positional postings (0-based token offsets) -
+    the index shape exact-phrase and proximity queries need.  One
+    posexplode in the scan; the (term, doc, pos) stream shuffles once if
+    persisted bucketed-by-term (sinks.write_bucketed)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col).alias("pos", "term"),
+    ).select("term", "doc_id", "pos")
+
+
+def phrase_search(
+    index: DataFrame, phrase: list[str]
+) -> DataFrame:
+    """(doc_id, n_matches, first_pos): documents containing the EXACT
+    consecutive phrase, with occurrence count and first hit offset.
+    Implementation is the classic positional-join: postings of word k
+    must sit at pos0 + k; every join is pruned to the phrase's own
+    postings by the IN-list first, and joins key on (doc_id, pos) -
+    matched-rows-bounded, never corpus-bounded."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    terms = list(phrase)
+    base = (
+        index.filter(F.col("term") == terms[0])
+        .select("doc_id", F.col("pos").alias("pos0"))
+    )
+    for k, t in enumerate(terms[1:], start=1):
+        nxt = index.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - k).alias("pos0")
+        )
+        base = base.join(nxt, ["doc_id", "pos0"])
+    return base.groupBy("doc_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min("pos0").alias("first_pos"),
+    ).select(
+        "doc_id",
+        F.col("n_matches").cast("long"),
+        F.col("first_pos").cast("long"),
+    )

@@ -139,3 +139,27 @@ def test_bm25_require_all(spark):
         inverted_index(docs), dl, ["a", "b"], 2, 3, require_all=True
     ).collect()
     assert [r.doc_id for r in got] == [1]
+
+
+def test_phrase_search_positions(spark):
+    from boilerplate_buster_spark.operators.search import (
+        phrase_search,
+        positional_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b".split()),   # 'a b' twice, first at 0
+            (2, "b a".split()),         # reversed: no match
+            (3, "a x b".split()),       # gap: no match
+        ],
+        ["doc_id", "tokens"],
+    )
+    idx = positional_index(docs)
+    got = {r.doc_id: (r.n_matches, r.first_pos)
+           for r in phrase_search(idx, ["a", "b"]).collect()}
+    assert got == {1: (2, 0)}
+    # 3-word phrase crosses two joins
+    got3 = {r.doc_id: (r.n_matches, r.first_pos)
+            for r in phrase_search(idx, ["c", "a", "b"]).collect()}
+    assert got3 == {1: (1, 2)}
