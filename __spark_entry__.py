@@ -3107,6 +3107,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf).filter(F.col("doc_id") < 300)
         return phrase_search(positional_index(docs), ["part", "filter"])
 
+    def near_search(spark, sf):
+        # NEAR-operator retrieval: 'spark' within 5 positions of 'merge'
+        from boilerplate_buster_spark.operators.search import (
+            positional_index,
+            proximity_search,
+        )
+
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 300)
+        return proximity_search(
+            positional_index(docs), "spark", "merge", window=5
+        )
+
     def bm25_search_q(spark, sf):
         # Okapi BM25 (k1=1.2, b=0.75) over the same postings, OR
         # semantics: exact integer surface (rational idf, milli-unit
@@ -3758,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         term_search=term_search,
         bm25_search=bm25_search_q,
         phrase_search=phrase_search_q,
+        near_search=near_search,
         doc_chunks=doc_chunks,
         sentences=sentences,
         readability_scores=readability_scores,
@@ -6186,6 +6199,22 @@ def oracle_sql() -> dict[str, str]:
                      AS score_e6
             FROM p JOIN d USING (term)
             GROUP BY p.doc_id HAVING count(*) = 3
+        """,
+        # NEAR(spark, merge, 5): position-pair join, either order
+        "near_search": """
+            WITH t AS (SELECT doc_id, u.i - 1 AS pos, tt[u.i] AS term
+                       FROM (SELECT doc_id, string_split(text, ' ') AS tt
+                             FROM documents WHERE doc_id < 300) d,
+                            unnest(generate_series(1, len(tt))) AS u(i)),
+            a AS (SELECT doc_id, pos AS pa FROM t WHERE term = 'spark'),
+            b AS (SELECT doc_id, pos AS pb FROM t WHERE term = 'merge'),
+            m AS (SELECT a.doc_id, abs(a.pa - b.pb) AS dist
+                  FROM a JOIN b ON a.doc_id = b.doc_id
+                  WHERE abs(a.pa - b.pb) <= 5 AND a.pa != b.pb)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(min(dist) AS BIGINT) AS min_dist
+            FROM m GROUP BY doc_id
         """,
         # exact phrase 'part filter': consecutive-position join
         "phrase_search": """

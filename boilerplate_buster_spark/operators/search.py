@@ -195,3 +195,27 @@ def phrase_search(
         F.col("n_matches").cast("long"),
         F.col("first_pos").cast("long"),
     )
+
+
+def proximity_search(
+    index: DataFrame, term_a: str, term_b: str, window: int = 5
+) -> DataFrame:
+    """(doc_id, n_pairs, min_dist): documents where `term_a` and `term_b`
+    occur within `window` token positions (either order), with the pair
+    count and the closest distance - the NEAR operator of classic IR.
+    Same positional-join economics as phrase_search: both posting sets
+    are IN-list-pruned before the (doc-keyed) join; the join output is
+    bounded by per-doc occurrence products of TWO terms, never corpus."""
+    a = index.filter(F.col("term") == term_a).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = index.filter(F.col("term") == term_b).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    pairs = a.join(b, "doc_id").filter(
+        F.expr(f"abs(pa - pb) <= {int(window)} AND pa != pb")
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("min(abs(pa - pb))").cast("long").alias("min_dist"),
+    )

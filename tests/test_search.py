@@ -163,3 +163,26 @@ def test_phrase_search_positions(spark):
     got3 = {r.doc_id: (r.n_matches, r.first_pos)
             for r in phrase_search(idx, ["c", "a", "b"]).collect()}
     assert got3 == {1: (1, 2)}
+
+
+def test_proximity_search_window_and_order(spark):
+    from boilerplate_buster_spark.operators.search import (
+        positional_index,
+        proximity_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x a y y b".split()),   # dist 3, within 5
+            (2, "b x x x x x a".split()),  # dist 6: outside window, order flipped
+            (3, "a b".split()),         # dist 1
+        ],
+        ["doc_id", "tokens"],
+    )
+    idx = positional_index(docs)
+    got = {r.doc_id: (r.n_pairs, r.min_dist)
+           for r in proximity_search(idx, "a", "b", window=5).collect()}
+    assert got == {1: (1, 3), 3: (1, 1)}
+    # widening the window admits doc 2 (order-insensitive)
+    wide = {r.doc_id for r in proximity_search(idx, "a", "b", window=6).collect()}
+    assert wide == {1, 2, 3}
