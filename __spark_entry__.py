@@ -619,6 +619,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def jaccard_pairs(spark, sf):
         return dedup.jaccard_verified_pairs(_dedup_union(spark, sf), threshold=0.8)
 
+    def source_overlap(spark, sf):
+        # cross-source duplication audit: how many exact text
+        # fingerprints each source PAIR shares (every 4th doc is mirrored
+        # into a second source so the overlap is non-trivial)
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "source", "text")
+        )
+        mirrored = docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.lit("mirror_"), F.col("source")).alias("source"),
+            "text",
+        )
+        uni = docs.unionByName(mirrored)
+        fps = uni.select("source", F.md5("text").alias("fp")).distinct()
+        a = fps.select(F.col("source").alias("source_a"), "fp")
+        b = fps.select(F.col("source").alias("source_b"), "fp")
+        return (
+            a.join(b, "fp")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").alias("n_shared"))
+        )
+
+    def minhash_accuracy(spark, sf):
+        # sketch-accuracy certification: the minhash coordinate-match
+        # estimate vs exact Jaccard on every LSH candidate pair, with
+        # the signed error in millionths
+        uni = _dedup_union(spark, sf)
+        sig = dedup.minhash_signature(uni)
+        k = dedup.DEFAULT_K
+        cand = dedup.lsh_candidate_pairs(uni)
+        sa = sig.select(
+            F.col("doc_id").alias("doc_a"),
+            F.array(*[f"mh_{j}" for j in range(k)]).alias("sig_a"),
+        )
+        sb = sig.select(
+            F.col("doc_id").alias("doc_b"),
+            F.array(*[f"mh_{j}" for j in range(k)]).alias("sig_b"),
+        )
+        sh = uni.select(
+            "doc_id", F.expr(dedup.shingles_expr("tokens", 3)).alias("sh")
+        )
+        out = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .join(sh.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("sh", "sh_a"), "doc_a")
+            .join(sh.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("sh", "sh_b"), "doc_b")
+        )
+        est = (
+            f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"
+            f" * 1000000 div {k}"
+        )
+        true = (
+            "size(array_intersect(sh_a, sh_b)) * 1000000"
+            " div greatest(size(array_union(sh_a, sh_b)), 1)"
+        )
+        return out.select(
+            "doc_a",
+            "doc_b",
+            F.expr(est).cast("long").alias("est_e6"),
+            F.expr(true).cast("long").alias("true_e6"),
+            F.expr(f"({est}) - ({true})").cast("long").alias("err_e6"),
+        )
+
     def lsh_recall(spark, sf):
         # banding-parameter certification: exact all-pairs Jaccard truth
         # (integer cross-multiplied threshold 0.5) vs the LSH candidate
@@ -3654,6 +3722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         minhash_bands=minhash_bands,
         lsh_pairs=lsh_pairs,
         lsh_recall=lsh_recall,
+        source_overlap=source_overlap,
+        minhash_accuracy=minhash_accuracy,
         containment_dups=containment_dups,
         best_quality_survivors=best_quality_survivors,
         langid_confusion=langid_confusion,
@@ -3877,6 +3947,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
             WHERE a.doc_id < b.doc_id
+        """,
+        # cross-source duplication audit; every 4th doc mirrored
+        "source_overlap": """
+            WITH d AS (SELECT doc_id, source, text FROM documents
+                       WHERE doc_id < 200),
+            uni AS (SELECT source, text FROM d
+                    UNION ALL
+                    SELECT 'mirror_' || source, text FROM d
+                    WHERE doc_id % 4 = 0),
+            fps AS (SELECT DISTINCT source, md5(text) AS fp FROM uni)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.source < b.source
+            GROUP BY a.source, b.source
+        """,
+        # minhash estimator accuracy on candidates: coordinate-match
+        # fraction vs exact Jaccard, signed error
+        "minhash_accuracy": f"""
+            WITH {_d_minhash_sig_sql(_D_UNI)},
+            bands AS ({_d_bands_select()}),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket
+                     WHERE a.doc_id < b.doc_id),
+            j AS (SELECT c.doc_a, c.doc_b,
+                    ({' + '.join(
+                        f'CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END'
+                        for j in range(dedup.DEFAULT_K)
+                    )}) * 1000000 // {dedup.DEFAULT_K} AS est_e6,
+                    len(list_intersect(ha.s, hb.s)) * 1000000
+                      // greatest(len(list_distinct(
+                           list_concat(ha.s, hb.s))), 1) AS true_e6
+                  FROM cand c
+                  JOIN sig sa ON sa.doc_id = c.doc_a
+                  JOIN sig sb ON sb.doc_id = c.doc_b
+                  JOIN sh ha ON ha.doc_id = c.doc_a
+                  JOIN sh hb ON hb.doc_id = c.doc_b)
+            SELECT doc_a, doc_b,
+                   CAST(est_e6 AS BIGINT) AS est_e6,
+                   CAST(true_e6 AS BIGINT) AS true_e6,
+                   CAST(est_e6 - true_e6 AS BIGINT) AS err_e6
+            FROM j
         """,
         # LSH blocking certification: exact integer-threshold truth vs
         # candidates; single summary row
