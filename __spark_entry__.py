@@ -1961,6 +1961,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("j").isNull() | F.col("j.id").isNull()).alias("corrupt"),
         )
 
+    def control_chars(spark, sf):
+        # crawl-text sanitation: strip C0 control characters (tab and
+        # newline kept); every 6th doc carries injected BEL/NUL/VT bytes
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 200)
+            .select(
+                "doc_id",
+                F.expr(
+                    "concat(text, IF(doc_id % 6 = 0, "
+                    "concat(chr(7), 'x', chr(0), chr(11)), ''))"
+                ).alias("raw"),
+            )
+        )
+        pat = "[\\\\x00-\\\\x08\\\\x0b\\\\x0c\\\\x0e-\\\\x1f]"
+        return docs.select(
+            "doc_id",
+            F.expr(f"length(raw) - length(regexp_replace(raw, '{pat}', ''))")
+            .cast("long")
+            .alias("n_control"),
+            F.md5(F.expr(f"regexp_replace(raw, '{pat}', '')")).alias(
+                "clean_md5"
+            ),
+        )
+
+    def sample_estimate(spark, sf):
+        # estimation certification: hash-sampled (rate 1/8) token-count
+        # estimate vs the exact total, signed error in millionths -
+        # the cheap-census primitive with its accuracy ON the record
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 300)
+        h = text_stats.h60("CAST(doc_id AS string)")
+        agg = docs.select(
+            F.size("tokens").cast("long").alias("n"),
+            F.expr(f"pmod({h}, 8) = 0").alias("in_sample"),
+        ).agg(
+            F.sum("n").alias("exact_tokens"),
+            F.sum(F.expr("IF(in_sample, n, 0)")).alias("sample_tokens"),
+            F.sum(F.expr("IF(in_sample, 1, 0)")).alias("n_sampled"),
+            F.count("*").alias("n_docs"),
+        )
+        return agg.select(
+            F.col("n_docs").cast("long"),
+            F.col("n_sampled").cast("long"),
+            F.col("exact_tokens").cast("long"),
+            (F.col("sample_tokens") * 8).cast("long").alias("est_tokens"),
+            F.expr(
+                "(sample_tokens * 8 - exact_tokens) * 1000000"
+                " div greatest(exact_tokens, 1)"
+            ).cast("long").alias("err_e6"),
+        )
+
     def aug_word_dropout(spark, sf):
         # reproducible 10% word dropout: hash-coin per (doc, pos, tag)
         from boilerplate_buster_spark.operators.augment import word_dropout
@@ -3807,6 +3858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         page_outline=page_outline,
         doc_dates=doc_dates,
         jsonl_parse=jsonl_parse,
+        control_chars=control_chars,
+        sample_estimate=sample_estimate,
         aug_word_dropout=aug_word_dropout,
         aug_span_infilling=aug_span_infilling,
         hll_sketch=hll_sketch,
@@ -5385,6 +5438,40 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         # recrawl snapshot versioning: same per-url windows in DuckDB
+        # C0 control-char sanitation (tab/newline kept), md5-pinned
+        "control_chars": """
+            WITH d AS (SELECT doc_id,
+                         text || CASE WHEN doc_id % 6 = 0
+                           THEN chr(7) || 'x' || chr(0) || chr(11)
+                           ELSE '' END AS raw
+                       FROM documents WHERE doc_id < 200)
+            SELECT doc_id,
+                   CAST(length(raw) - length(regexp_replace(raw,
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))
+                     AS BIGINT) AS n_control,
+                   md5(regexp_replace(raw,
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))
+                     AS clean_md5
+            FROM d
+        """,
+        # hash-sample (1/8) token-census estimate vs exact, signed error
+        "sample_estimate": f"""
+            WITH d AS (SELECT doc_id,
+                         len(string_split(text, ' ')) AS n,
+                         ({_dh60("CAST(doc_id AS VARCHAR)")}) % 8 = 0
+                           AS in_s
+                       FROM documents WHERE doc_id < 300)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_sampled,
+                   CAST(sum(n) AS BIGINT) AS exact_tokens,
+                   CAST(sum(CASE WHEN in_s THEN n ELSE 0 END) * 8
+                        AS BIGINT) AS est_tokens,
+                   CAST((sum(CASE WHEN in_s THEN n ELSE 0 END) * 8
+                         - sum(n)) * 1000000 // greatest(sum(n), 1)
+                        AS BIGINT) AS err_e6
+            FROM d
+        """,
         # JSONL line parsing, PERMISSIVE: truncated lines -> corrupt
         # with null fields (json_valid gates the extraction)
         "jsonl_parse": """
