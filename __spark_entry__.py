@@ -135,6 +135,65 @@ def _d_bands_select(k: int = dedup.DEFAULT_K, bands: int = dedup.DEFAULT_BANDS) 
     return " UNION ALL ".join(selects)
 
 
+def _d_lsh_tuning_sql(
+    configs: tuple[tuple[int, int], ...] = (
+        (12, 2), (12, 4), (12, 6), (24, 8), (24, 12),
+    ),
+    thresholds: tuple[int, ...] = (500000, 800000),
+) -> str:
+    """Oracle twin of dedup.lsh_tuning_eval: one signature CTE at max(k)
+    (coordinate j is H(shingle||'#j') regardless of k, so smaller-k configs
+    read a prefix), a bands/cand CTE per config, one summary row per
+    (config, threshold)."""
+    k_max = max(k for k, _ in configs)
+    ctes = [
+        "base AS (SELECT doc_id, string_split(text, ' ') AS t "
+        "FROM documents WHERE doc_id < 50)",
+        "toks AS (SELECT doc_id, t FROM base "
+        "UNION ALL SELECT doc_id + 100000, t FROM base "
+        "UNION ALL SELECT doc_id + 200000, "
+        "t[1 : greatest((len(t) * 3) // 5, 3)] FROM base)",
+        _d_minhash_sig_sql(None, k=k_max),
+        "truth AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, "
+        "len(list_intersect(sa.s, sb.s)) * 1000000 "
+        "// greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1) AS jac_e6 "
+        "FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id "
+        "WHERE len(sa.s) >= 1 AND len(sb.s) >= 1)",
+    ]
+    selects = []
+    for ck, cb in configs:
+        ctes.append(f"bands_{ck}_{cb} AS ({_d_bands_select(k=ck, bands=cb)})")
+        ctes.append(
+            f"cand_{ck}_{cb} AS (SELECT DISTINCT a.doc_id AS doc_a, "
+            f"b.doc_id AS doc_b FROM bands_{ck}_{cb} a JOIN bands_{ck}_{cb} b "
+            f"ON a.band = b.band AND a.bucket = b.bucket "
+            f"WHERE a.doc_id < b.doc_id)"
+        )
+        ctes.append(
+            f"nc_{ck}_{cb} AS (SELECT count(*) AS n_cand FROM cand_{ck}_{cb})"
+        )
+        for t in thresholds:
+            selects.append(
+                f"SELECT CAST({ck} AS BIGINT) AS k, "
+                f"CAST({cb} AS BIGINT) AS bands, "
+                f"CAST({t} AS BIGINT) AS threshold_e6, "
+                f"CAST(m.n_true AS BIGINT) AS n_true, "
+                f"CAST(nc.n_cand AS BIGINT) AS n_candidates, "
+                f"CAST(m.n_hit AS BIGINT) AS n_true_candidates, "
+                f"CAST(m.n_hit * 1000000 // greatest(m.n_true, 1) AS BIGINT) "
+                f"AS recall_e6, "
+                f"CAST(m.n_hit * 1000000 // greatest(nc.n_cand, 1) AS BIGINT) "
+                f"AS precision_e6 "
+                f"FROM (SELECT count(*) AS n_true, "
+                f"coalesce(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0) "
+                f"AS n_hit FROM truth t "
+                f"LEFT JOIN cand_{ck}_{cb} c "
+                f"ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b "
+                f"WHERE t.jac_e6 >= {t}) m, nc_{ck}_{cb} nc"
+            )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
 _D_DOCS_TOKS = "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"
 _D_UNI = (
     "base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50), "
@@ -405,6 +464,66 @@ def _d_hyperplane_bucket(vec: str, planes: int = 6, dim: int = _EMB_DIM) -> str:
         )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def _d_ann_sweep_sql(
+    clustered: bool = False,
+    n_queries: int = 20,
+    k: int = 10,
+    radii: tuple[int, ...] = (0, 1, 2, 3),
+) -> str:
+    """Oracle twin of ann.multiprobe_recall_sweep (optionally over the
+    planted-cluster corpus of ann.planted_cluster_vectors)."""
+    if clustered:
+        src = (
+            "cent AS (SELECT vec_id AS cid, embedding AS cv "
+            "FROM embeddings WHERE vec_id < 8), "
+            "e AS (SELECT e0.vec_id, "
+            "list_transform(generate_series(1, len(e0.embedding)), "
+            "i -> cent.cv[i]::DOUBLE + 0.15::DOUBLE * e0.embedding[i]::DOUBLE) "
+            "AS embedding "
+            "FROM embeddings e0 JOIN cent ON e0.vec_id % 8 = cent.cid)"
+        )
+    else:
+        src = "e AS (SELECT vec_id, embedding FROM embeddings)"
+    bucket = _d_hyperplane_bucket("embedding")
+    radii_lit = ", ".join(str(int(r)) for r in radii)
+    return f"""
+        WITH {src},
+        b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM e),
+        q AS (SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+              FROM b WHERE vec_id < {n_queries}),
+        x AS (SELECT q.qid, b.vec_id,
+                     round({_d_cos('b.embedding', 'q.qv')}, 4) AS cos,
+                     bit_count(xor(CAST(b.bucket AS BIGINT),
+                                   CAST(q.qbucket AS BIGINT))) AS d
+              FROM b, q),
+        brute AS (SELECT qid, vec_id FROM
+                    (SELECT qid, vec_id, row_number() OVER
+                       (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+                     FROM x)
+                  WHERE rn <= {k}),
+        r AS (SELECT unnest([{radii_lit}]) AS radius),
+        x2 AS (SELECT r.radius, x.qid, x.vec_id, x.cos
+               FROM x, r WHERE x.d <= r.radius),
+        ap AS (SELECT radius, qid, vec_id FROM
+                 (SELECT radius, qid, vec_id, row_number() OVER
+                    (PARTITION BY qid, radius ORDER BY cos DESC, vec_id) AS rn
+                  FROM x2)
+               WHERE rn <= {k}),
+        h AS (SELECT radius, count(*) AS n_hits
+              FROM ap JOIN brute USING (qid, vec_id) GROUP BY radius),
+        nc AS (SELECT radius, count(*) AS total_cand FROM x2 GROUP BY radius)
+        SELECT CAST(r.radius AS BIGINT) AS radius,
+               CAST({n_queries} AS BIGINT) AS n_queries,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.n_hits, 0) * 1000000 // {n_queries * k}
+                    AS BIGINT) AS recall_e6,
+               CAST(coalesce(nc.total_cand, 0) // {n_queries}
+                    AS BIGINT) AS avg_candidates
+        FROM r LEFT JOIN h ON r.radius = h.radius
+        LEFT JOIN nc ON r.radius = nc.radius
+    """
 
 
 def _d_url_canonical_sql() -> str:
@@ -710,6 +829,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         uni = base.unionByName(clone).unionByName(part)
         return dedup.lsh_recall_eval(uni, threshold_e6=500000)
+
+    def lsh_tuning(spark, sf):
+        # OPERATING-POINT certification sweep: one row per ((k, bands),
+        # truth threshold) over the same calibration corpus as
+        # lsh_recall.  The signature is computed once at k=24; every
+        # config's bands come from one explode + one groupBy.  The
+        # production default (PRODUCTION_K=24, PRODUCTION_BANDS=12) is
+        # the config this table certifies at recall >= 0.9 for
+        # threshold-0.5 blocking (measured 1.0 on this corpus).
+        base = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", "tokens")
+        )
+        part = base.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.expr(
+                "slice(tokens, 1, greatest(cast(size(tokens) * 3 div 5 AS int), 3))"
+            ).alias("tokens"),
+        )
+        clone = base.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "tokens"
+        )
+        uni = base.unionByName(clone).unionByName(part)
+        return dedup.lsh_tuning_eval(uni)
 
     def containment_dups(spark, sf):
         # containment-verified dedup: the 60%-prefix excerpts have
@@ -1169,6 +1313,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             )
         )
+
+    def ann_multiprobe_recall(spark, sf):
+        # MULTI-PROBE certification: recall@10 when the query probes its
+        # own bucket plus every Hamming-1 neighbor (probes=7 at planes=6
+        # - the production retrieval default; single-probe is the
+        # candidate-economy floor, this is the recall commitment).
+        qv = _query_vec(spark, sf)
+        e = _emb(spark, sf)
+        brute = ann.cosine_topk(e, qv, k=10).select("vec_id")
+        approx = ann.ann_lsh_topk(e, qv, k=10, probes=7)
+        hits = brute.join(approx.select("vec_id"), "vec_id").agg(
+            F.count("*").alias("n_hit")
+        )
+        nb = approx.agg(F.count("*").alias("n_returned"))
+        return (
+            hits.crossJoin(nb)
+            .select(
+                F.lit(10).cast("long").alias("k"),
+                F.lit(7).cast("long").alias("probes"),
+                F.col("n_returned").cast("long"),
+                F.col("n_hit").cast("long"),
+                F.expr("n_hit * 1000000 div 10").cast("long").alias(
+                    "recall_e6"
+                ),
+            )
+        )
+
+    def ann_tuning(spark, sf):
+        # the multi-probe (recall, cost) curve on the ISOTROPIC synthetic
+        # embeddings - the adversarial worst case where recall tracks the
+        # scanned fraction (documented physics, see
+        # ann.multiprobe_recall_sweep)
+        return ann.multiprobe_recall_sweep(_emb(spark, sf))
+
+    def ann_clustered_recall(spark, sf):
+        # the same sweep on a deterministic planted-cluster corpus (real
+        # embeddings are clustered): certifies the radius-1 multi-probe
+        # production default at recall >= 0.9 with a ~1/5 scan fraction
+        ec = ann.planted_cluster_vectors(_emb(spark, sf))
+        return ann.multiprobe_recall_sweep(ec)
 
     def multimodal_resize(spark, sf):
         from boilerplate_buster_spark.operators import multimodal
@@ -3773,6 +3957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         minhash_bands=minhash_bands,
         lsh_pairs=lsh_pairs,
         lsh_recall=lsh_recall,
+        lsh_tuning=lsh_tuning,
         source_overlap=source_overlap,
         minhash_accuracy=minhash_accuracy,
         containment_dups=containment_dups,
@@ -3811,6 +3996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         extract_pages=extract_pages,
         ann_lsh=ann_lsh,
         ann_recall=ann_recall,
+        ann_multiprobe_recall=ann_multiprobe_recall,
+        ann_tuning=ann_tuning,
+        ann_clustered_recall=ann_clustered_recall,
         multimodal_resize=multimodal_resize,
         multimodal_frames=multimodal_frames,
         multimodal_features=multimodal_features,
@@ -4081,6 +4269,9 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS precision_e6
             FROM m, nc
         """,
+        # (k, bands) operating-point sweep over the same calibration
+        # corpus: one row per (config, threshold)
+        "lsh_tuning": _d_lsh_tuning_sql(),
         # containment on LSH candidates over the prefix-clone corpus
         "containment_dups": f"""
             WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -4234,6 +4425,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(h.n_hit * 1000000 // 10 AS BIGINT) AS recall_e6
             FROM h, n
         """,
+        # multi-probe ANN recall@10: query bucket + every Hamming-1
+        # neighbor (xor of the two bucket ids is 0 or a power of two)
+        "ann_multiprobe_recall": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            brute AS (SELECT vec_id
+                      FROM embeddings, q
+                      ORDER BY round({_d_cos('embedding', 'qv')}, 4) DESC,
+                               vec_id LIMIT 10),
+            qb AS (SELECT {_d_hyperplane_bucket('qv')} AS qbucket FROM q),
+            b AS (SELECT vec_id, embedding,
+                         {_d_hyperplane_bucket('embedding')} AS bucket
+                  FROM embeddings),
+            ap AS (SELECT vec_id
+                   FROM b, q, qb
+                   WHERE xor(bucket, qbucket) IN (0, 1, 2, 4, 8, 16, 32)
+                   ORDER BY round({_d_cos('embedding', 'qv')}, 4) DESC,
+                            vec_id LIMIT 10),
+            h AS (SELECT count(*) AS n_hit FROM brute
+                  WHERE vec_id IN (SELECT vec_id FROM ap)),
+            n AS (SELECT count(*) AS n_returned FROM ap)
+            SELECT CAST(10 AS BIGINT) AS k,
+                   CAST(7 AS BIGINT) AS probes,
+                   CAST(n.n_returned AS BIGINT) AS n_returned,
+                   CAST(h.n_hit AS BIGINT) AS n_hit,
+                   CAST(h.n_hit * 1000000 // 10 AS BIGINT) AS recall_e6
+            FROM h, n
+        """,
+        # multi-probe (recall, cost) curve: isotropic worst case and the
+        # planted-cluster corpus certifying the radius-1 default
+        "ann_tuning": _d_ann_sweep_sql(clustered=False),
+        "ann_clustered_recall": _d_ann_sweep_sql(clustered=True),
         "ann_topk": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, round({_d_cos('embedding', 'qv')}, 4) AS cos

@@ -142,6 +142,121 @@ def ann_lsh_topk(
     )
 
 
+def multiprobe_recall_sweep(
+    emb: DataFrame,
+    n_queries: int = 20,
+    planes: int = 6,
+    dim: int = 64,
+    radii: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(radius, n_queries, n_hits, recall_e6, avg_candidates): the
+    multi-probe OPERATING-POINT CURVE - mean recall@k over the first
+    `n_queries` vectors when the probe set is every bucket within Hamming
+    distance `radius` of the query's own sign-LSH bucket (radius 0 =
+    single probe, radius 1 = the probes=1+planes production default of
+    ann_lsh_topk, ..).  avg_candidates is the per-query scan cost, so
+    each row is a (recall, cost) point on the certification curve.
+
+    EVALUATION operator: the per-query exact top-k truth makes this a
+    bounded-calibration query (n_queries x corpus), never a corpus-scale
+    job.  Honest-physics note: on ISOTROPIC vectors (the synthetic
+    testdata) recall is bounded by the scanned fraction - near-neighbors
+    of a random query are spread uniformly over buckets; the economical
+    operating points only exist on clustered data (real embeddings; see
+    the ann_clustered_recall query, which certifies radius 1 at recall
+    >= 0.9 on a planted-cluster corpus)."""
+    bucket = hyperplane_bucket_expr(vec_col, planes, dim)
+    from pyspark.sql import Window
+
+    b = emb.select(F.col(id_col), F.col(vec_col), F.expr(bucket).alias("bucket"))
+    q = b.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    x = b.crossJoin(F.broadcast(q)).select(
+        "qid",
+        F.col(id_col),
+        F.expr(f"round({cosine_expr(vec_col, 'qv')}, 4)").alias("cos"),
+        F.expr("bit_count(bucket ^ qbucket)").alias("d"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col(id_col))
+    brute = (
+        x.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col)
+    )
+    radii_arr = ", ".join(str(int(r)) for r in radii)
+    x2 = x.select(
+        "qid", id_col, "cos", "d",
+        F.explode(F.expr(f"array({radii_arr})")).alias("radius"),
+    ).filter(F.col("d") <= F.col("radius"))
+    wr = Window.partitionBy("qid", "radius").orderBy(
+        F.desc("cos"), F.col(id_col)
+    )
+    ap = (
+        x2.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= k)
+        .select("radius", "qid", id_col)
+    )
+    hits = ap.join(brute, ["qid", id_col]).groupBy("radius").agg(
+        F.count("*").alias("n_hits")
+    )
+    ncand = x2.groupBy("radius").agg(F.count("*").alias("total_cand"))
+    grid = emb.sparkSession.createDataFrame(
+        [(int(r),) for r in radii], "radius int"
+    )
+    nq = int(n_queries)
+    return (
+        grid.join(hits, "radius", "left")
+        .join(ncand, "radius", "left")
+        .select(
+            F.col("radius").cast("long"),
+            F.lit(nq).cast("long").alias("n_queries"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(f"coalesce(n_hits, 0) * 1000000 div {nq * int(k)}")
+            .cast("long").alias("recall_e6"),
+            F.expr(f"coalesce(total_cand, 0) div {nq}")
+            .cast("long").alias("avg_candidates"),
+        )
+    )
+
+
+def planted_cluster_vectors(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    noise_e2: int = 15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding): a deterministic CLUSTERED twin of an isotropic
+    embedding table - vector i becomes center(i mod n_clusters) +
+    (noise_e2/100) * original_i, where the centers are the first
+    n_clusters vectors.  Cosine is scale-invariant, so no normalization
+    is needed and every arithmetic step is exact double IEEE in both
+    engines.  Used by the ANN certification queries to measure recall on
+    data with real neighbor structure (web/LLM embeddings are clustered;
+    the isotropic synthetic table is the adversarial worst case)."""
+    cent = emb.filter(F.col(id_col) < n_clusters).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    scale = int(noise_e2) / 100.0
+    return (
+        emb.withColumn("cid", F.expr(f"{id_col} % {int(n_clusters)}"))
+        .join(F.broadcast(cent), "cid")
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"zip_with(cv, {vec_col}, (a, b) -> "
+                f"cast(a AS double) + {scale}D * cast(b AS double))"
+            ).alias(vec_col),
+        )
+    )
+
+
 def _lit_vec(v: list[float]) -> str:
     return "array(" + ", ".join(f"cast({float(x)} AS double)" for x in v) + ")"
 
@@ -613,6 +728,11 @@ def kmeans_quantized(
     # quantized vectors (seed scan + iters assignments + final labeling) -
     # without the cache each action re-runs the source scan end-to-end
     seeds = q.orderBy(id_col).limit(int(k)).collect()
+    if len(seeds) < int(k):
+        q.unpersist()
+        raise ValueError(
+            f"kmeans_quantized: k={k} but only {len(seeds)} vectors in input"
+        )
     cents: list[list[int]] = [[int(x) for x in r["q"]] for r in seeds]
     dim = len(cents[0])
     for _ in range(int(iters)):
@@ -641,6 +761,12 @@ def kmeans_quantized(
         F.expr(assign).alias("cluster_id"),
         F.expr(f"array_min({darr})").alias("dist"),
     )
+    # Materialize the final labeling off the cached vectors, then release
+    # the cache - repeated invocations (bench reps) must not accumulate
+    # MEMORY_AND_DISK blocks.  The checkpointed assignments are 3 scalar
+    # columns (far smaller than the vectors) and are GC'd with `out`.
+    out = out.localCheckpoint(eager=True)
+    q.unpersist()
     return out, cents
 
 

@@ -15,12 +15,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from boilerplate_buster_spark.operators.filters import _sql_lit
 from boilerplate_buster_spark.operators.text_stats import h60
 
 
 def _coin(id_col: str, tag: str, idx: str) -> str:
+    # tag is caller-supplied: escape it rather than trusting it quote-free
+    tag_lit = _sql_lit(f"#{tag}#", "spark")
     return h60(
-        f"concat(CAST({id_col} AS string), '#{tag}#', CAST({idx} AS string))"
+        f"concat(CAST({id_col} AS string), {tag_lit}, CAST({idx} AS string))"
     )
 
 
@@ -85,7 +88,8 @@ def span_infilling(
     parts = (
         f"filter(transform({t}, (x, i) -> "
         f"CASE WHEN NOT {m_i} THEN x "
-        f"WHEN {start_i} THEN '{mask_token}' END), x -> x IS NOT NULL)"
+        f"WHEN {start_i} THEN {_sql_lit(mask_token, 'spark')} END), "
+        f"x -> x IS NOT NULL)"
     )
     n_masked = (
         f"size(filter(sequence(0, size({t}) - 1), i -> {m_i}))"

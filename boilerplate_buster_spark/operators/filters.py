@@ -68,6 +68,16 @@ def _dial(dialect: str) -> dict[str, str]:
     raise ValueError(f"unknown dialect {dialect!r}")
 
 
+def _sql_lit(s: str, dialect: str) -> str:
+    """SQL string literal holding `s` verbatim, per dialect: DuckDB doubles
+    quotes (backslash is literal there); Spark backslash-escapes both.
+    Caller-supplied strings (badword lists, mask tokens) MUST pass through
+    here - an apostrophe in a blocklist word is common real-world input."""
+    if dialect == "duckdb":
+        return "'" + s.replace("'", "''") + "'"
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _rx(dialect: str, operand: str, pattern: str) -> str:
     if dialect == "duckdb":
         return f"regexp_matches({operand}, '{pattern}')"
@@ -175,7 +185,7 @@ def c4_exprs(
     )
     padded = f"concat(' ', replace(lower({t}), {d['nl']}, ' '), ' ')"
     if badwords:
-        bad_lit = ", ".join(f"'{w}'" for w in badwords)
+        bad_lit = ", ".join(_sql_lit(w, dialect) for w in badwords)
         bad_arr = f"[{bad_lit}]" if dialect == "duckdb" else f"array({bad_lit})"
         has_bad = (
             f"{d['size']}({d['flt']}({bad_arr}, "

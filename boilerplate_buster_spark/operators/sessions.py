@@ -56,7 +56,15 @@ def sessionize(
     whose gap to the user's previous event exceeds `gap_s` seconds (first
     event = session 1).  Rows with equal timestamps always share a session
     (their mutual gap is 0), so the assignment is deterministic regardless
-    of tie order within the sort."""
+    of tie order within the sort.
+
+    Boundary semantics: the split is STRICT (gap > gap_s keeps two events
+    exactly gap_s apart in ONE session), matching the SQL oracle.  Spark's
+    native ``session_window`` is inclusive-exclusive ([start, start+gap)),
+    so an event exactly gap_s after its predecessor starts a NEW session
+    there.  Cross-checks against session_window must therefore run on data
+    with no exact-gap ties (tests/test_streaming.py asserts that
+    precondition) or accept off-by-one session counts at the boundary."""
     gap_us = int(gap_s) * 1_000_000
     w = Window.partitionBy(user_col).orderBy("ts_us")
     with_ts = events.withColumn("ts_us", _micros(ts_col))

@@ -518,6 +518,108 @@ def test_lsh_recall_eval_bounds_and_exact_dup_recall(spark):
     assert r.n_candidates >= r.n_true_candidates
 
 
+def test_lsh_recall_eval_empty_truth_is_zero_not_null(spark):
+    # ADVICE r5: SUM over zero rows is NULL unless the aggregate itself is
+    # coalesced - an empty truth set must yield integer zeros like the oracle
+    from boilerplate_buster_spark.operators.dedup import lsh_recall_eval
+
+    docs = spark.createDataFrame(
+        [(1, ("a%d " * 12 % tuple(range(12))).split()),
+         (2, ("b%d " * 12 % tuple(range(12))).split())],
+        ["doc_id", "tokens"],
+    )
+    [r] = lsh_recall_eval(docs, threshold_e6=900000).collect()
+    assert r.n_true == 0
+    assert r.n_true_candidates == 0  # was NULL before the fix
+    assert r.recall_e6 == 0 and r.precision_e6 == 0
+
+
+def test_lsh_tuning_sweep_monotone_and_production_point(spark):
+    # the sweep over (k, bands) configs: within one k, more bands can only
+    # add buckets, so candidates and recall are monotone nondecreasing;
+    # the documented production point (24, 12) must certify recall >= 0.9
+    # at threshold 0.5 on the near-threshold calibration corpus
+    from boilerplate_buster_spark.operators.dedup import (
+        PRODUCTION_BANDS,
+        PRODUCTION_K,
+        lsh_tuning_eval,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("tokens"),
+    )
+    part = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr(
+            "slice(tokens, 1, greatest(cast(size(tokens) * 3 div 5 AS int), 3))"
+        ).alias("tokens"),
+    )
+    clone = base.select((F.col("doc_id") + 100000).alias("doc_id"), "tokens")
+    uni = base.unionByName(clone).unionByName(part)
+    rows = lsh_tuning_eval(uni).collect()
+    assert len(rows) == 10  # 5 configs x 2 thresholds
+    by = {(r.k, r.bands, r.threshold_e6): r for r in rows}
+    for t in (500000, 800000):
+        # n_true is config-independent
+        assert len({r.n_true for r in rows if r.threshold_e6 == t}) == 1
+        seq = [by[(12, b, t)] for b in (2, 4, 6)]
+        for a, b in zip(seq, seq[1:]):
+            assert b.n_candidates >= a.n_candidates
+            assert b.recall_e6 >= a.recall_e6
+    prod = by[(PRODUCTION_K, PRODUCTION_BANDS, 500000)]
+    assert prod.recall_e6 >= 900000, prod
+    # exact clones are always found at threshold 0.8 by every config
+    for (k, b, t), r in by.items():
+        if t == 800000:
+            assert r.recall_e6 == 1000000, (k, b, r)
+
+
+def test_multiprobe_sweep_monotone_and_clustered_certified(spark):
+    # radius widening only adds buckets: recall and cost are monotone;
+    # the planted-cluster corpus certifies the radius-1 production default
+    # at recall >= 0.9 while scanning a fraction of the corpus
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    iso = {r.radius: r for r in ann.multiprobe_recall_sweep(emb).collect()}
+    assert sorted(iso) == [0, 1, 2, 3]
+    for a, b in zip((0, 1, 2), (1, 2, 3)):
+        assert iso[b].recall_e6 >= iso[a].recall_e6
+        assert iso[b].avg_candidates >= iso[a].avg_candidates
+    clustered = ann.planted_cluster_vectors(emb)
+    cl = {
+        r.radius: r for r in ann.multiprobe_recall_sweep(clustered).collect()
+    }
+    n = emb.count()
+    assert cl[1].recall_e6 >= 900000, cl[1]
+    assert cl[1].avg_candidates <= n // 2  # economy, not a full scan
+    # clustered structure beats isotropic at every radius
+    for rad in (0, 1, 2):
+        assert cl[rad].recall_e6 > iso[rad].recall_e6
+
+
+def test_kmeans_quantized_rejects_k_above_n_and_releases_cache(spark):
+    import pytest
+
+    from boilerplate_buster_spark.operators.ann import kmeans_quantized
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="only 2 vectors"):
+        kmeans_quantized(emb, k=3, iters=1)
+    # the error path must not strand the cache either, and a normal call
+    # must release the quantized-vector persist: Dataset.persist registers
+    # in the SQL CacheManager, which holds STRONG refs until unpersist -
+    # the r5 leak surface (bench reps accumulated MEMORY_AND_DISK blocks)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cm.isEmpty()  # another fixture's cache is not ours to judge
+    out, cents = kmeans_quantized(emb, k=2, iters=1)
+    assert out.count() == 2 and len(cents) == 2
+    if was_empty:
+        assert cm.isEmpty(), "kmeans_quantized left a Dataset cached"
+
+
 def test_snapshot_diffs_add_remove_revert(spark):
     from boilerplate_buster_spark.operators.dedup import snapshot_diffs
 

@@ -118,6 +118,29 @@ def test_c4_badword_is_space_bounded(spark):
     assert dirty.first()["has_badword"] is True
 
 
+def test_c4_badword_with_apostrophe_and_backslash(spark):
+    # caller-supplied blocklist entries must be escaped, not interpolated
+    # raw: "ain't" (apostrophe) and a literal backslash word both parse
+    bw = ("ain't", "back\\slash")
+    dirty = c4_filters(
+        _doc(spark, C4_PAGE + "\nthat ain't right at all."), badwords=bw
+    )
+    assert dirty.first()["has_badword"] is True
+    clean = c4_filters(_doc(spark, C4_PAGE), badwords=bw)
+    assert clean.first()["has_badword"] is False
+    # the duckdb rendering of the same rule must be valid SQL too
+    import duckdb
+
+    from boilerplate_buster_spark.operators.filters import c4_exprs
+
+    exprs = dict(c4_exprs("text", bw, "duckdb"))
+    got = duckdb.sql(
+        f"SELECT {exprs['has_badword']} AS b FROM "
+        "(SELECT 'so that ain''t good folks' AS text)"
+    ).fetchone()[0]
+    assert got is True
+
+
 def test_c4_too_few_sentences_drops(spark):
     row = c4_filters(_doc(spark, "Just one good sentence lives here.\n")).first()
     assert row["n_sentences"] == 1

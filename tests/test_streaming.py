@@ -175,6 +175,19 @@ def test_stream_session_window_equals_batch_sessionize(spark, tmp_path):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
         "user_id", "ts"
     )
+    # Precondition: batch sessionize splits on gap > 8h (strict) while
+    # session_window splits on gap >= 8h, so the equality below is only
+    # exact when no consecutive per-user pair sits EXACTLY 8h apart.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    exact_gap_ties = (
+        ev.withColumn("us", F.expr("unix_micros(cast(ts as timestamp))"))
+        .withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap") == 28800 * 1_000_000)
+        .count()
+    )
+    assert exact_gap_ties == 0, "test data has exact-gap ties; see sessionize docstring"
     src = str(tmp_path / "ev")
     ev.write.parquet(src)
 
