@@ -466,6 +466,136 @@ def _d_hyperplane_bucket(vec: str, planes: int = 6, dim: int = _EMB_DIM) -> str:
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
+_BLOOMSPAN_ORACLE_CORPUS = (
+    "CASE CAST(doc_id % 3 AS INT) "
+    "WHEN 0 THEN concat(text, "
+    "' the use of the individual standard operating procedure') "
+    "WHEN 1 THEN concat(text, "
+    "' please notify the sender immediately by e mail') "
+    "ELSE concat(text, ' kindly standard operating procedure applies') END"
+)
+
+
+def _d_bloomspan_sql(
+    lim: int = 120,
+    min_docs: int = 30,
+    n: int = 2,
+    max_len: int = 10,
+    n_ranks: int = 24,
+) -> str:
+    """Oracle twin of the FULL BloomSpan miner (round-5 verdict #4) over a
+    planted-template corpus: docs < lim with one of three boilerplate
+    templates appended per doc_id % 3 class, so ranking, greedy expansion,
+    backward closure ('standard operating procedure...' is always preceded
+    by 'kindly' in its emitting class) and the occupancy mask (sub-seeds of
+    an emitted template are skipped) ALL fire.
+
+    Decomposition: expansion and the closure flag never depend on the
+    occupancy mask (core/expand.py module docstring), so they are computed
+    data-parallel per seed with the same unrolled argmax chain as the
+    greedy_expansion oracle; the one sequential piece - the skip/mark scan
+    over score-ranked candidates - is unrolled as one (k_r, m_r) CTE pair
+    per rank (bounded: n_ranks >= the candidate count at every sf, ranks
+    beyond it resolve to keep=false via the coalesce).  MATERIALIZED hints
+    keep DuckDB from re-scanning the parquet once per CTE reference."""
+    parts = [
+        f"toks AS MATERIALIZED (SELECT doc_id, "
+        f"string_split({_BLOOMSPAN_ORACLE_CORPUS}, ' ') AS t "
+        f"FROM documents WHERE doc_id < {lim})",
+        f"occall AS MATERIALIZED (SELECT doc_id, L, i AS pos, "
+        f"array_to_string(t[i:i+L-1], ' ') AS gram, "
+        f"CASE WHEN i > 1 THEN t[i-1] END AS prev "
+        f"FROM toks, unnest(generate_series(2, {max_len})) AS ls(L), "
+        f"unnest(generate_series(1, greatest(len(t) - L + 1, 0))) AS u(i))",
+    ]
+    for L in range(n, max_len + 1):
+        parts.append(
+            f"g{L} AS MATERIALIZED (SELECT gram, count(DISTINCT doc_id) AS sup "
+            f"FROM occall WHERE L = {L} GROUP BY gram "
+            f"HAVING count(DISTINCT doc_id) >= {min_docs})"
+        )
+    parts.append(
+        f"cand AS MATERIALIZED (SELECT gram AS seed, sup, "
+        f"row_number() OVER (ORDER BY sup DESC, gram) AS rnk FROM g{n})"
+    )
+    parts.append(
+        f"s{n} AS (SELECT rnk, seed AS phrase, {n} AS length, "
+        f"sup AS support FROM cand)"
+    )
+    for L in range(n, max_len):
+        pfx = f"array_to_string(string_split(gram, ' ')[1:{L}], ' ')"
+        parts.append(
+            f"b{L} AS (SELECT phrase, g AS np, s AS ns FROM ("
+            f"SELECT {pfx} AS phrase, gram AS g, sup AS s, "
+            f"row_number() OVER (PARTITION BY {pfx} ORDER BY sup DESC, gram) AS rn "
+            f"FROM g{L + 1}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{L + 1} AS (SELECT s{L}.rnk, "
+            f"coalesce(b{L}.np, s{L}.phrase) AS phrase, "
+            f"CASE WHEN b{L}.np IS NULL THEN s{L}.length ELSE {L + 1} END AS length, "
+            f"CASE WHEN b{L}.np IS NULL THEN s{L}.support ELSE b{L}.ns END AS support "
+            f"FROM s{L} LEFT JOIN b{L} "
+            f"ON s{L}.length = {L} AND s{L}.phrase = b{L}.phrase)"
+        )
+    parts.append(
+        f"fin AS MATERIALIZED (SELECT rnk, phrase, length, support FROM s{max_len})"
+    )
+    parts.append(
+        "seedocc AS MATERIALIZED (SELECT c.rnk, o.doc_id, o.pos FROM cand c "
+        f"JOIN occall o ON o.L = {n} AND o.gram = c.seed)"
+    )
+    parts.append(
+        "finocc AS MATERIALIZED (SELECT f.rnk, o.doc_id, o.pos, o.prev "
+        "FROM fin f JOIN occall o ON o.L = f.length AND o.gram = f.phrase)"
+    )
+    parts.append(
+        "closedf AS MATERIALIZED (SELECT rnk, "
+        "(min(pos) > 1 AND count(DISTINCT prev) = 1) AS closed "
+        "FROM finocc GROUP BY rnk)"
+    )
+    parts.append(
+        "m0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id, "
+        "CAST(NULL AS BIGINT) AS pos WHERE 1 = 0)"
+    )
+    for r in range(1, n_ranks + 1):
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT coalesce("
+            f"(EXISTS (SELECT 1 FROM seedocc o WHERE o.rnk = {r} "
+            f"AND NOT EXISTS (SELECT 1 FROM m{r - 1} m "
+            f"WHERE m.doc_id = o.doc_id AND m.pos = o.pos))) "
+            f"AND NOT (SELECT closed FROM closedf WHERE rnk = {r}), "
+            f"FALSE) AS keep)"
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT doc_id, pos FROM m{r - 1} "
+            f"UNION ALL "
+            f"SELECT f.doc_id, f.pos + j FROM finocc f "
+            f"JOIN fin ff ON ff.rnk = {r} AND f.rnk = {r}, "
+            f"unnest(generate_series(0, ff.length - 1)) AS g(j) "
+            f"WHERE (SELECT keep FROM k{r}))"
+        )
+    keeps = " UNION ALL ".join(
+        f"SELECT {r} AS rnk, (SELECT keep FROM k{r}) AS keep"
+        for r in range(1, n_ranks + 1)
+    )
+    parts.append(f"keeps AS ({keeps})")
+    parts.append(
+        "ex AS (SELECT rnk, array_to_string("
+        "(list(DISTINCT CAST(doc_id AS VARCHAR) "
+        "ORDER BY CAST(doc_id AS VARCHAR)))[1:2], '|') AS example_docs "
+        "FROM finocc GROUP BY rnk)"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT f.phrase, CAST(f.support AS BIGINT) AS freq, "
+        "CAST(f.length AS BIGINT) AS length, ex.example_docs "
+        "FROM fin f JOIN keeps k ON k.rnk = f.rnk AND k.keep "
+        "JOIN ex ON ex.rnk = f.rnk "
+        f"WHERE f.length >= {n}"
+    )
+
+
 def _d_ann_sweep_sql(
     clustered: bool = False,
     n_queries: int = 20,
@@ -1246,6 +1376,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = bloomspan.mine_df(spark, docs, min_docs=10, ngrams=2)
         # contract surface must be scalar columns (the driver canonicalizer
         # sorts/hashes values; lists are unhashable) -> join example docs
+        return out.select(
+            "phrase", "freq", "length",
+            F.array_join("example_docs", "|").alias("example_docs"),
+        )
+
+    def bloomspan_oracle(spark, sf):
+        # the FULL miner, oracle-checked (round-5 verdict #4): the REAL
+        # mine_df over a planted-template corpus where score ranking,
+        # greedy expansion, backward closure and the occupancy mask all
+        # fire; the DuckDB twin (_d_bloomspan_sql) replays every stage,
+        # with the one sequential piece (skip/mark over ranked
+        # candidates) unrolled per rank.  bloomspan_documents stays the
+        # full-corpus surface (pinned by goldens); this is its
+        # SQL-certified twin at bounded scale.
+        from boilerplate_buster_spark.operators import bloomspan
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 120)
+            .select(
+                "doc_id",
+                F.split(F.expr(_BLOOMSPAN_ORACLE_CORPUS), " ").alias("tokens"),
+            )
+        )
+        out = bloomspan.mine_df(spark, docs, min_docs=30, ngrams=2)
         return out.select(
             "phrase", "freq", "length",
             F.array_join("example_docs", "|").alias("example_docs"),
@@ -3990,6 +4145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         host_top_terms=host_top_terms,
         phrase_parents=phrase_parents,
         bloomspan_documents=bloomspan_documents,
+        bloomspan_oracle=bloomspan_oracle,
         bide_phrases=bide_phrases,
         prefixspan_closed=prefixspan_closed,
         prefixspan_maximal=prefixspan_maximal,
@@ -6133,6 +6289,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # M1 greedy right-expansion projection: generated unrolled CTE chain
         "greedy_expansion": _d_greedy_expansion_sql(min_docs=2, n=3, max_len=8),
+        # FULL miner twin over the planted-template corpus
+        "bloomspan_oracle": _d_bloomspan_sql(),
         # interpolated trigram LM: per trigram position the weighted mean
         # (4*s3 + 2*s2 + s1) // 7 of the millionth-scaled add-one
         # probabilities, then the per-doc integer mean

@@ -166,3 +166,44 @@ def test_greedy_phrase_expansion_matches_python_reference(spark):
     assert got == pyref(min_docs=2)
     # "a b c" (sup 4) must extend to "a b c d e" (d: sup 3, then e: sup 2)
     assert got["a b c"] == ("a b c d e", 5, 2)
+
+
+def test_planted_template_corpus_mines_maximal_phrases(spark):
+    """The bloomspan_oracle contract corpus: three boilerplate templates
+    planted per doc_id % 3 class over real document text.  The miner must
+    emit EXACTLY the three maximal templates - every sub-seed is either
+    mask-skipped (covered by the winner's marks) or closure-dropped
+    ('standard operating procedure...' is always preceded by 'kindly' in
+    its emitting class) - with class-sized supports and string-sorted
+    example docs.  This pins the Spark side of the bloomspan_oracle
+    DuckDB twin (__spark_entry__._d_bloomspan_sql)."""
+    import pyspark.sql.functions as F
+
+    from boilerplate_buster_spark.operators import bloomspan
+
+    corpus_expr = (
+        "CASE CAST(doc_id % 3 AS INT) "
+        "WHEN 0 THEN concat(text, "
+        "' the use of the individual standard operating procedure') "
+        "WHEN 1 THEN concat(text, "
+        "' please notify the sender immediately by e mail') "
+        "ELSE concat(text, ' kindly standard operating procedure applies') END"
+    )
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", F.split(F.expr(corpus_expr), " ").alias("tokens"))
+    )
+    rows = {
+        r["phrase"]: r
+        for r in bloomspan.mine_df(spark, docs, min_docs=30, ngrams=2).collect()
+    }
+    assert set(rows) == {
+        "the use of the individual standard operating procedure",
+        "please notify the sender immediately by e mail",
+        "kindly standard operating procedure applies",
+    }
+    for r in rows.values():
+        assert r["freq"] == 40
+        assert len(r["example_docs"]) == 2
+    assert rows["kindly standard operating procedure applies"]["length"] == 5
