@@ -2769,6 +2769,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("sum_value", 2).alias("sum_value"),
         )
 
+    def stream_dedup_firstseen(spark, sf):
+        # SECOND streaming oracle (round-5 verdict #9), this time for the
+        # STATEFUL path: readStream -> applyInPandasWithState first-seen
+        # dedup -> availableNow memory sink.  Two parquet files +
+        # maxFilesPerTrigger=1 force TWO micro-batches: batch 1 carries
+        # docs 0-149 plus same-batch copies of docs 0-19, batch 2 carries
+        # copies of docs 0-49 - so the oracle certifies within-batch
+        # counting (n_seen=2 for docs<20), cross-batch state suppression
+        # (batch-2 copies emit NOTHING; without carried state the output
+        # would gain 50 rows), and first-seen identity.  doc_key =
+        # doc_id % 100000 makes 'first seen' deterministic (all copies of
+        # a doc share the key), and a ' uniq<key>' text suffix makes
+        # fingerprints collision-free by construction.
+        import glob
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from boilerplate_buster_spark.streaming.stream import (
+            stream_dedup_first_seen,
+        )
+
+        base = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text"
+        )
+
+        def prep(df):
+            return df.select(
+                F.expr("CAST(pmod(doc_id, 100000) AS STRING)").alias("doc_key"),
+                F.expr(
+                    "concat(text, ' uniq', CAST(pmod(doc_id, 100000) AS STRING))"
+                ).alias("text"),
+            )
+
+        b1 = prep(
+            base.filter(F.col("doc_id") < 150).unionByName(
+                base.filter(F.col("doc_id") < 20).select(
+                    (F.col("doc_id") + 200000).alias("doc_id"), "text"
+                )
+            )
+        )
+        b2 = prep(
+            base.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        src_dir = tempfile.mkdtemp(prefix="bbs_stream_dd_src_")
+        for i, df in enumerate((b1, b2)):
+            tmp = tempfile.mkdtemp(prefix="bbs_stream_dd_w_")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(tmp + "/part-*.parquet")[0]
+            dst = f"{src_dir}/batch{i}.parquet"
+            shutil.move(part, dst)
+            # distinct mtimes pin micro-batch ORDER (FileStreamSource
+            # discovers by timestamp)
+            os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema("doc_key string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = stream_dedup_first_seen(stream, text_col="text", doc_col="doc_key")
+        name = "bbs_stream_dd_" + uuid.uuid4().hex[:12]
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="bbs_stream_dd_ck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).select(
+            "fp",
+            F.col("doc_id").alias("first_doc"),
+            F.col("n_seen").cast("long").alias("n_seen"),
+        )
+
     def greedy_expansion(spark, sf):
         # the M1 miner's greedy right-expansion rule as an oracle-checked
         # projection (round-4 verdict stretch #7): every frequent seed
@@ -3057,8 +3138,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # stage 6: MinHash-LSH near-dup clustering (portable hash ->
         # bit-exact oracle); survivor = lexicographically smallest url in
-        # the connected component ('https://ex.com/N' < mirror url)
-        pairs = dd.lsh_candidate_pairs(ctoks, id_col="url")
+        # the connected component ('https://ex.com/N' < mirror url).
+        # max_bucket=64 is ENFORCED (round-5 verdict #5: no silent
+        # unbounded paths) and the drop count rides along in the output -
+        # 0 on this corpus, and the oracle recomputes it from the data.
+        pairs, dropped = dd.lsh_candidate_pairs_with_drop_count(
+            ctoks, id_col="url", max_bucket=64
+        )
         clusters = dd.duplicate_clusters(pairs).select(
             F.col("doc_id").alias("url"), "cluster_id"
         )
@@ -3087,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(pii, "url")
             .join(gop, "url")
             .join(clusters, "url", "left")
+            .crossJoin(F.broadcast(dropped))
         )
         cid = F.coalesce("cluster_id", F.col("url"))
         is_surv = cid == F.col("url")
@@ -3108,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_emails",
             "redacted_md5",
             F.col("gopher_keep"),
+            F.col("n_dropped_buckets"),
             cid.alias("cluster_id"),
             is_surv.alias("is_survivor"),
             keep.alias("keep"),
@@ -4188,6 +4276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lm_pretrained_scores=lm_pretrained_scores,
         greedy_expansion=greedy_expansion,
         stream_events_hourly=stream_events_hourly,
+        stream_dedup_firstseen=stream_dedup_firstseen,
         url_features=url_features_q,
         url_blocklist=url_blocklist,
         pii_redaction=pii_redaction,
@@ -6287,6 +6376,21 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        # stateful first-seen dedup: batch twin of the two-micro-batch
+        # streaming run (batch-2 copies are suppressed by state, so only
+        # batch-1 rows appear; n_seen counts batch-1 arrivals per fp)
+        "stream_dedup_firstseen": """
+            WITH c AS (
+              SELECT doc_id % 100000 AS k, text FROM documents
+              WHERE doc_id < 150
+              UNION ALL
+              SELECT doc_id, text FROM documents WHERE doc_id < 20
+            )
+            SELECT md5(text || ' uniq' || CAST(k AS VARCHAR)) AS fp,
+                   CAST(min(k) AS VARCHAR) AS first_doc,
+                   CAST(count(*) AS BIGINT) AS n_seen
+            FROM c GROUP BY 1
+        """,
         # M1 greedy right-expansion projection: generated unrolled CTE chain
         "greedy_expansion": _d_greedy_expansion_sql(min_docs=2, n=3, max_len=8),
         # FULL miner twin over the planted-template corpus
@@ -6493,9 +6597,15 @@ def oracle_sql() -> dict[str, str]:
                       FROM sc GROUP BY url),
             {_d_minhash_sig_sql(None)},
             bands AS ({_d_bands_select()}),
+            bsz AS (SELECT band, bucket, count(DISTINCT doc_id) AS n
+                   FROM bands GROUP BY band, bucket),
+            dropped AS (SELECT count(*) AS n_dropped_buckets
+                        FROM bsz WHERE n > 64),
             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                      FROM bands a JOIN bands b
                        ON a.band = b.band AND a.bucket = b.bucket
+                     JOIN bsz ON bsz.band = a.band AND bsz.bucket = a.bucket
+                       AND bsz.n <= 64
                      WHERE a.doc_id < b.doc_id),
             edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
                       UNION SELECT doc_b, doc_a FROM cand),
@@ -6531,6 +6641,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pii.n_emails AS BIGINT) AS n_emails,
                    pii.redacted_md5,
                    gop.gopher_keep,
+                   CAST(dropped.n_dropped_buckets AS BIGINT)
+                     AS n_dropped_buckets,
                    coalesce(clus.cluster_id, s.url) AS cluster_id,
                    (coalesce(clus.cluster_id, s.url) = s.url) AS is_survivor,
                    (coalesce(clus.cluster_id, s.url) = s.url
@@ -6553,6 +6665,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN clus ON s.url = clus.url
             JOIN pii ON s.url = pii.url
             JOIN gop ON s.url = gop.url
+            CROSS JOIN dropped
         """,
         "url_canonical": _d_url_canonical_sql(),
         "anchor_text": """

@@ -138,12 +138,24 @@ def lsh_candidate_pairs(
     all-identical bucket expands quadratically in one row, which no AQE split
     can save; at crawl scale such buckets mean exact duplicates better served
     by exact_dedup_groups, and dropping them only loses candidate RECALL."""
-    b = minhash_bands(docs, id_col, tokens_col, n_shingle, k, bands, hash_fn)
-    grouped = b.groupBy("band", "bucket").agg(
-        F.expr(f"array_sort(collect_set({id_col}))").alias("ids")
-    )
+    grouped = _banded_groups(docs, id_col, tokens_col, n_shingle, k, bands, hash_fn)
     if max_bucket is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket)
+    return _pairs_from_groups(grouped)
+
+
+def _banded_groups(
+    docs, id_col, tokens_col, n_shingle, k, bands, hash_fn
+) -> DataFrame:
+    """(band, bucket, ids): sorted member set per LSH bucket."""
+    b = minhash_bands(docs, id_col, tokens_col, n_shingle, k, bands, hash_fn)
+    return b.groupBy("band", "bucket").agg(
+        F.expr(f"array_sort(collect_set({id_col}))").alias("ids")
+    )
+
+
+def _pairs_from_groups(grouped: DataFrame) -> DataFrame:
+    """In-array pair expansion of bucket member sets -> distinct pairs."""
     pairs = grouped.filter(F.size("ids") >= 2).select(
         F.explode(
             F.expr(
@@ -154,6 +166,34 @@ def lsh_candidate_pairs(
         ).alias("p")
     )
     return pairs.select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")).distinct()
+
+
+def lsh_candidate_pairs_with_drop_count(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_shingle: int = 3,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    hash_fn: str = "portable",
+    max_bucket: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, dropped): candidate pairs with `max_bucket` ENFORCED, plus a
+    ONE-ROW DataFrame (n_dropped_buckets) counting the buckets the cap
+    removed.  'No silent caps' cuts both ways: an UNBOUNDED bucket join is a
+    quadratic time bomb at crawl scale, and a bound that drops data without
+    a ledger is a silent recall hole - composed pipelines use this variant
+    so the drop count rides along in their metrics (0 on healthy corpora;
+    nonzero means an all-identical cluster that exact dedup should have
+    eaten first)."""
+    grouped = _banded_groups(docs, id_col, tokens_col, n_shingle, k, bands, hash_fn)
+    dropped = grouped.filter(F.size("ids") > max_bucket).agg(
+        F.count("*").cast("long").alias("n_dropped_buckets")
+    )
+    pairs = _pairs_from_groups(
+        grouped.filter(F.size("ids") <= max_bucket)
+    )
+    return pairs, dropped
 
 
 def jaccard_verified_pairs(

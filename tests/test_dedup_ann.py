@@ -518,6 +518,29 @@ def test_lsh_recall_eval_bounds_and_exact_dup_recall(spark):
     assert r.n_candidates >= r.n_true_candidates
 
 
+def test_lsh_candidate_pairs_drop_count_ledger(spark):
+    # 'no silent caps': the capped variant must both enforce max_bucket and
+    # report how many buckets it dropped
+    from boilerplate_buster_spark.operators.dedup import (
+        DEFAULT_BANDS,
+        lsh_candidate_pairs_with_drop_count,
+    )
+
+    text = " ".join(f"w{i}" for i in range(12))
+    # 10 identical docs -> one all-identical bucket per band
+    clones = spark.createDataFrame(
+        [(i, text.split(" ")) for i in range(10)], ["doc_id", "tokens"]
+    )
+    pairs, dropped = lsh_candidate_pairs_with_drop_count(clones, max_bucket=5)
+    assert pairs.count() == 0  # every bucket was over the cap
+    [d] = dropped.collect()
+    assert d.n_dropped_buckets == DEFAULT_BANDS  # one per band
+    # under the cap nothing is dropped and pairs flow
+    pairs2, dropped2 = lsh_candidate_pairs_with_drop_count(clones, max_bucket=64)
+    assert pairs2.count() == 45  # C(10, 2)
+    assert dropped2.collect()[0].n_dropped_buckets == 0
+
+
 def test_lsh_recall_eval_empty_truth_is_zero_not_null(spark):
     # ADVICE r5: SUM over zero rows is NULL unless the aggregate itself is
     # coalesced - an empty truth set must yield integer zeros like the oracle
