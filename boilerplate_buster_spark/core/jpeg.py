@@ -8,15 +8,19 @@ format.  Honest subset, precisely bounded:
   decode: baseline sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2,
   round 5: spectral selection + successive approximation, DC/AC first and
   refinement scans, EOBRUN, per-scan restart intervals), 8-bit samples,
-  Huffman entropy coding, 1 or 3 components, component sampling factors 1
-  or 2 (covers 4:4:4, 4:2:2, 4:2:0 - what cameras and the web actually
-  emit), restart markers (DRI/RSTn), multi-table DQT/DHT segments,
-  APPn/COM skipped, 0xFF fill bytes and standalone TEM/RST markers stepped
-  over.  Arithmetic coding, 12-bit, lossless, hierarchical modes and >3
+  Huffman entropy coding, 1 or 3 components, component sampling factors
+  1/2/4 with integer ratios (round 6: covers 4:4:4, 4:2:2, 4:2:0 AND the
+  DV/phone-video 4:1:1 - non-integer ratios like 3x2-over-2x2 refused),
+  restart markers (DRI/RSTn), multi-table DQT/DHT segments, APP1 Exif
+  Orientation HONORED (round 6: values 1-8 applied like a browser;
+  apply_orientation=False returns the stored array), other APPn/COM
+  skipped, 0xFF fill bytes and standalone TEM/RST markers stepped over.
+  Arithmetic coding, 12-bit, lossless, hierarchical modes and >3
   components (Adobe CMYK) raise ValueError - the caller's stub fallback
   takes over, never faked.
 
-  encode: SOF0, 4:4:4 or 4:2:0, standard Annex K quantization tables
+  encode: SOF0, 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1, optional APP1 Exif
+  Orientation tag, standard Annex K quantization tables
   scaled by the usual quality formula and standard Annex K Huffman tables,
   single interleaved scan; PLUS encode_jpeg_progressive (SOF2, the classic
   10-scan spectral-selection + successive-approximation script, custom
@@ -232,18 +236,45 @@ def _encode_block(bw, blk, qmat, dc_codes, ac_codes, pred_dc):
     return int(zz[0])
 
 
+#: encoder subsampling modes: name -> (Y horizontal, Y vertical) factors
+_SUBSAMPLE_MODES = {
+    False: (1, 1), "444": (1, 1),
+    True: (2, 2), "420": (2, 2),
+    "422": (2, 1),
+    "411": (4, 1),
+}
+
+
+def exif_app1_segment(orientation: int) -> bytes:
+    """Minimal APP1 Exif payload (little-endian TIFF, one IFD0 entry)
+    carrying the Orientation tag - what encode_jpeg(orientation=) embeds
+    and what oriented real-web fixtures need."""
+    if not 1 <= int(orientation) <= 8:
+        raise ValueError("orientation must be 1..8")
+    entry = struct.pack("<HHIHH", 0x0112, 3, 1, int(orientation), 0)
+    tiff = b"II\x2a\x00\x08\x00\x00\x00" + struct.pack("<H", 1) + entry
+    tiff += struct.pack("<I", 0)  # no next IFD
+    return b"Exif\x00\x00" + tiff
+
+
 def encode_jpeg(
     rgb: np.ndarray,
     quality: int = 90,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
+    orientation: int | None = None,
 ) -> bytes:
     """Baseline JFIF (SOF0, standard Annex K Huffman tables) of an
-    (h, w, 3) uint8 array.  subsample=True emits 4:2:0 (Y at 2x2 sampling,
-    2x2-mean chroma); restart_interval > 0 emits DRI + RSTn markers every
-    that many MCUs - both exist chiefly to exercise the decoder's
-    real-world paths (web JPEGs are overwhelmingly 4:2:0, often with
-    restarts)."""
+    (h, w, 3) uint8 array.  subsample selects chroma subsampling: False /
+    '444', True / '420' (2x2), '422' (2x1), '411' (4x1) - mean-pooled
+    chroma; restart_interval > 0 emits DRI + RSTn markers every that many
+    MCUs; orientation (1-8) embeds an APP1 Exif Orientation tag.  All
+    exist chiefly to exercise the decoder's real-world paths (web JPEGs
+    are overwhelmingly 4:2:0, often with restarts; phone uploads carry
+    4:1:1/4:2:2 from video frames and an EXIF rotation)."""
+    if subsample not in _SUBSAMPLE_MODES:
+        raise ValueError(f"unknown subsample mode {subsample!r}")
+    sh, sv = _SUBSAMPLE_MODES[subsample]
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     h, w = rgb.shape[0], rgb.shape[1]
     r = rgb[:, :, 0].astype(np.float64)
@@ -258,14 +289,14 @@ def encode_jpeg(
     dc_lum, ac_lum = _build_codes(*_STD_DC_LUM), _build_codes(*_STD_AC_LUM)
     dc_chr, ac_chr = _build_codes(*_STD_DC_CHR), _build_codes(*_STD_AC_CHR)
 
-    mcu = 16 if subsample else 8
-    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    mcu_w, mcu_h = 8 * sh, 8 * sv
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
     ypad = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
     cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
     crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
-    if subsample:
-        cbp = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        crp = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    if (sh, sv) != (1, 1):
+        cbp = cbp.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+        crp = crp.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
     cbp -= 128.0
     crp -= 128.0
 
@@ -274,32 +305,24 @@ def encode_jpeg(
     pred = [0, 0, 0]
     rst_n = 0
     mcu_count = 0
-    for by in range(0, ph, mcu):
-        for bx in range(0, pw, mcu):
+    for by in range(0, ph, mcu_h):
+        for bx in range(0, pw, mcu_w):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 out_scan += bw.flush()
                 bw = _BitWriter()
                 out_scan += bytes([0xFF, 0xD0 + (rst_n & 7)])
                 rst_n += 1
                 pred = [0, 0, 0]
-            if subsample:
-                for vy in range(2):
-                    for vx in range(2):
-                        blk = ypad[by + 8 * vy : by + 8 * vy + 8,
-                                   bx + 8 * vx : bx + 8 * vx + 8]
-                        pred[0] = _encode_block(bw, blk, qm_l, dc_lum, ac_lum, pred[0])
-                cy, cx = by // 2, bx // 2
-                pred[1] = _encode_block(
-                    bw, cbp[cy : cy + 8, cx : cx + 8], qm_c, dc_chr, ac_chr, pred[1])
-                pred[2] = _encode_block(
-                    bw, crp[cy : cy + 8, cx : cx + 8], qm_c, dc_chr, ac_chr, pred[2])
-            else:
-                pred[0] = _encode_block(
-                    bw, ypad[by : by + 8, bx : bx + 8], qm_l, dc_lum, ac_lum, pred[0])
-                pred[1] = _encode_block(
-                    bw, cbp[by : by + 8, bx : bx + 8], qm_c, dc_chr, ac_chr, pred[1])
-                pred[2] = _encode_block(
-                    bw, crp[by : by + 8, bx : bx + 8], qm_c, dc_chr, ac_chr, pred[2])
+            for vy in range(sv):
+                for vx in range(sh):
+                    blk = ypad[by + 8 * vy : by + 8 * vy + 8,
+                               bx + 8 * vx : bx + 8 * vx + 8]
+                    pred[0] = _encode_block(bw, blk, qm_l, dc_lum, ac_lum, pred[0])
+            cy, cx = by // sv, bx // sh
+            pred[1] = _encode_block(
+                bw, cbp[cy : cy + 8, cx : cx + 8], qm_c, dc_chr, ac_chr, pred[1])
+            pred[2] = _encode_block(
+                bw, crp[cy : cy + 8, cx : cx + 8], qm_c, dc_chr, ac_chr, pred[2])
             mcu_count += 1
     out_scan += bw.flush()
 
@@ -308,9 +331,11 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if orientation is not None:
+        out += seg(0xFFE1, exif_app1_segment(orientation))
     out += seg(0xFFDB, b"\x00" + bytes(int(v) for v in qlum[_ZIGZAG]))
     out += seg(0xFFDB, b"\x01" + bytes(int(v) for v in qchr[_ZIGZAG]))
-    ysamp = 0x22 if subsample else 0x11
+    ysamp = sh << 4 | sv
     sof = struct.pack(">BHHB", 8, h, w, 3)
     for cid, samp, qid in ((1, ysamp, 0), (2, 0x11, 1), (3, 0x11, 1)):
         sof += struct.pack(">BBB", cid, samp, qid)
@@ -486,9 +511,53 @@ def split_mjpeg(buf: bytes) -> list[bytes]:
     return frames
 
 
-def decode_jpeg(buf: bytes) -> np.ndarray:
+def _exif_orientation(payload: bytes) -> int | None:
+    """Orientation (1-8) from an APP1 Exif payload, or None when absent /
+    malformed - a bad EXIF block must never fail an otherwise-valid JPEG."""
+    if not payload.startswith(b"Exif\x00\x00"):
+        return None
+    t = payload[6:]
+    if len(t) < 8:
+        return None
+    if t[:2] == b"II":
+        e = "<"
+    elif t[:2] == b"MM":
+        e = ">"
+    else:
+        return None
+    magic, ifd = struct.unpack_from(e + "HI", t, 2)
+    if magic != 42 or ifd + 2 > len(t):
+        return None
+    (n,) = struct.unpack_from(e + "H", t, ifd)
+    for i in range(n):
+        off = ifd + 2 + 12 * i
+        if off + 12 > len(t):
+            return None
+        tag, typ, cnt = struct.unpack_from(e + "HHI", t, off)
+        if tag == 0x0112 and typ == 3 and cnt == 1:
+            (val,) = struct.unpack_from(e + "H", t, off + 8)
+            return val if 1 <= val <= 8 else None
+    return None
+
+
+# EXIF orientation -> array transform that displays the image upright
+# (value semantics per EXIF 2.3 section 4.6.4)
+_EXIF_TRANSFORMS = {
+    2: lambda a: a[:, ::-1],
+    3: lambda a: a[::-1, ::-1],
+    4: lambda a: a[::-1, :],
+    5: lambda a: a.transpose(1, 0, 2),
+    6: lambda a: a.transpose(1, 0, 2)[:, ::-1],
+    7: lambda a: a.transpose(1, 0, 2)[::-1, ::-1],
+    8: lambda a: a.transpose(1, 0, 2)[::-1, :],
+}
+
+
+def decode_jpeg(buf: bytes, apply_orientation: bool = True) -> np.ndarray:
     """(h, w, 3) RGB uint8 from a baseline JPEG (see module docstring for
-    the supported subset)."""
+    the supported subset).  apply_orientation honors the APP1 Exif
+    Orientation tag (what browsers and phones do); pass False for the raw
+    stored array."""
     buf = bytes(buf)
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not JPEG")
@@ -498,6 +567,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     coef_state: _ProgressiveState | None = None
+    orientation = 1
+
+    def oriented(arr: np.ndarray) -> np.ndarray:
+        if apply_orientation and orientation in _EXIF_TRANSFORMS:
+            return np.ascontiguousarray(_EXIF_TRANSFORMS[orientation](arr))
+        return arr
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("marker desync")
@@ -514,6 +589,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             continue
         (ln,) = struct.unpack_from(">H", buf, pos + 2)
         payload = buf[pos + 4 : pos + 2 + ln]
+        if marker == 0xE1:  # APP1: honor the Exif Orientation tag
+            orientation = _exif_orientation(payload) or orientation
+            pos += 2 + ln
+            continue
         if marker == 0xDB:  # DQT (may hold several tables)
             p = 0
             while p < len(payload):
@@ -547,9 +626,15 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     ">BBB", payload, 6 + 3 * i
                 )
                 hs, vs = samp >> 4, samp & 0x0F
-                if hs not in (1, 2) or vs not in (1, 2):
+                if hs not in (1, 2, 4) or vs not in (1, 2, 4):
                     raise ValueError(f"sampling {hs}x{vs} unsupported")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            hm = max(c["h"] for c in comps)
+            vm = max(c["v"] for c in comps)
+            if any(hm % c["h"] or vm % c["v"] for c in comps):
+                # the repeat-upsampler needs integer ratios (3:2 etc. would
+                # silently mis-upsample) - refuse, never fake
+                raise ValueError("non-integer sampling ratio unsupported")
             frame = {"h": fh, "w": fw, "comps": comps,
                      "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -567,10 +652,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 scan_sel.append((cs, t >> 4, t & 0x0F))
             data_start = pos + 2 + ln
             if not frame.get("progressive"):
-                return _decode_scan(
+                return oriented(_decode_scan(
                     buf, data_start, frame, scan_sel, qtables, htables,
                     restart_interval,
-                )
+                ))
             # progressive: the SOS header carries Ss/Se/Ah/Al after the
             # component selectors; the scan updates the shared coefficient
             # state and the marker walk continues (DHT/DRI/SOS until EOI)
@@ -584,7 +669,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             continue
         pos += 2 + ln
     if frame is not None and frame.get("progressive") and coef_state is not None:
-        return _reconstruct(frame, coef_state, qtables)
+        return oriented(_reconstruct(frame, coef_state, qtables))
     raise ValueError("no SOS scan found")
 
 

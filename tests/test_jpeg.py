@@ -242,3 +242,79 @@ def test_progressive_dispatches_to_real_decoder():
     v = mm.decode_bytes(enc, "image")
     assert v[0] == 16.0 and v[1] == 16.0
     assert v[2] == float(img[:, :, 0].sum())
+
+
+def test_411_and_422_subsampling_roundtrip():
+    # round-6 honest-subset widening: 4:2:2 and 4:1:1 (sampling factor 4)
+    # decode through the same general MCU loop; constant-block images stay
+    # exact at quality 100 (chroma mean-pooling over a constant is the
+    # identity)
+    rng = np.random.RandomState(9)
+    # constant tiles must span a full CHROMA block: 4:1:1 chroma covers 32
+    # image px in x, so 8-row x 32-col tiles keep every DCT block constant
+    blocks = rng.randint(0, 256, (4, 2, 3)).astype(np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 32, axis=1)  # 32x64
+    for mode in ("422", "411"):
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=100, subsample=mode))
+        assert np.array_equal(out, img), mode
+    # smooth content stays within lossy bounds at web quality
+    base = rng.randint(0, 255, (3, 4, 3)).astype(np.float64)
+    smooth = np.kron(base, np.ones((16, 16, 1)))[:45, :61].astype(np.uint8)
+    for mode in ("422", "411"):
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, quality=90, subsample=mode))
+        assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 24, mode
+
+
+def test_nonint_sampling_ratio_refused():
+    # 3x1 Y over 2x1 chroma would need a 1.5x upsample - must refuse
+    rng = np.random.RandomState(10)
+    img = _const_block_img(rng, 2, 2)
+    buf = bytearray(jpeg.encode_jpeg(img, subsample="411"))
+    i = buf.find(b"\xff\xc0")
+    # component 0 sampling byte: SOF0 payload = P(1) H(2) W(2) Nc(1), then
+    # per-comp (id, samp, tq)
+    samp_off = i + 4 + 6 + 1
+    assert buf[samp_off] == 0x41
+    buf[samp_off] = 0x31  # 3x1: max ratios no longer integer for chroma? 3/1=3 ok...
+    buf[samp_off] = 0x42  # 4x2 Y with 1x1 chroma is fine; craft 3x2 instead
+    buf[samp_off] = 0x32
+    buf[samp_off + 3 + 1] = 0x21  # chroma 2x1 -> hmax 3 over 2: ratio 1.5
+    with pytest.raises(ValueError, match="sampling|ratio"):
+        jpeg.decode_jpeg(bytes(buf))
+
+
+def test_exif_orientation_honored_and_optional():
+    # round-6: Orientation 1-8 applied like a browser; raw array still
+    # reachable; malformed EXIF never fails the decode
+    rng = np.random.RandomState(11)
+    img = _const_block_img(rng, 3, 5)  # non-square so transposes are visible
+    raw_ref = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=100))
+    cases = {
+        2: lambda a: a[:, ::-1],
+        3: lambda a: a[::-1, ::-1],
+        4: lambda a: a[::-1, :],
+        5: lambda a: a.transpose(1, 0, 2),
+        6: lambda a: a.transpose(1, 0, 2)[:, ::-1],
+        7: lambda a: a.transpose(1, 0, 2)[::-1, ::-1],
+        8: lambda a: a.transpose(1, 0, 2)[::-1, :],
+    }
+    for o, fn in cases.items():
+        enc = jpeg.encode_jpeg(img, quality=100, orientation=o)
+        assert np.array_equal(jpeg.decode_jpeg(enc), fn(raw_ref)), o
+        assert np.array_equal(
+            jpeg.decode_jpeg(enc, apply_orientation=False), raw_ref
+        ), o
+    # big-endian TIFF variant is parsed too
+    seg = jpeg.exif_app1_segment(3)
+    be = b"Exif\x00\x00MM\x00\x2a\x00\x00\x00\x08\x00\x01" + bytes.fromhex(
+        "0112" "0003" "00000001" "0003" "0000"
+    ) + b"\x00\x00\x00\x00"
+    import struct as _s
+
+    plain = jpeg.encode_jpeg(img, quality=100)
+    spliced = plain[:2] + _s.pack(">HH", 0xFFE1, len(be) + 2) + be + plain[2:]
+    assert np.array_equal(jpeg.decode_jpeg(spliced), raw_ref[::-1, ::-1])
+    # truncated/garbage APP1 payloads are ignored, not fatal
+    for junk in (b"Exif\x00\x00XX", b"Exif\x00\x00II\x2a\x00\xff\xff\xff\xff", b"nope"):
+        spl = plain[:2] + _s.pack(">HH", 0xFFE1, len(junk) + 2) + junk + plain[2:]
+        assert np.array_equal(jpeg.decode_jpeg(spl), raw_ref)
