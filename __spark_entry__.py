@@ -2607,6 +2607,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_shared_spans").cast("long").alias("n_shared_spans"),
         )
 
+    def substring_dup_spans(spark, sf):
+        # span-level view of exact-substring duplication: maximal merged
+        # token spans whose every 10-token window occurs in >= 2 docs
+        from boilerplate_buster_spark.operators import dedup
+
+        return dedup.substring_dup_spans(_dedup_union(spark, sf), span=10).select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+
+    def substring_dedup_docs(spark, sf):
+        # Lee et al. 2022 span REMOVAL: duplicated 10-token windows cut
+        # except the globally-first occurrence; canonical doc keeps its
+        # text, the +100000 clone loses everything duplicated
+        from boilerplate_buster_spark.operators import dedup
+
+        return dedup.substring_dedup_docs(_dedup_union(spark, sf), span=10).select(
+            "doc_id",
+            "clean_text",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+        )
+
     def snapshot_diff(spark, sf):
         # recrawl change measurement: token-set diff between consecutive
         # snapshots of the same url (even docs gain ' updated' at v1 and
@@ -3386,6 +3411,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 for i, c in enumerate(cols)
             ],
         )
+
+    def media_jpeg_exif(spark, sf):
+        # round-6 subset widening pinned end-to-end: 32x64 images of 2x2
+        # constant 16x32 tiles, encoded at quality=100 with chroma mode
+        # cycling 444/420/422/411 (constant chroma blocks -> bit-exact) and
+        # EXIF Orientation d%8+1.  The decode applies the orientation like
+        # a browser, so (img_w, img_h) swap for o>=5 and a 1x1 nearest
+        # resize - source pixel (0,0) of the ORIENTED array - reads a
+        # DIFFERENT tile per orientation; DuckDB recomputes both from the
+        # closed-form tile values without touching JPEG bytes
+        import pandas as pd
+
+        from boilerplate_buster_spark.core.jpeg import encode_jpeg
+        from boilerplate_buster_spark.operators import multimodal
+
+        ids = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id").filter(F.col("doc_id") < 64)
+        )
+
+        def make(batches):
+            import numpy as np
+
+            modes = ["444", "420", "422", "411"]
+            bx = np.arange(2)[None, :]
+            by = np.arange(2)[:, None]
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    blocks = np.stack(
+                        [
+                            (3 * d + 40 * bx + 80 * by) % 256,
+                            (5 * d + 60 * bx + 20 * by) % 256,
+                            (7 * d + 10 * bx + 50 * by) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    img = np.repeat(np.repeat(blocks, 16, axis=0), 32, axis=1)
+                    rows.append(
+                        (
+                            d,
+                            "image",
+                            encode_jpeg(
+                                img,
+                                quality=100,
+                                subsample=modes[d % 4],
+                                orientation=d % 8 + 1,
+                            ),
+                        )
+                    )
+                yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+        media = ids.mapInPandas(
+            make, "media_id long, kind string, payload binary"
+        )
+        feats = multimodal.extract_features(media).select(
+            "media_id",
+            F.expr("cast(element_at(feature, 1) AS bigint)").alias("img_w"),
+            F.expr("cast(element_at(feature, 2) AS bigint)").alias("img_h"),
+            F.expr("cast(element_at(feature, 3) AS bigint)").alias("sum_r"),
+        )
+        probe = multimodal.image_stats(
+            multimodal.resize_images(media, width=1, height=1)
+        ).select(
+            "media_id",
+            F.col("sum_r").cast("long").alias("probe_r"),
+            F.col("sum_g").cast("long").alias("probe_g"),
+            F.col("sum_b").cast("long").alias("probe_b"),
+        )
+        return feats.join(probe, "media_id")
 
     def skew_salted_count(spark, sf):
         # explicit skew toolkit under the contract: per-event-type distinct
@@ -4259,6 +4355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_png_decode=media_png_decode,
         media_jpeg_decode=media_jpeg_decode,
         media_jpeg_progressive=media_jpeg_progressive,
+        media_jpeg_exif=media_jpeg_exif,
         media_mjpeg_frames=media_mjpeg_frames,
         image_dhash=image_dhash,
         image_neardup_pairs=image_neardup_pairs,
@@ -4306,6 +4403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vocab_oov_rates=vocab_oov_rates,
         shard_balance=shard_balance,
         exact_span_pairs=exact_span_pairs,
+        substring_dup_spans=substring_dup_spans,
+        substring_dedup_docs=substring_dedup_docs,
         robots_decisions=robots_decisions,
         page_meta=page_meta,
         sitemap_entries=sitemap_entries,
@@ -5506,6 +5605,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same closed form for the PROGRESSIVE (SOF2) pipeline - different
         # pixel formula so each oracle pins its own codec path
+        # oriented+subsampled JPEG closed form: stored array is 32x64 with
+        # 2x2 constant tiles; orientation o=d%8+1 swaps dims for o>=5 and
+        # moves which tile lands at oriented (0,0) (the 1x1-resize probe)
+        "media_jpeg_exif": """
+            WITH m AS (
+              SELECT doc_id AS media_id, doc_id AS d, doc_id % 8 + 1 AS o
+              FROM documents WHERE doc_id < 64),
+            t AS (
+              SELECT media_id, d, o,
+                     CASE WHEN o >= 5 THEN 32 ELSE 64 END AS img_w,
+                     CASE WHEN o >= 5 THEN 64 ELSE 32 END AS img_h,
+                     CASE WHEN o IN (2, 3, 7, 8) THEN 1 ELSE 0 END AS tx,
+                     CASE WHEN o IN (3, 4, 6, 7) THEN 1 ELSE 0 END AS ty
+              FROM m)
+            SELECT media_id,
+                   CAST(img_w AS BIGINT) AS img_w,
+                   CAST(img_h AS BIGINT) AS img_h,
+                   CAST(((3 * d) % 256 + (3 * d + 40) % 256
+                         + (3 * d + 80) % 256 + (3 * d + 120) % 256) * 512
+                        AS BIGINT) AS sum_r,
+                   CAST((3 * d + 40 * tx + 80 * ty) % 256 AS BIGINT) AS probe_r,
+                   CAST((5 * d + 60 * tx + 20 * ty) % 256 AS BIGINT) AS probe_g,
+                   CAST((7 * d + 10 * tx + 50 * ty) % 256 AS BIGINT) AS probe_b
+            FROM t
+        """,
         "media_jpeg_progressive": """
             WITH px AS (
               SELECT d.doc_id,
@@ -5904,6 +6028,70 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY 1, 2)
             SELECT doc_a, doc_b, CAST(n_shared_spans AS BIGINT) AS n_shared_spans
             FROM p
+        """,
+        # span-level substring duplication: islands of >= 2-doc 10-token
+        # windows merged per doc (gaps-and-islands over running max end)
+        "substring_dup_spans": f"""
+            WITH {_D_UNI},
+            occ AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+9], ' ') AS s
+                    FROM toks,
+                         unnest(generate_series(1, greatest(len(t) - 9, 0))) AS u(i)),
+            dup AS (SELECT s FROM occ GROUP BY s
+                    HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (s)),
+            fl AS (SELECT doc_id, pos,
+                          CASE WHEN pos > coalesce(max(pos + 10) OVER (
+                                 PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                               -1) THEN 1 ELSE 0 END AS nw
+                   FROM hits),
+            isl AS (SELECT doc_id, pos,
+                           sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isle
+                    FROM fl)
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 10 AS BIGINT) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM isl GROUP BY doc_id, isle
+        """,
+        # substring REMOVAL: drop every duplicated-window occurrence except
+        # the globally-first (min (doc_id, pos)), merge, cut covered tokens
+        "substring_dedup_docs": f"""
+            WITH {_D_UNI},
+            occ AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+9], ' ') AS s
+                    FROM toks,
+                         unnest(generate_series(1, greatest(len(t) - 9, 0))) AS u(i)),
+            dup AS (SELECT s FROM occ GROUP BY s
+                    HAVING count(DISTINCT doc_id) >= 2),
+            rem AS (SELECT doc_id, pos FROM (
+                      SELECT o.doc_id, o.pos,
+                             row_number() OVER (PARTITION BY o.s
+                               ORDER BY o.doc_id, o.pos) AS rn
+                      FROM occ o JOIN dup USING (s)) WHERE rn > 1),
+            fl AS (SELECT doc_id, pos,
+                          CASE WHEN pos > coalesce(max(pos + 10) OVER (
+                                 PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                               -1) THEN 1 ELSE 0 END AS nw
+                   FROM rem),
+            isl AS (SELECT doc_id, pos,
+                           sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isle
+                    FROM fl),
+            spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + 10 AS e0
+                      FROM isl GROUP BY doc_id, isle),
+            tok AS (SELECT doc_id, i - 1 AS p, t[i] AS tk
+                    FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+            kept AS (SELECT doc_id, p, tk FROM tok tp
+                     WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                       WHERE sp.doc_id = tp.doc_id
+                         AND tp.p >= sp.s0 AND tp.p < sp.e0)),
+            agg AS (SELECT doc_id,
+                           array_to_string(list(tk ORDER BY p), ' ') AS clean_text,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                   CAST(len(d.t) AS BIGINT) AS n_tokens,
+                   CAST(len(d.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM toks d LEFT JOIN agg a USING (doc_id)
         """,
         # recrawl snapshot versioning: same per-url windows in DuckDB
         # C0 control-char sanitation (tab/newline kept), md5-pinned

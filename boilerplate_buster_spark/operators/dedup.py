@@ -434,6 +434,145 @@ def exact_substring_pairs(
     )
 
 
+def _dup_window_occurrences(
+    docs: DataFrame,
+    span: int,
+    id_col: str,
+    tokens_col: str,
+    min_docs: int,
+    max_bucket: int | None,
+    drop_canonical: bool,
+) -> DataFrame:
+    """(id, pos) of every `span`-token window whose exact text also occurs
+    in >= min_docs distinct documents.  drop_canonical additionally removes
+    the globally-first occurrence (min (id, pos)) of each window - the
+    deterministic keep-one rule substring_dedup_docs builds on.
+
+    One shuffle: windows hash-grouped (xxhash64 of the joined span - same
+    64-bit trade as exact_substring_pairs; the grouped VALUES are (id, pos)
+    pairs, so a collision can only over-mark, never corrupt positions) with
+    the occurrence list collected per bucket and re-exploded - the
+    lsh_candidate_pairs bucket shape, never a corpus self-join.  max_bucket
+    drops windows with more total occurrences (boilerplate spans belong to
+    the phrase miner, and unbounded buckets are the quadratic risk)."""
+    from boilerplate_buster_spark.functions.ngrams import explode_ngrams
+
+    occ = explode_ngrams(docs, span, id_col, tokens_col).select(
+        F.xxhash64("gram").alias("_h"),
+        F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")).alias("o"),
+    )
+    grouped = occ.groupBy("_h").agg(
+        F.sort_array(F.collect_list("o")).alias("occs")
+    )
+    grouped = grouped.filter(
+        F.expr("size(array_distinct(transform(occs, o -> o.d)))") >= min_docs
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("occs") <= max_bucket)
+    sel = "slice(occs, 2, size(occs) - 1)" if drop_canonical else "occs"
+    return grouped.select(F.explode(F.expr(sel)).alias("o")).select(
+        F.col("o.d").alias(id_col), F.col("o.p").alias("pos")
+    )
+
+
+def _merge_windows_to_spans(
+    hits: DataFrame, span: int, id_col: str
+) -> DataFrame:
+    """Merge overlapping/adjacent duplicated windows [pos, pos+span) into
+    maximal token spans per document (gaps-and-islands over a running max
+    of window ends).  One shuffle on the document id; islands are strictly
+    per-document so no skew beyond document length."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run_end = F.max(F.col("pos") + F.lit(span)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new",
+        F.when(run_end.isNull() | (F.col("pos") > run_end), 1).otherwise(0),
+    ).withColumn(
+        "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return flagged.groupBy(id_col, "_island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(span)).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).drop("_island")
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    span: int = 20,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_docs: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(id, span_start, span_end, n_windows): maximal merged token spans of
+    content whose every `span`-token window also occurs verbatim in at
+    least `min_docs` distinct documents - the span-level view of the
+    Lee et al. 2022 exact-substring duplication criterion (the doc-pair
+    view is exact_substring_pairs; reference analog: the high-df phrase
+    spans bloom_gram_miner.cpp mines, generalized to arbitrary length).
+
+    span_end is exclusive; spans never overlap within a document."""
+    hits = _dup_window_occurrences(
+        docs, span, id_col, tokens_col, min_docs, max_bucket,
+        drop_canonical=False,
+    )
+    return _merge_windows_to_spans(hits, span, id_col)
+
+
+def substring_dedup_docs(
+    docs: DataFrame,
+    span: int = 20,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_docs: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact substring-level deduplication (Lee et al. 2022, the Pile/PaLM
+    recipe): every `span`-token window duplicated across >= min_docs
+    documents is removed EXCEPT its globally-first occurrence
+    (min (id, pos) - deterministic, order-free), removal windows are merged
+    to maximal spans per doc, and covered tokens are cut.
+
+    Returns (id, clean_text, n_tokens, n_removed).  Note the usual span-
+    union semantics: a canonical window can still lose tokens when an
+    overlapping NON-canonical window of a different duplicated span covers
+    them - same property as the original suffix-array formulation.
+
+    Scale: one bucket shuffle (window hash), one per-doc window shuffle,
+    one broadcast-sized join of removal spans back onto the corpus (spans
+    per doc are few); token cutting is a pure Catalyst array expression."""
+    rem = _merge_windows_to_spans(
+        _dup_window_occurrences(
+            docs, span, id_col, tokens_col, min_docs, max_bucket,
+            drop_canonical=True,
+        ),
+        span,
+        id_col,
+    )
+    per_doc = rem.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = docs.join(per_doc, id_col, "left")
+    kept = (
+        f"filter(transform({tokens_col}, (tk, i) -> struct(tk AS tk, i AS i)), "
+        "s -> _spans IS NULL OR NOT exists(_spans, "
+        "sp -> s.i >= sp.span_start AND s.i < sp.span_end))"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.expr(f"array_join(transform({kept}, x -> x.tk), ' ')").alias(
+            "clean_text"
+        ),
+        F.size(tokens_col).alias("n_tokens"),
+        (F.size(tokens_col) - F.expr(f"size({kept})")).alias("n_removed"),
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
