@@ -3483,6 +3483,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return feats.join(probe, "media_id")
 
+    def media_jpeg_cmyk(spark, sf):
+        # round-6 4-component path: Adobe inverted-CMYK (APP14 transform 0)
+        # constant-tile images at quality=100 decode bit-exactly to
+        # round(stored_c * stored_k / 255) per channel; DuckDB pins the
+        # sums from that closed form (integer products never hit x.5, so
+        # banker's-vs-half-up rounding cannot diverge)
+        import pandas as pd
+
+        from boilerplate_buster_spark.core.jpeg import encode_jpeg_cmyk
+        from boilerplate_buster_spark.operators import multimodal
+
+        ids = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id").filter(F.col("doc_id") < 60)
+        )
+
+        def make(batches):
+            import numpy as np
+
+            bx = np.arange(2)[None, :]
+            by = np.arange(2)[:, None]
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    blocks = np.stack(
+                        [
+                            (3 * d + 40 * bx + 80 * by) % 256,
+                            (5 * d + 60 * bx + 20 * by) % 256,
+                            (7 * d + 10 * bx + 50 * by) % 256,
+                            (11 * d + 25 * bx + 35 * by) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                    rows.append(
+                        (d, "image", encode_jpeg_cmyk(img, quality=100))
+                    )
+                yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+        media = ids.mapInPandas(
+            make, "media_id long, kind string, payload binary"
+        )
+        feats = multimodal.extract_features(media)
+        return feats.select(
+            "media_id",
+            F.expr("cast(element_at(feature, 1) AS bigint)").alias("img_w"),
+            F.expr("cast(element_at(feature, 2) AS bigint)").alias("img_h"),
+            F.expr("cast(element_at(feature, 3) AS bigint)").alias("sum_r"),
+            F.expr("cast(element_at(feature, 4) AS bigint)").alias("sum_g"),
+            F.expr("cast(element_at(feature, 5) AS bigint)").alias("sum_b"),
+        )
+
     def skew_salted_count(spark, sf):
         # explicit skew toolkit under the contract: per-event-type distinct
         # users via salted reducers (event_type is low-cardinality = the
@@ -4356,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_jpeg_decode=media_jpeg_decode,
         media_jpeg_progressive=media_jpeg_progressive,
         media_jpeg_exif=media_jpeg_exif,
+        media_jpeg_cmyk=media_jpeg_cmyk,
         media_mjpeg_frames=media_mjpeg_frames,
         image_dhash=image_dhash,
         image_neardup_pairs=image_neardup_pairs,
@@ -5605,6 +5659,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same closed form for the PROGRESSIVE (SOF2) pipeline - different
         # pixel formula so each oracle pins its own codec path
+        # Adobe CMYK closed form: per 8x8 tile the decoded channel value is
+        # round(stored_c * stored_k / 255); sums = 64 * sum over 4 tiles
+        "media_jpeg_cmyk": """
+            WITH m AS (SELECT doc_id AS media_id, doc_id AS d
+                       FROM documents WHERE doc_id < 60),
+            t AS (SELECT media_id, d, tx.g AS tx, ty.g AS ty
+                  FROM m, generate_series(0, 1) AS tx(g),
+                          generate_series(0, 1) AS ty(g)),
+            v AS (SELECT media_id,
+                         round(((3 * d + 40 * tx + 80 * ty) % 256)
+                               * ((11 * d + 25 * tx + 35 * ty) % 256)
+                               / 255.0) AS r,
+                         round(((5 * d + 60 * tx + 20 * ty) % 256)
+                               * ((11 * d + 25 * tx + 35 * ty) % 256)
+                               / 255.0) AS g,
+                         round(((7 * d + 10 * tx + 50 * ty) % 256)
+                               * ((11 * d + 25 * tx + 35 * ty) % 256)
+                               / 255.0) AS b
+                  FROM t)
+            SELECT media_id,
+                   CAST(16 AS BIGINT) AS img_w, CAST(16 AS BIGINT) AS img_h,
+                   CAST(64 * sum(r) AS BIGINT) AS sum_r,
+                   CAST(64 * sum(g) AS BIGINT) AS sum_g,
+                   CAST(64 * sum(b) AS BIGINT) AS sum_b
+            FROM v GROUP BY media_id
+        """,
         # oriented+subsampled JPEG closed form: stored array is 32x64 with
         # 2x2 constant tiles; orientation o=d%8+1 swaps dims for o>=5 and
         # moves which tile lands at oriented (0,0) (the 1x1-resize probe)

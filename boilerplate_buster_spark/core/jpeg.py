@@ -8,19 +8,22 @@ format.  Honest subset, precisely bounded:
   decode: baseline sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2,
   round 5: spectral selection + successive approximation, DC/AC first and
   refinement scans, EOBRUN, per-scan restart intervals), 8-bit samples,
-  Huffman entropy coding, 1 or 3 components, component sampling factors
+  Huffman entropy coding, 1 / 3 / 4 components, component sampling factors
   1/2/4 with integer ratios (round 6: covers 4:4:4, 4:2:2, 4:2:0 AND the
   DV/phone-video 4:1:1 - non-integer ratios like 3x2-over-2x2 refused),
   restart markers (DRI/RSTn), multi-table DQT/DHT segments, APP1 Exif
   Orientation HONORED (round 6: values 1-8 applied like a browser;
-  apply_orientation=False returns the stored array), other APPn/COM
-  skipped, 0xFF fill bytes and standalone TEM/RST markers stepped over.
-  Arithmetic coding, 12-bit, lossless, hierarchical modes and >3
-  components (Adobe CMYK) raise ValueError - the caller's stub fallback
-  takes over, never faked.
+  apply_orientation=False returns the stored array), APP14 Adobe
+  color-transform HONORED (round 6: 4-component inverted-CMYK and YCCK
+  converted to RGB libjpeg-style; 3-component transform-0 decoded as
+  plain RGB), other APPn/COM skipped, 0xFF fill bytes and standalone
+  TEM/RST markers stepped over.  Arithmetic coding, 12-bit, lossless and
+  hierarchical modes raise ValueError - the caller's stub fallback takes
+  over, never faked.
 
   encode: SOF0, 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1, optional APP1 Exif
-  Orientation tag, standard Annex K quantization tables
+  Orientation tag, PLUS encode_jpeg_cmyk (4-component Adobe CMYK/YCCK
+  with APP14), standard Annex K quantization tables
   scaled by the usual quality formula and standard Annex K Huffman tables,
   single interleaved scan; PLUS encode_jpeg_progressive (SOF2, the classic
   10-scan spectral-selection + successive-approximation script, custom
@@ -358,6 +361,81 @@ def encode_jpeg(
     return bytes(out)
 
 
+def adobe_app14_segment(transform: int) -> bytes:
+    """APP14 'Adobe' payload carrying the color-transform byte (0 = none /
+    CMYK-or-RGB, 1 = YCbCr, 2 = YCCK) - what Photoshop-family encoders
+    emit and what decode_jpeg keys 4-component handling on."""
+    return b"Adobe" + struct.pack(">HHHB", 100, 0, 0, int(transform))
+
+
+def encode_jpeg_cmyk(
+    cmyk: np.ndarray, quality: int = 90, transform: int = 0
+) -> bytes:
+    """Baseline 4-component Adobe JPEG of an (h, w, 4) uint8 array in the
+    STORED (Adobe-inverted) convention - sample = 255 - ink coverage, the
+    way Photoshop writes CMYK JPEGs.  transform=0 emits the planes as-is
+    (APP14 transform 0 = CMYK); transform=2 converts the first three
+    planes through the standard YCbCr forward transform (APP14 YCCK).
+    1x1 sampling, Annex K luminance tables for every component (legal and
+    what keeps constant blocks exact at quality=100 for the test oracle).
+    Exists to exercise decode_jpeg's 4-component path."""
+    if transform not in (0, 2):
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    cmyk = np.ascontiguousarray(cmyk, dtype=np.uint8)
+    if cmyk.ndim != 3 or cmyk.shape[2] != 4:
+        raise ValueError("expected (h, w, 4) stored-CMYK array")
+    h, w = cmyk.shape[0], cmyk.shape[1]
+    planes = [cmyk[:, :, i].astype(np.float64) for i in range(4)]
+    if transform == 2:
+        sc, sm, sy = planes[0], planes[1], planes[2]
+        y = 0.299 * sc + 0.587 * sm + 0.114 * sy
+        cb = -0.168736 * sc - 0.331264 * sm + 0.5 * sy + 128.0
+        cr = 0.5 * sc - 0.418688 * sm - 0.081312 * sy + 128.0
+        planes = [y, cb, cr, planes[3]]
+
+    qlum, _ = _quality_tables(quality)
+    qm = qlum.reshape(8, 8)
+    dc, ac = _build_codes(*_STD_DC_LUM), _build_codes(*_STD_AC_LUM)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        for p in planes
+    ]
+
+    bw = _BitWriter()
+    pred = [0, 0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(4):
+                pred[ci] = _encode_block(
+                    bw, padded[ci][by : by + 8, bx : bx + 8], qm, dc, ac,
+                    pred[ci],
+                )
+    out_scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFEE, adobe_app14_segment(transform))
+    out += seg(0xFFDB, b"\x00" + bytes(int(v) for v in qlum[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for cid in (1, 2, 3, 4):
+        sof += struct.pack(">BBB", cid, 0x11, 0)
+    out += seg(0xFFC0, sof)
+    for tc_th, (bits, vals) in (((0, 0), _STD_DC_LUM), ((1, 0), _STD_AC_LUM)):
+        tc, th = tc_th
+        out += seg(0xFFC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+    sos = struct.pack(">B", 4)
+    for cid in (1, 2, 3, 4):
+        sos += struct.pack(">BB", cid, 0x00)
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += out_scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------------ decoder
 
 
@@ -568,6 +646,7 @@ def decode_jpeg(buf: bytes, apply_orientation: bool = True) -> np.ndarray:
     restart_interval = 0
     coef_state: _ProgressiveState | None = None
     orientation = 1
+    adobe = None  # APP14 color-transform byte (None = no Adobe marker)
 
     def oriented(arr: np.ndarray) -> np.ndarray:
         if apply_orientation and orientation in _EXIF_TRANSFORMS:
@@ -593,6 +672,10 @@ def decode_jpeg(buf: bytes, apply_orientation: bool = True) -> np.ndarray:
             orientation = _exif_orientation(payload) or orientation
             pos += 2 + ln
             continue
+        if marker == 0xEE and payload[:5] == b"Adobe" and len(payload) >= 12:
+            adobe = payload[11]  # 0 = CMYK/RGB as-is, 1 = YCbCr, 2 = YCCK
+            pos += 2 + ln
+            continue
         if marker == 0xDB:  # DQT (may hold several tables)
             p = 0
             while p < len(payload):
@@ -616,10 +699,10 @@ def decode_jpeg(buf: bytes, apply_orientation: bool = True) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise ValueError("12-bit JPEG unsupported")
-            if nc not in (1, 3):
-                # 4-component (Adobe CMYK/YCCK) etc. would silently decode
-                # through the 3-component YCbCr path - degrade to the stub
+            if nc not in (1, 3, 4):
                 raise ValueError(f"{nc}-component JPEG unsupported")
+            if len(payload) < 6 + 3 * nc:
+                raise ValueError("truncated SOF")
             comps = []
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from(
@@ -654,7 +737,7 @@ def decode_jpeg(buf: bytes, apply_orientation: bool = True) -> np.ndarray:
             if not frame.get("progressive"):
                 return oriented(_decode_scan(
                     buf, data_start, frame, scan_sel, qtables, htables,
-                    restart_interval,
+                    restart_interval, adobe,
                 ))
             # progressive: the SOS header carries Ss/Se/Ah/Al after the
             # component selectors; the scan updates the shared coefficient
@@ -669,7 +752,7 @@ def decode_jpeg(buf: bytes, apply_orientation: bool = True) -> np.ndarray:
             continue
         pos += 2 + ln
     if frame is not None and frame.get("progressive") and coef_state is not None:
-        return oriented(_reconstruct(frame, coef_state, qtables))
+        return oriented(_reconstruct(frame, coef_state, qtables, adobe))
     raise ValueError("no SOS scan found")
 
 
@@ -845,9 +928,13 @@ def _decode_progressive_scan(
     return _next_marker(buf, br.pos)
 
 
-def _assemble_rgb(comps, planes, fh, fw, hmax, vmax):
+def _assemble_rgb(comps, planes, fh, fw, hmax, vmax, adobe=None):
     """Upsample + crop + level-shift + color-convert (shared by the baseline
-    and progressive reconstruction paths)."""
+    and progressive reconstruction paths).  adobe carries the APP14
+    color-transform byte: 3 components decode as plain RGB when adobe == 0
+    (Photoshop RGB JPEGs), 4 components as Adobe-inverted CMYK (adobe in
+    (0, None)) or YCCK (adobe == 2), converted to RGB the way libjpeg and
+    every browser do: R = stored_c * stored_k / 255 etc."""
     full = []
     for c, plane in zip(comps, planes):
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -857,6 +944,21 @@ def _assemble_rgb(comps, planes, fh, fw, hmax, vmax):
     if len(full) == 1:
         ych = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(ych[:, :, None], 3, axis=2)
+    if len(full) == 4:
+        if adobe == 2:  # YCCK: invert YCbCr first, K passes through
+            y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+            sc = np.clip(y + 1.402 * cr, 0.0, 255.0)
+            sm = np.clip(y - 0.344136 * cb - 0.714136 * cr, 0.0, 255.0)
+            sy = np.clip(y + 1.772 * cb, 0.0, 255.0)
+        else:  # CMYK stored inverted (transform 0 or marker absent)
+            sc = np.clip(full[0], 0.0, 255.0)
+            sm = np.clip(full[1], 0.0, 255.0)
+            sy = np.clip(full[2], 0.0, 255.0)
+        sk = np.clip(full[3], 0.0, 255.0)
+        rgb = np.stack([sc * sk, sm * sk, sy * sk], axis=2) / 255.0
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    if len(full) == 3 and adobe == 0:  # Adobe transform 0 with 3 comps = RGB
+        return np.clip(np.round(np.stack(full, axis=2)), 0, 255).astype(np.uint8)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -865,7 +967,7 @@ def _assemble_rgb(comps, planes, fh, fw, hmax, vmax):
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def _reconstruct(frame, st, qtables):
+def _reconstruct(frame, st, qtables, adobe=None):
     """Dequantize + IDCT every accumulated coefficient block (vectorized
     einsum over all blocks of a component at once) and assemble RGB."""
     comps = frame["comps"]
@@ -878,10 +980,13 @@ def _reconstruct(frame, st, qtables):
         coef = nat.reshape(by_t, bx_t, 8, 8) * qtables[c["tq"]]
         pix = np.einsum("ui,mnuv,vj->mnij", _C, coef, _C)
         planes.append(pix.transpose(0, 2, 1, 3).reshape(by_t * 8, bx_t * 8))
-    return _assemble_rgb(comps, planes, frame["h"], frame["w"], st.hmax, st.vmax)
+    return _assemble_rgb(
+        comps, planes, frame["h"], frame["w"], st.hmax, st.vmax, adobe
+    )
 
 
-def _decode_scan(buf, pos, frame, scan_sel, qtables, htables, restart_interval):
+def _decode_scan(buf, pos, frame, scan_sel, qtables, htables,
+                 restart_interval, adobe=None):
     comps = frame["comps"]
     fh, fw = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
@@ -944,7 +1049,7 @@ def _decode_scan(buf, pos, frame, scan_sel, qtables, htables, restart_interval):
                         planes[pi][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
 
-    return _assemble_rgb(comps, planes, fh, fw, hmax, vmax)
+    return _assemble_rgb(comps, planes, fh, fw, hmax, vmax, adobe)
 
 
 # ----------------------------------------------- progressive (SOF2) encoder

@@ -180,16 +180,16 @@ def test_fill_bytes_and_standalone_markers_in_header():
     assert jpeg.jpeg_end(patched) == len(patched)
 
 
-def test_four_component_sof_refused():
-    # Adobe CMYK (4-component) baseline must raise -> stub fallback, never
-    # decode through the 3-component YCbCr path
+def test_inconsistent_component_count_refused():
+    # an SOF claiming 4 components while carrying specs for 3 is truncated
+    # garbage - must raise, never decode through a wrong color path
     rng = np.random.RandomState(8)
     img = _const_block_img(rng, 2, 2)
     enc = bytearray(jpeg.encode_jpeg(img, quality=90))
     sof_at = bytes(enc).find(b"\xff\xc0")
     assert enc[sof_at + 9] == 3  # component count byte
     enc[sof_at + 9] = 4
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="truncated SOF"):
         jpeg.decode_jpeg(bytes(enc))
 
 
@@ -318,3 +318,72 @@ def test_exif_orientation_honored_and_optional():
     for junk in (b"Exif\x00\x00XX", b"Exif\x00\x00II\x2a\x00\xff\xff\xff\xff", b"nope"):
         spl = plain[:2] + _s.pack(">HH", 0xFFE1, len(junk) + 2) + junk + plain[2:]
         assert np.array_equal(jpeg.decode_jpeg(spl), raw_ref)
+
+
+def _const_cmyk(rng, by, bx):
+    blocks = rng.randint(0, 256, (by, bx, 4)).astype(np.uint8)
+    return np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+
+
+def test_cmyk_decode_closed_form():
+    # round-6: 4-component Adobe CMYK (stored inverted) at quality=100 with
+    # constant 8x8 blocks decodes to EXACTLY round(stored_c*k/255) per
+    # channel - same closed-form-oracle property as the RGB path
+    rng = np.random.RandomState(30)
+    cmyk = _const_cmyk(rng, 3, 4)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg_cmyk(cmyk, quality=100, transform=0))
+    f = cmyk.astype(np.float64)
+    want = np.clip(
+        np.round(np.stack([f[:, :, 0], f[:, :, 1], f[:, :, 2]], axis=2)
+                 * f[:, :, 3:4] / 255.0), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(out, want)
+
+
+def test_ycck_decode_matches_cmyk():
+    # YCCK is CMYK routed through the YCbCr transform: same image encoded
+    # both ways must decode to (nearly) the same RGB; the transform's
+    # float rounding bounds the difference at quality=100
+    rng = np.random.RandomState(31)
+    cmyk = _const_cmyk(rng, 2, 3)
+    a = jpeg.decode_jpeg(jpeg.encode_jpeg_cmyk(cmyk, quality=100, transform=0))
+    b = jpeg.decode_jpeg(jpeg.encode_jpeg_cmyk(cmyk, quality=100, transform=2))
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+
+
+def test_adobe_rgb_three_component():
+    # APP14 transform=0 with 3 components = planes are straight RGB (the
+    # Photoshop "RGB JPEG" case): splicing the marker into a standard
+    # YCbCr encode must yield the RAW planes, not the YCbCr inverse
+    rng = np.random.RandomState(32)
+    img = _const_block_img(rng, 2, 2)
+    enc = jpeg.encode_jpeg(img, quality=100)
+    seg = jpeg.adobe_app14_segment(0)
+    spliced = enc[:2] + struct.pack(">HH", 0xFFEE, len(seg) + 2) + seg + enc[2:]
+    out = jpeg.decode_jpeg(spliced)
+    f = img.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
+    want = np.stack([y, cb, cr], axis=2)
+    # quality=100 constant blocks: DC rounds to nearest 1/8, so the decoded
+    # raw planes sit within 1 of the forward-transform values
+    assert np.abs(out.astype(np.float64) - want).max() <= 1.0
+    # and transform=1 (plain YCbCr) must keep the standard interpretation
+    seg1 = jpeg.adobe_app14_segment(1)
+    spliced1 = enc[:2] + struct.pack(">HH", 0xFFEE, len(seg1) + 2) + seg1 + enc[2:]
+    assert np.array_equal(jpeg.decode_jpeg(spliced1), jpeg.decode_jpeg(enc))
+
+
+def test_cmyk_through_multimodal_dispatch():
+    # the distributed decode path must take the REAL 4-component branch
+    from boilerplate_buster_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(33)
+    cmyk = _const_cmyk(rng, 2, 2)
+    enc = jpeg.encode_jpeg_cmyk(cmyk, quality=100, transform=0)
+    v = mm.decode_bytes(enc, "image")
+    f = cmyk.astype(np.float64)
+    want = np.clip(np.round(f[:, :, 0] * f[:, :, 3] / 255.0), 0, 255)
+    assert v[0] == 16.0 and v[1] == 16.0
+    assert v[2] == float(want.sum())
