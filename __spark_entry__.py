@@ -1872,7 +1872,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         + np.arange(6)[None, :]
                         + 3 * np.arange(5)[:, None]
                     ) % 16
-                    rows.append((d, "image", multimodal.encode_gif(pal[idx])))
+                    rows.append(
+                        (
+                            d,
+                            "image",
+                            # odd ids ship 8/8/4/2-interlaced (round 6):
+                            # decode is row-order-identical, oracle untouched
+                            multimodal.encode_gif(pal[idx], interlace=d % 2 == 1),
+                        )
+                    )
                 yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
 
         media = ids.mapInPandas(
@@ -3293,7 +3301,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         ],
                         axis=2,
                     ).astype(np.uint8)
-                    rows.append((d, "image", multimodal.encode_png(rgb)))
+                    rows.append(
+                        (
+                            d,
+                            "image",
+                            # odd ids ship Adam7-interlaced (round 6): the
+                            # decode must be pixel-identical, so the oracle
+                            # is untouched
+                            multimodal.encode_png(rgb, interlace=d % 2 == 1),
+                        )
+                    )
                 yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
 
         media = ids.mapInPandas(

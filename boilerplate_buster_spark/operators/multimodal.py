@@ -241,10 +241,24 @@ def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> np.ndarray:
     return out
 
 
-def encode_gif(rgb: np.ndarray) -> bytes:
+def gif_interlace_order(h: int) -> np.ndarray:
+    """Display-row order in which an interlaced GIF stores its rows (the
+    standard four passes: every 8th from 0, every 8th from 4, every 4th
+    from 2, every 2nd from 1)."""
+    return np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+
+
+def encode_gif(rgb: np.ndarray, interlace: bool = False) -> bytes:
     """GIF87a with a global color table built from the image's unique colors
-    (<= 256 required) and a real LZW-compressed raster."""
+    (<= 256 required) and a real LZW-compressed raster; interlace=True
+    stores rows in the standard 8/8/4/2 pass order and sets the flag."""
     h, w = rgb.shape[0], rgb.shape[1]
+    rgb = np.ascontiguousarray(rgb)
+    if interlace:
+        rgb = rgb[gif_interlace_order(h)]
     flat = np.ascontiguousarray(rgb).reshape(-1, 3)
     palette, indices = np.unique(flat, axis=0, return_inverse=True)
     if len(palette) > 256:
@@ -256,7 +270,9 @@ def encode_gif(rgb: np.ndarray) -> bytes:
     out = bytearray(b"GIF87a")
     out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
     out += table.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )  # image descriptor
     out.append(mcs)
     lzw = _lzw_encode(indices.astype(np.int64), mcs)
     for i in range(0, len(lzw), 255):  # sub-blocks
@@ -269,7 +285,8 @@ def encode_gif(rgb: np.ndarray) -> bytes:
 
 def decode_gif(buf: bytes) -> np.ndarray:
     """(h, w, 3) RGB uint8 from a GIF87a/89a: global color table, 89a
-    extension blocks skipped, first image block LZW-decoded."""
+    extension blocks skipped, first image block LZW-decoded; interlaced
+    images (round 6) de-interlaced via the standard 8/8/4/2 pass order."""
     buf = bytes(buf)
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not GIF")
@@ -294,8 +311,7 @@ def decode_gif(buf: bytes) -> np.ndarray:
                 n = 2 << (ipacked & 0x07)
                 table = np.frombuffer(buf, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
                 pos += n * 3
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF unsupported")
+            interlaced = bool(ipacked & 0x40)
             mcs = buf[pos]
             pos += 1
             data = bytearray()
@@ -306,7 +322,12 @@ def decode_gif(buf: bytes) -> np.ndarray:
             if table is None:
                 raise ValueError("GIF image without a color table")
             idx = _lzw_decode(bytes(data), mcs, w * h)
-            return table[idx].reshape(h, w, 3).copy()
+            rgb = table[idx].reshape(h, w, 3)
+            if interlaced:
+                out = np.empty_like(rgb)
+                out[gif_interlace_order(h)] = rgb
+                return out
+            return rgb.copy()
         elif b0 == 0x3B:
             break
         else:
@@ -351,20 +372,42 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(rgb: np.ndarray, cycle_filters: bool = True) -> bytes:
-    """Real PNG (8-bit truecolor, non-interlaced) of an (h, w, 3) uint8
-    array: IHDR + one zlib IDAT + IEND, CRC-correct.  With cycle_filters,
-    scanline y uses filter type y % 5, so every decoder filter path
-    (None/Sub/Up/Average/Paeth) is exercised by any image >= 5 rows."""
+def encode_png(
+    rgb: np.ndarray, cycle_filters: bool = True, interlace: bool = False
+) -> bytes:
+    """Real PNG (8-bit truecolor) of an (h, w, 3) uint8 array: IHDR + one
+    zlib IDAT + IEND, CRC-correct.  With cycle_filters, scanline y uses
+    filter type y % 5, so every decoder filter path (None/Sub/Up/Average/
+    Paeth) is exercised by any image >= 5 rows.  interlace=True emits a
+    real Adam7 stream (seven sub-images, each filtered independently)."""
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     h, w = rgb.shape[0], rgb.shape[1]
     bpp = 3
+    if interlace:
+        lines = bytearray()
+        for xs, ys, xst, yst in _ADAM7:
+            sub = rgb[ys::yst, xs::xst]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines += _png_filter_lines(
+                sub.reshape(sub.shape[0], sub.shape[1] * bpp).astype(np.int32),
+                bpp, cycle_filters,
+            )
+        return _png_container(w, h, bytes(lines), interlace=1)
     raw = rgb.reshape(h, w * bpp).astype(np.int32)
+    lines = bytearray(_png_filter_lines(raw, bpp, cycle_filters))
+    return _png_container(w, h, bytes(lines), interlace=0)
+
+
+def _png_filter_lines(raw: np.ndarray, bpp: int, cycle_filters: bool) -> bytes:
+    """Filter the rows of one (sub-)image into PNG scanline bytes."""
+    h = raw.shape[0]
+    stride = raw.shape[1]
     lines = bytearray()
     for y in range(h):
         ft = (y % 5) if cycle_filters else 0
         cur = raw[y]
-        prev = raw[y - 1] if y else np.zeros(w * bpp, np.int32)
+        prev = raw[y - 1] if y else np.zeros(stride, np.int32)
         a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
         c = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
         if ft == 0:
@@ -382,6 +425,10 @@ def encode_png(rgb: np.ndarray, cycle_filters: bool = True) -> bytes:
             enc = cur - pred
         lines.append(ft)
         lines += (enc & 0xFF).astype(np.uint8).tobytes()
+    return bytes(lines)
+
+
+def _png_container(w: int, h: int, lines: bytes, interlace: int) -> bytes:
     import zlib
 
     def chunk(typ: bytes, data: bytes) -> bytes:
@@ -390,18 +437,25 @@ def encode_png(rgb: np.ndarray, cycle_filters: bool = True) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, interlace)
     return (
         _PNG_SIG + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IDAT", zlib.compress(lines))
         + chunk(b"IEND", b"")
     )
 
 
 def _png_unfilter(data: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse the per-scanline PNG filters -> (h, stride) uint8 matrix."""
+    return _png_unfilter_at(data, h, stride, bpp, 0)[0]
+
+
+def _png_unfilter_at(
+    data: bytes, h: int, stride: int, bpp: int, pos: int
+) -> tuple[np.ndarray, int]:
+    """_png_unfilter starting at byte `pos`, returning (matrix, end pos) -
+    what Adam7 needs to walk the seven concatenated sub-images."""
     out = np.zeros((h, stride), np.int32)
-    pos = 0
     for y in range(h):
         if pos >= len(data):
             raise ValueError("truncated PNG scanlines")
@@ -433,15 +487,24 @@ def _png_unfilter(data: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
                 cur[x] = (row[x] + pred) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter {ft}")
-    return out.astype(np.uint8)
+    return out.astype(np.uint8), pos
+
+
+# Adam7 pass layout: (x_start, y_start, x_step, y_step) per sub-image
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def decode_png(buf: bytes) -> np.ndarray:
     """(h, w, 3) RGB uint8 from a PNG: 8-bit depth, color types 0 (gray,
-    replicated), 2 (RGB), 3 (palette via PLTE), 6 (RGBA, alpha dropped),
-    non-interlaced; all five scanline filters (stdlib zlib inflate +
-    Sub/Up/Average/Paeth reconstruction).  Adam7 and 16-bit depth raise
-    ValueError (honest boundary - the caller's stub fallback takes over)."""
+    replicated), 2 (RGB), 3 (palette via PLTE), 6 (RGBA, alpha dropped);
+    all five scanline filters (stdlib zlib inflate + Sub/Up/Average/Paeth
+    reconstruction); round 6 adds Adam7 interlace (seven independently
+    filtered sub-images scattered back by the standard pass layout).
+    16-bit depth raises ValueError (honest boundary - the caller's stub
+    fallback takes over)."""
     import zlib
 
     buf = bytes(buf)
@@ -458,8 +521,8 @@ def decode_png(buf: bytes) -> np.ndarray:
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
             if depth != 8 or comp != 0 or filt != 0:
                 raise ValueError(f"unsupported PNG (depth={depth})")
-            if interlace != 0:
-                raise ValueError("interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace {interlace}")
             if ctype not in (0, 2, 3, 6):
                 raise ValueError(f"unsupported PNG color type {ctype}")
         elif typ == b"PLTE":
@@ -472,16 +535,32 @@ def decode_png(buf: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     channels = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
-    mat = _png_unfilter(zlib.decompress(bytes(idat)), h, w * channels, channels)
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 1:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # onto the full-size grid by the standard pass layout
+        pix = np.zeros((h, w, channels), np.uint8)
+        pos = 0
+        for xs, ys, xst, yst in _ADAM7:
+            pw = (w - xs + xst - 1) // xst
+            ph = (h - ys + yst - 1) // yst
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, pos = _png_unfilter_at(raw, ph, pw * channels, channels, pos)
+            pix[ys::yst, xs::xst] = sub.reshape(ph, pw, channels)
+    else:
+        pix = _png_unfilter(raw, h, w * channels, channels).reshape(
+            h, w, channels
+        )
     if ctype == 2:
-        return mat.reshape(h, w, 3).copy()
+        return pix.copy() if interlace else pix
     if ctype == 6:
-        return np.ascontiguousarray(mat.reshape(h, w, 4)[:, :, :3])
+        return np.ascontiguousarray(pix[:, :, :3])
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
-        return plte[mat.reshape(h, w)].copy()
-    return np.repeat(mat.reshape(h, w, 1), 3, axis=2)
+        return plte[pix.reshape(h, w)].copy()
+    return np.repeat(pix.reshape(h, w, 1), 3, axis=2)
 
 
 def _decode_media(payload: bytes, kind: str):

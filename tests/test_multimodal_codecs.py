@@ -431,3 +431,33 @@ def test_media_pipeline_invariants(spark):
     # scene cuts only on videos, and at least one video has one
     assert all(r.n_cuts == 0 for r in by_kind["image"] + by_kind["audio"])
     assert any(r.n_cuts > 0 for r in by_kind["video"])
+
+
+def test_png_adam7_roundtrip():
+    # round-6: Adam7 interlace - seven independently filtered sub-images
+    # scattered back by the standard pass layout; exact for every size
+    # including degenerate single-row/column images and sizes that leave
+    # some passes empty
+    rng = np.random.RandomState(61)
+    for h, w in [(1, 1), (3, 2), (5, 5), (8, 8), (13, 17), (32, 9)]:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        for cyc in (True, False):
+            enc = mm.encode_png(img, cycle_filters=cyc, interlace=True)
+            # IHDR interlace byte set
+            assert enc[8 + 8 + 12] == 1
+            assert np.array_equal(mm.decode_png(enc), img), (h, w, cyc)
+
+
+def test_gif_interlace_roundtrip():
+    # round-6: GIF 8/8/4/2 interlace de-scrambled to display order
+    rng = np.random.RandomState(62)
+    for h, w in [(1, 3), (7, 4), (16, 5), (33, 6)]:
+        img = (rng.randint(0, 8, (h, w, 1)) * 30).astype(np.uint8).repeat(
+            3, axis=2
+        )
+        enc = mm.encode_gif(img, interlace=True)
+        assert np.array_equal(mm.decode_gif(enc), img), (h, w)
+        # interlaced and plain encodes of the same image decode identically
+        assert np.array_equal(
+            mm.decode_gif(enc), mm.decode_gif(mm.encode_gif(img))
+        )
