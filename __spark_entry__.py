@@ -3500,6 +3500,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return feats.join(probe, "media_id")
 
+    def media_gif_frames(spark, sf):
+        # round-6 animated GIF: 3 constant-color full-screen frames per
+        # payload, sampled to 4 frames by the real video path (frame k
+        # reads source floor(k*3/4), ts = src*40ms at fps 25), each sampled
+        # frame re-encoded P6 and stat'd; DuckDB recomputes everything from
+        # the constant-color closed form
+        import pandas as pd
+
+        from boilerplate_buster_spark.operators import multimodal
+
+        ids = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id").filter(F.col("doc_id") < 48)
+        )
+
+        def make(batches):
+            import numpy as np
+
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    frames = [
+                        np.full(
+                            (8, 6, 3),
+                            [
+                                (3 * d + 17 * f) % 256,
+                                (5 * d + 29 * f) % 256,
+                                (7 * d + 41 * f) % 256,
+                            ],
+                            dtype=np.uint8,
+                        )
+                        for f in range(3)
+                    ]
+                    rows.append(
+                        (d, "video", multimodal.encode_gif_animation(frames))
+                    )
+                yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+        media = ids.mapInPandas(
+            make, "media_id long, kind string, payload binary"
+        )
+        frames = multimodal.sample_frames(media, n_frames=4, fps=25)
+        return multimodal.image_stats(
+            frames.select(
+                "media_id", "frame_idx", "frame_ts_ms",
+                F.col("frame").alias("payload"),
+            ),
+            passthrough=("frame_idx", "frame_ts_ms"),
+        )
+
     def media_jpeg_cmyk(spark, sf):
         # round-6 4-component path: Adobe inverted-CMYK (APP14 transform 0)
         # constant-tile images at quality=100 decode bit-exactly to
@@ -4427,6 +4478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media_jpeg_progressive=media_jpeg_progressive,
         media_jpeg_exif=media_jpeg_exif,
         media_jpeg_cmyk=media_jpeg_cmyk,
+        media_gif_frames=media_gif_frames,
         media_mjpeg_frames=media_mjpeg_frames,
         image_dhash=image_dhash,
         image_neardup_pairs=image_neardup_pairs,
@@ -5676,6 +5728,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same closed form for the PROGRESSIVE (SOF2) pipeline - different
         # pixel formula so each oracle pins its own codec path
+        # animated-GIF frame sampling closed form: source frame (k*3)//4,
+        # constant color per (d, f), 8x6 frames -> sums = 48 * channel
+        "media_gif_frames": """
+            WITH m AS (SELECT doc_id AS media_id, doc_id AS d
+                       FROM documents WHERE doc_id < 48),
+            k AS (SELECT media_id, d, kk.g AS fi, (kk.g * 3) // 4 AS src
+                  FROM m, generate_series(0, 3) AS kk(g))
+            SELECT media_id,
+                   CAST(fi AS INT) AS frame_idx,
+                   CAST(src * 40 AS INT) AS frame_ts_ms,
+                   CAST(6 AS INT) AS img_w, CAST(8 AS INT) AS img_h,
+                   CAST(48 * ((3 * d + 17 * src) % 256) AS BIGINT) AS sum_r,
+                   CAST(48 * ((5 * d + 29 * src) % 256) AS BIGINT) AS sum_g,
+                   CAST(48 * ((7 * d + 41 * src) % 256) AS BIGINT) AS sum_b
+            FROM k
+        """,
         # Adobe CMYK closed form: per 8x8 tile the decoded channel value is
         # round(stored_c * stored_k / 255); sums = 64 * sum over 4 tiles
         "media_jpeg_cmyk": """

@@ -283,33 +283,97 @@ def encode_gif(rgb: np.ndarray, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
+def encode_gif_animation(
+    frames: list[np.ndarray], delay_cs: int = 10, interlace: bool = False
+) -> bytes:
+    """GIF89a animation: one global color table over all frames (union
+    <= 256 colors required), a no-transparency Graphic Control Extension
+    (delay in centiseconds) before each full-screen image block, plus the
+    standard NETSCAPE2.0 loop extension - the banner-animation shape
+    decode_gif_frames accepts."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("all frames must share one size")
+    stack = np.ascontiguousarray(np.stack(frames)).reshape(-1, 3)
+    palette, indices = np.unique(stack, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <=256 colors, got {len(palette)}")
+    bits = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros(((1 << bits), 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    per = w * h
+    for fi in range(len(frames)):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+        )
+        out.append(mcs)
+        idx = indices[fi * per : (fi + 1) * per].reshape(h, w)
+        if interlace:
+            idx = idx[gif_interlace_order(h)]
+        lzw = _lzw_encode(idx.reshape(-1).astype(np.int64), mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_gif(buf: bytes) -> np.ndarray:
-    """(h, w, 3) RGB uint8 from a GIF87a/89a: global color table, 89a
-    extension blocks skipped, first image block LZW-decoded; interlaced
-    images (round 6) de-interlaced via the standard 8/8/4/2 pass order."""
+    """(h, w, 3) RGB uint8 of a GIF's first frame (see decode_gif_frames
+    for the supported subset)."""
+    return decode_gif_frames(buf)[0]
+
+
+def decode_gif_frames(buf: bytes) -> list[np.ndarray]:
+    """All image blocks of a GIF87a/89a as (h, w, 3) RGB uint8 frames:
+    global/local color tables, interlace de-scrambled (8/8/4/2 passes),
+    LZW decoded per block - GIF89a animations arrive as the frame list.
+    Honest subset for multi-frame files: every block must cover the full
+    logical screen at (0, 0) and carry no transparency flag (the common
+    banner-animation shape); partial-frame disposal compositing is
+    refused, never approximated.  A single-image GIF may be any size (its
+    own block defines the canvas, matching how the encoder writes it)."""
     buf = bytes(buf)
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not GIF")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
     pos = 13
-    table = None
+    gtable = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
-        table = np.frombuffer(buf, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+        gtable = np.frombuffer(buf, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
         pos += n * 3
+    frames: list[np.ndarray] = []
     while pos < len(buf):
         b0 = buf[pos]
         if b0 == 0x21:  # 89a extension: label + sub-blocks
+            label = buf[pos + 1]
             pos += 2
+            if label == 0xF9 and buf[pos] >= 4 and (buf[pos + 1] & 0x01):
+                # transparent-color animations need compositing - refuse
+                raise ValueError("transparent GIF frames unsupported")
             while buf[pos] != 0:
                 pos += 1 + buf[pos]
             pos += 1
         elif b0 == 0x2C:
-            _x, _y, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos + 1)
+            x, y, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos + 1)
             pos += 10
+            table = gtable
             if ipacked & 0x80:  # local color table wins
                 n = 2 << (ipacked & 0x07)
-                table = np.frombuffer(buf, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+                table = np.frombuffer(
+                    buf, np.uint8, count=n * 3, offset=pos
+                ).reshape(n, 3)
                 pos += n * 3
             interlaced = bool(ipacked & 0x40)
             mcs = buf[pos]
@@ -319,20 +383,28 @@ def decode_gif(buf: bytes) -> np.ndarray:
                 ln = buf[pos]
                 data += buf[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            pos += 1  # block terminator
             if table is None:
                 raise ValueError("GIF image without a color table")
+            if frames and (x, y, w, h) != (0, 0, sw, sh):
+                raise ValueError("partial GIF animation frames unsupported")
             idx = _lzw_decode(bytes(data), mcs, w * h)
             rgb = table[idx].reshape(h, w, 3)
             if interlaced:
                 out = np.empty_like(rgb)
                 out[gif_interlace_order(h)] = rgb
-                return out
-            return rgb.copy()
+                frames.append(out)
+            else:
+                frames.append(rgb.copy())
         elif b0 == 0x3B:
             break
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
-    raise ValueError("GIF contains no image block")
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    if len(frames) > 1 and frames[0].shape != frames[1].shape:
+        raise ValueError("partial GIF animation frames unsupported")
+    return frames
 
 
 def encode_wav(rate: int, samples: np.ndarray) -> bytes:
@@ -498,13 +570,14 @@ _ADAM7 = (
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """(h, w, 3) RGB uint8 from a PNG: 8-bit depth, color types 0 (gray,
-    replicated), 2 (RGB), 3 (palette via PLTE), 6 (RGBA, alpha dropped);
-    all five scanline filters (stdlib zlib inflate + Sub/Up/Average/Paeth
-    reconstruction); round 6 adds Adam7 interlace (seven independently
-    filtered sub-images scattered back by the standard pass layout).
-    16-bit depth raises ValueError (honest boundary - the caller's stub
-    fallback takes over)."""
+    """(h, w, 3) RGB uint8 from a PNG: color types 0 (gray, replicated),
+    2 (RGB), 3 (palette via PLTE), 4 (gray+alpha, alpha dropped), 6 (RGBA,
+    alpha dropped); all five scanline filters (stdlib zlib inflate +
+    Sub/Up/Average/Paeth reconstruction); round 6 adds Adam7 interlace
+    (seven independently filtered sub-images scattered back by the
+    standard pass layout) and 16-bit depth (filters reversed at the byte
+    level per the spec, then the high byte displayed, browser-style;
+    16-bit palette is not a legal PNG combination and raises)."""
     import zlib
 
     buf = bytes(buf)
@@ -519,11 +592,13 @@ def decode_png(buf: bytes) -> np.ndarray:
             raise ValueError("truncated PNG chunk")
         if typ == b"IHDR":
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
-            if depth != 8 or comp != 0 or filt != 0:
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG compression/filter method")
+            if depth not in (8, 16) or (depth == 16 and ctype == 3):
                 raise ValueError(f"unsupported PNG (depth={depth})")
             if interlace not in (0, 1):
                 raise ValueError(f"unknown PNG interlace {interlace}")
-            if ctype not in (0, 2, 3, 6):
+            if ctype not in (0, 2, 3, 4, 6):
                 raise ValueError(f"unsupported PNG color type {ctype}")
         elif typ == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
@@ -534,33 +609,38 @@ def decode_png(buf: bytes) -> np.ndarray:
         pos += 12 + ln
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    nb = depth // 8  # bytes per sample; filters operate on BYTES
+    bpp = channels * nb
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:
         # Adam7: seven independently-filtered sub-images, scattered back
         # onto the full-size grid by the standard pass layout
-        pix = np.zeros((h, w, channels), np.uint8)
+        pix = np.zeros((h, w, bpp), np.uint8)
         pos = 0
         for xs, ys, xst, yst in _ADAM7:
             pw = (w - xs + xst - 1) // xst
             ph = (h - ys + yst - 1) // yst
             if pw <= 0 or ph <= 0:
                 continue
-            sub, pos = _png_unfilter_at(raw, ph, pw * channels, channels, pos)
-            pix[ys::yst, xs::xst] = sub.reshape(ph, pw, channels)
+            sub, pos = _png_unfilter_at(raw, ph, pw * bpp, bpp, pos)
+            pix[ys::yst, xs::xst] = sub.reshape(ph, pw, bpp)
     else:
-        pix = _png_unfilter(raw, h, w * channels, channels).reshape(
-            h, w, channels
-        )
+        pix = _png_unfilter(raw, h, w * bpp, bpp).reshape(h, w, bpp)
+    if depth == 16:
+        # 16 -> 8 bit: the high byte (what browsers display); samples are
+        # big-endian so it is byte 0 of each pair
+        pix = np.ascontiguousarray(pix.reshape(h, w, channels, 2)[:, :, :, 0])
     if ctype == 2:
-        return pix.copy() if interlace else pix
+        return np.ascontiguousarray(pix)
     if ctype == 6:
         return np.ascontiguousarray(pix[:, :, :3])
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
         return plte[pix.reshape(h, w)].copy()
-    return np.repeat(pix.reshape(h, w, 1), 3, axis=2)
+    # gray (0) or gray+alpha (4): replicate luminance, drop alpha
+    return np.repeat(pix[:, :, :1], 3, axis=2)
 
 
 def _decode_media(payload: bytes, kind: str):
@@ -581,7 +661,10 @@ def _decode_media(payload: bytes, kind: str):
     if payload[:2] == b"BM":
         return "image", decode_bmp(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return "image", decode_gif(payload)
+        frames = decode_gif_frames(payload)
+        if kind == "video" or len(frames) > 1:
+            return "video", frames
+        return "image", frames[0]
     if payload[:2] == b"P6":
         frames = decode_ppm_stream(payload)
         if kind == "video" or len(frames) > 1:
@@ -773,6 +856,8 @@ def sample_frames(media: DataFrame, n_frames: int = 4, fps: int = 25) -> DataFra
                         )
 
                         src = [decode_jpeg(p) for p in split_mjpeg(raw)]
+                    elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                        src = decode_gif_frames(raw)
                     else:
                         src = decode_ppm_stream(raw)
                     if not src or len({f.shape for f in src}) != 1:

@@ -461,3 +461,85 @@ def test_gif_interlace_roundtrip():
         assert np.array_equal(
             mm.decode_gif(enc), mm.decode_gif(mm.encode_gif(img))
         )
+
+
+def test_png_16bit_and_gray_alpha():
+    # round-6: 16-bit depth (byte-level filters, high byte displayed) and
+    # color type 4 (gray+alpha) - hand-built streams, not our encoder, so
+    # the decoder is pinned against the spec layout
+    import struct as _s
+    import zlib
+
+    rng = np.random.RandomState(63)
+    img = rng.randint(0, 256, (5, 4, 3)).astype(np.uint8)
+
+    def chunk(typ, data):
+        return (
+            _s.pack(">I", len(data)) + typ + data
+            + _s.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    raw = bytearray()
+    for y in range(5):
+        raw.append(0)
+        for x in range(4):
+            for c in range(3):
+                raw += bytes([img[y, x, c], 0x7F])  # hi=value, lo=junk
+    enc16 = (
+        sig + chunk(b"IHDR", _s.pack(">IIBBBBB", 4, 5, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_png(enc16), img)
+
+    g = rng.randint(0, 256, (3, 5)).astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(10, np.int32)
+    for y in range(3):
+        raw.append(2)  # Up filter over 2-byte pixels
+        cur = np.array(
+            [v for x in range(5) for v in (int(g[y, x]), 200)], np.int32
+        )
+        raw += ((cur - prev) & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    enc4 = (
+        sig + chunk(b"IHDR", _s.pack(">IIBBBBB", 5, 3, 8, 4, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_png(enc4), np.repeat(g[:, :, None], 3, 2))
+
+    # 16-bit palette is not a legal PNG combination
+    bad = (
+        sig + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        mm.decode_png(bad)
+
+
+def test_gif_animation_frames():
+    # round-6: GIF89a animations decode as the full frame list and route
+    # through the video dispatch; transparency and partial frames refused
+    rng = np.random.RandomState(64)
+    frames = [
+        (rng.randint(0, 6, (9, 7, 1)) * 40).astype(np.uint8).repeat(3, 2)
+        for _ in range(4)
+    ]
+    for inter in (False, True):
+        enc = mm.encode_gif_animation(frames, interlace=inter)
+        got = mm.decode_gif_frames(enc)
+        assert len(got) == 4
+        for a, b in zip(got, frames):
+            assert np.array_equal(a, b), inter
+        what, obj = mm._decode_media(enc, "image")
+        assert what == "video" and len(obj) == 4
+    # decode_gif = first frame; single image still an image
+    assert np.array_equal(mm.decode_gif(enc), frames[0])
+    what, _ = mm._decode_media(mm.encode_gif(frames[0]), "image")
+    assert what == "image"
+    # transparent GCE flag -> refuse
+    enc = bytearray(mm.encode_gif_animation(frames))
+    at = bytes(enc).find(b"\x21\xf9\x04\x00")
+    enc[at + 3] = 0x01
+    with pytest.raises(ValueError, match="transparent"):
+        mm.decode_gif_frames(bytes(enc))
