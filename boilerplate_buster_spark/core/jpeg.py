@@ -734,25 +734,36 @@ def decode_jpeg(buf: bytes, apply_orientation: bool = True) -> np.ndarray:
                 cs, t = payload[1 + 2 * i], payload[2 + 2 * i]
                 scan_sel.append((cs, t >> 4, t & 0x0F))
             data_start = pos + 2 + ln
-            if not frame.get("progressive"):
-                return oriented(_decode_scan(
-                    buf, data_start, frame, scan_sel, qtables, htables,
-                    restart_interval, adobe,
-                ))
+            try:
+                if not frame.get("progressive"):
+                    return oriented(_decode_scan(
+                        buf, data_start, frame, scan_sel, qtables, htables,
+                        restart_interval, adobe,
+                    ))
+            except KeyError as e:
+                # scan referencing an undefined quant/Huffman table or
+                # component id - malformed stream, not a crash
+                raise ValueError(f"missing JPEG table {e}") from e
             # progressive: the SOS header carries Ss/Se/Ah/Al after the
             # component selectors; the scan updates the shared coefficient
             # state and the marker walk continues (DHT/DRI/SOS until EOI)
             ss, se, a = struct.unpack_from(">BBB", payload, 1 + 2 * ns)
             if coef_state is None:
                 coef_state = _ProgressiveState(frame)
-            pos = _decode_progressive_scan(
-                buf, data_start, coef_state, scan_sel, htables,
-                restart_interval, ss, se, a >> 4, a & 0x0F,
-            )
+            try:
+                pos = _decode_progressive_scan(
+                    buf, data_start, coef_state, scan_sel, htables,
+                    restart_interval, ss, se, a >> 4, a & 0x0F,
+                )
+            except KeyError as e:
+                raise ValueError(f"missing JPEG table {e}") from e
             continue
         pos += 2 + ln
     if frame is not None and frame.get("progressive") and coef_state is not None:
-        return oriented(_reconstruct(frame, coef_state, qtables, adobe))
+        try:
+            return oriented(_reconstruct(frame, coef_state, qtables, adobe))
+        except KeyError as e:
+            raise ValueError(f"missing JPEG table {e}") from e
     raise ValueError("no SOS scan found")
 
 

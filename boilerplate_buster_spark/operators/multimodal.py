@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -612,7 +613,10 @@ def decode_png(buf: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     nb = depth // 8  # bytes per sample; filters operate on BYTES
     bpp = channels * nb
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt deflate stream must not kill a task
+        raise ValueError(f"corrupt PNG stream: {e}") from e
     if interlace == 1:
         # Adam7: seven independently-filtered sub-images, scattered back
         # onto the full-size grid by the standard pass layout
@@ -725,7 +729,7 @@ def decode_bytes(payload: bytes, kind: str) -> list[float]:
             float(all_px.sum()), float(all_px.min()), float(all_px.max()),
             float(all_px.size), 0.0,
         ]
-    except (ValueError, struct.error, IndexError):
+    except (ValueError, struct.error, IndexError, KeyError, zlib.error):
         digest = hashlib.sha256(kind.encode() + payload).digest()
         return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
@@ -800,7 +804,7 @@ def resize_one(payload: bytes, width: int, height: int) -> bytes:
         what, obj = _decode_media(payload, "image")
         if what != "image":
             raise ValueError("not a still image")
-    except (ValueError, struct.error, IndexError):
+    except (ValueError, struct.error, IndexError, KeyError, zlib.error):
         return resize_stub(payload, width, height)
     return encode_ppm(nearest_resize(obj, width, height))
 
@@ -862,7 +866,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4, fps: int = 25) -> DataFra
                         src = decode_ppm_stream(raw)
                     if not src or len({f.shape for f in src}) != 1:
                         src = None
-                except (ValueError, struct.error, IndexError):
+                except (ValueError, struct.error, IndexError, KeyError, zlib.error):
                     src = None
                 if src is not None:
                     for i in range(n_frames):

@@ -543,3 +543,39 @@ def test_gif_animation_frames():
     enc[at + 3] = 0x01
     with pytest.raises(ValueError, match="transparent"):
         mm.decode_gif_frames(bytes(enc))
+
+
+def test_fuzz_decode_bytes_never_raises():
+    # one malformed record must degrade to the stub, never kill a Spark
+    # task: seeded byte flips and truncations over every container the
+    # dispatch recognizes (incl. corrupt PNG deflate -> zlib.error and
+    # JPEG scans referencing missing tables -> KeyError, both previously
+    # able to escape the fallback boundary)
+    from boilerplate_buster_spark.core import jpeg as J
+
+    rng = np.random.RandomState(99)
+    img = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    pal = (rng.randint(0, 4, (8, 8, 1)) * 60).astype(np.uint8).repeat(3, 2)
+    samples = (rng.randint(-500, 500, 64)).astype(np.int16)
+    payloads = [
+        mm.encode_png(img),
+        mm.encode_png(img, interlace=True),
+        mm.encode_gif(pal),
+        mm.encode_gif_animation([pal, pal[::-1]]),
+        mm.encode_bmp(img),
+        mm.encode_ppm(img),
+        mm.encode_wav(8000, samples),
+        J.encode_jpeg(img, quality=90),
+        J.encode_jpeg_progressive(img, quality=90),
+        J.encode_jpeg_cmyk(np.dstack([img, img[:, :, :1]])),
+    ]
+    for base in payloads:
+        for trial in range(30):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randint(0, len(b))] = rng.randint(0, 256)
+            cut = rng.randint(0, len(b) + 1)
+            for payload in (bytes(b), bytes(b[:cut])):
+                for kind in ("image", "video", "audio"):
+                    v = mm.decode_bytes(payload, kind)
+                    assert isinstance(v, list) and len(v) == 8
