@@ -201,6 +201,38 @@ _D_UNI = (
     "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM uni)"
 )
 
+# fixed-phrase strip counts twin (used by BOTH the batch and streaming
+# strip queries - one SQL, two execution engines)
+_STRIP_COUNTS_SQL = """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            ph(phr, l) AS (SELECT * FROM (VALUES
+                ('table table', 2), ('fast key scan', 3),
+                ('agg row', 2), ('the line sort', 3))),
+            cov AS (
+              SELECT DISTINCT toks.doc_id, u.i + o.off AS idx
+              FROM toks, ph,
+                   unnest(generate_series(1, len(t))) AS u(i),
+                   unnest(generate_series(0, 2)) AS o(off)
+              WHERE o.off < ph.l AND u.i + ph.l - 1 <= len(t)
+                AND array_to_string(t[u.i:u.i+ph.l-1], ' ') = ph.phr
+            ),
+            runs AS (
+              SELECT c1.doc_id, count(*) AS n_spans
+              FROM cov c1 LEFT JOIN cov c2
+                ON c1.doc_id = c2.doc_id AND c2.idx = c1.idx - 1
+              WHERE c2.idx IS NULL GROUP BY c1.doc_id
+            ),
+            ncov AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id)
+            SELECT CAST(toks.doc_id AS VARCHAR) AS url,
+                   CAST(len(t) AS BIGINT) AS n_tokens_in,
+                   CAST(len(t) - COALESCE(ncov.n_cov, 0) AS BIGINT) AS n_tokens_out,
+                   CAST(COALESCE(runs.n_spans, 0) AS BIGINT) AS n_spans
+            FROM toks
+            LEFT JOIN ncov ON toks.doc_id = ncov.doc_id
+            LEFT JOIN runs ON toks.doc_id = runs.doc_id
+        """
+
 # DuckDB cosine in explicit double math, mirroring Spark's left-fold order
 def _d_cos(a: str, b: str) -> str:
     def dot(x, y):
@@ -3269,6 +3301,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "n_tokens_in", "n_tokens_out", "n_spans"
         )
 
+    def stream_strip_counts(spark, sf):
+        # the north-star's STREAMING extraction twin under the oracle gate:
+        # the same fixed-phrase pass-2 strip as strip_fixed_counts, but
+        # executed by Structured Streaming (file source -> the unchanged
+        # stateless Arrow strip kernel -> availableNow memory sink), then
+        # reduced to the same per-url counts.  The oracle SQL is the exact
+        # strip_fixed_counts twin, so batch and streaming semantics are
+        # certified to agree - not just on a pytest fixture but on the
+        # contract corpus
+        import os
+        import tempfile
+        import uuid
+
+        from boilerplate_buster_spark.operators.extraction import (
+            strip_text_pass,
+        )
+
+        phrases = ["table table", "fast key scan", "agg row", "the line sort"]
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.col("text").alias("text_repr"),
+        )
+        stream_dir = tempfile.gettempdir() + "/bbs_strip_src_" + (
+            sf.strip("/").replace("/", "_")
+        )
+        if not os.path.exists(stream_dir + "/_SUCCESS"):
+            docs.write.mode("overwrite").parquet(stream_dir)
+        src = spark.readStream.schema(docs.schema).parquet(stream_dir)
+        stripped = strip_text_pass(src, phrases)
+        name = "bbs_stream_strip_" + uuid.uuid4().hex[:12]
+        q = (
+            stripped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="bbs_strip_ck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        counts = spark.table(name).select(
+            "url",
+            F.size(
+                F.expr("filter(split(extracted_text, ' '), x -> x != '')")
+            ).cast("long").alias("n_tokens_out"),
+            F.size("removed_spans").cast("long").alias("n_spans"),
+        )
+        base = docs.select(
+            "url", F.size(F.split("text_repr", " ")).cast("long").alias("n_tokens_in")
+        )
+        return base.join(counts, "url").select(
+            "url", "n_tokens_in", "n_tokens_out", "n_spans"
+        )
+
     def media_png_decode(spark, sf):
         # real PNG encode (filter type y%5 per scanline: None/Sub/Up/
         # Average/Paeth all exercised at h=5) -> real decode (zlib inflate
@@ -4534,6 +4621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         page_tables=page_tables,
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
+        stream_strip_counts=stream_strip_counts,
         llm_corpus_pipeline=llm_corpus_pipeline,
         url_canonical=url_canonical,
         anchor_text=anchor_text,
@@ -6848,35 +6936,9 @@ def oracle_sql() -> dict[str, str]:
         # n_spans = maximal covered runs (an index with no covered
         # predecessor starts a run); n_tokens_out = in - covered (the strip
         # deletes exactly the covered tokens' characters)
-        "strip_fixed_counts": """
-            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                          FROM documents),
-            ph(phr, l) AS (SELECT * FROM (VALUES
-                ('table table', 2), ('fast key scan', 3),
-                ('agg row', 2), ('the line sort', 3))),
-            cov AS (
-              SELECT DISTINCT toks.doc_id, u.i + o.off AS idx
-              FROM toks, ph,
-                   unnest(generate_series(1, len(t))) AS u(i),
-                   unnest(generate_series(0, 2)) AS o(off)
-              WHERE o.off < ph.l AND u.i + ph.l - 1 <= len(t)
-                AND array_to_string(t[u.i:u.i+ph.l-1], ' ') = ph.phr
-            ),
-            runs AS (
-              SELECT c1.doc_id, count(*) AS n_spans
-              FROM cov c1 LEFT JOIN cov c2
-                ON c1.doc_id = c2.doc_id AND c2.idx = c1.idx - 1
-              WHERE c2.idx IS NULL GROUP BY c1.doc_id
-            ),
-            ncov AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id)
-            SELECT CAST(toks.doc_id AS VARCHAR) AS url,
-                   CAST(len(t) AS BIGINT) AS n_tokens_in,
-                   CAST(len(t) - COALESCE(ncov.n_cov, 0) AS BIGINT) AS n_tokens_out,
-                   CAST(COALESCE(runs.n_spans, 0) AS BIGINT) AS n_spans
-            FROM toks
-            LEFT JOIN ncov ON toks.doc_id = ncov.doc_id
-            LEFT JOIN runs ON toks.doc_id = runs.doc_id
-        """,
+        "strip_fixed_counts": _STRIP_COUNTS_SQL,
+        # streaming twin: SAME oracle - batch SQL pins the streaming path
+        "stream_strip_counts": _STRIP_COUNTS_SQL,
         # the composed FineWeb-style job: every stage's closed form chained
         # in one WITH-block - WARC+DOM recover text per url (dom_extract
         # invariant), then line dedup, decontamination, langid/quality/LM
