@@ -22,7 +22,9 @@ locating the stream dict, so an inner << >> cannot hide /Filter).
 Supported when parsing:
   * object scan for ``stream ... endstream`` bodies (any object order);
   * text runs between BT/ET;
-  * ``(string) Tj``  and  ``' ``  show-string operators;
+  * ``(string) Tj``  and  ``' ``  show-string operators, plus
+    ``<hex> Tj`` / ``<hex> '`` hex strings (7.3.4.3, round 6 - whitespace
+    between digits, odd trailing digit zero-padded, << never confused);
   * ``[(a) -120 (b) ...] TJ``   arrays (kerning numbers ignored, strings
     concatenated — the Adobe-viewer-visible text);
   * ``Td  TD  T*``  line moves -> newline;
@@ -70,11 +72,23 @@ def _nested_string_pat(depth: int) -> bytes:
 # parse_pdf_text runs over THIS token stream, not over raw bytes.
 _TOKEN_RE = re.compile(
     rb"\((?P<str>" + _nested_string_pat(8) + rb")\)\s*(?P<op>Tj|')?"  # (s) Tj  (s) '
+    # <48656c6c6f> hex string (7.3.4.3) - the (?<!<) / (?!>) guards keep
+    # << dict delimiters from ever matching as an empty-ish hex string
+    rb"|(?<!<)<(?P<hex>[0-9A-Fa-f\s]*)>(?!>)\s*(?P<hop>Tj|')?"
     rb"|\](?P<tj>\s*TJ)"  # end of a TJ array
     rb"|(?<![A-Za-z])(?P<nl>T\*|Td|TD)(?![A-Za-z])"  # line moves
     rb"|(?<![A-Za-z])(?P<bt>BT)(?![A-Za-z])"
     rb"|(?<![A-Za-z])(?P<et>ET)(?![A-Za-z])"
 )
+
+
+def _unhex_string(body: bytes) -> str:
+    """Hex string body -> latin-1 text (whitespace allowed between digits;
+    an odd trailing digit is padded with 0 per the spec)."""
+    digits = re.sub(rb"\s+", b"", body)
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -332,9 +346,14 @@ def parse_pdf_text(data: bytes | bytearray | memoryview | None) -> str | None:
                 continue
             if not in_text:
                 continue
-            if tok.group("str") is not None:
-                cur.append(_unescape(tok.group("str")))
-                if tok.group("op") == b"'":  # ' = next-line + show
+            if tok.group("str") is not None or tok.group("hex") is not None:
+                if tok.group("str") is not None:
+                    cur.append(_unescape(tok.group("str")))
+                    shown_op = tok.group("op")
+                else:
+                    cur.append(_unhex_string(tok.group("hex")))
+                    shown_op = tok.group("hop")
+                if shown_op == b"'":  # ' = next-line + show
                     lines.append("".join(cur[:-1]))
                     cur = [cur[-1]]
             elif tok.group("nl") is not None or tok.group("tj"):
@@ -375,9 +394,10 @@ def wrap_words(text: str, width: int = 60) -> list[str]:
 
 def make_pdf(text: str, width: int = 60, compress: bool = False) -> bytes:
     """Complete single-page PDF-1.4 whose text layer is ``text`` wrapped to
-    ``width`` chars/line.  Even lines use a TJ array (split at the first
-    space, with a kerning number), odd lines plain Tj — so a round trip
-    exercises both operators.  Byte-accurate xref.  With ``compress`` the
+    ``width`` chars/line.  Every third line is a hex show string, remaining
+    even lines use a TJ array (split at the first space, with a kerning
+    number), the rest plain Tj — so a round trip exercises all three
+    string forms.  Byte-accurate xref.  With ``compress`` the
     content stream is /FlateDecode (zlib) with an exact /Length — the form
     real-world PDFs use."""
     import zlib
@@ -387,7 +407,9 @@ def make_pdf(text: str, width: int = 60, compress: bool = False) -> bytes:
     for i, ln in enumerate(lines):
         e = _escape(ln)
         sp = e.find(" ")
-        if i % 2 == 0 and 0 < sp < len(e) - 1:
+        if i % 3 == 2:  # hex show string (7.3.4.3) - round 6
+            ops.append(f"<{ln.encode('latin-1').hex()}> Tj")
+        elif i % 2 == 0 and 0 < sp < len(e) - 1:
             ops.append(f"[({e[:sp + 1]}) -250 ({e[sp + 1:]})] TJ")
         else:
             ops.append(f"({e}) Tj")

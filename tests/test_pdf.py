@@ -272,3 +272,24 @@ def test_decodeparms_predictor_and_earlychange_skipped():
         + b"\nendstream\nendobj\ntrailer\n%%EOF\n"
     )
     assert parse_pdf_text(pdf3) == "would be garbled"
+
+
+def test_hex_show_strings():
+    # round-6: <hex> Tj / <hex> ' (PDF 7.3.4.3) - whitespace between
+    # digits, odd trailing digit zero-padded, << dict delimiters never
+    # confused with hex strings
+    from boilerplate_buster_spark.core import pdfparse as P
+
+    body = (
+        b"%PDF-1.4\n1 0 obj << /X <</Nested true>> >>\n"
+        b"stream\nBT <4869 2c20> Tj <74 68 65 72 65> Tj T* "
+        b"<776F726C6> Tj ET\nendstream\nendobj"
+    )
+    assert P.parse_pdf_text(body) == "Hi, there\nworl`"
+    # make_pdf round-trips with hex lines in the mix (every third line)
+    text = " ".join(f"word{i}" for i in range(30))
+    for compress in (False, True):
+        pdf = P.make_pdf(text, width=18, compress=compress)
+        if not compress:  # compressed bodies hide the op bytes, of course
+            assert b"> Tj" in pdf  # a hex show op is actually present
+        assert P.parse_pdf_text(pdf) == "\n".join(P.wrap_words(text, 18))
