@@ -4106,6 +4106,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
         return bpe_encode(docs, _BPE_PINNED_MERGES)
 
+    def nfc_docs(spark, sf):
+        # Unicode NFC normalization: every third doc gets a DECOMPOSED
+        # suffix (e + combining acute, A + combining ring) that must
+        # compose; both engines run a real NFC implementation (pandas
+        # unicodedata vs DuckDB nfc_normalize) and count codepoints
+        from boilerplate_buster_spark.operators.encoding import nfc_normalize
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        aug = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit(" cafe\u0301 A\u030a"),  # DECOMPOSED on purpose
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return nfc_normalize(aug)
+
     def mojibake_fixed(spark, sf):
         # charset repair: inject cp1252-mis-decoded UTF-8 and fix it with
         # the REAL codec round trip (translate remapped chars -> latin-1
@@ -4645,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe_merges=bpe_merges,
         bpe_encoded=bpe_encoded,
         mojibake_fixed=mojibake_fixed,
+        nfc_docs=nfc_docs,
         pq_codes=pq_codes,
         pq_adc=pq_adc,
         fuzzy_titles=fuzzy_titles,
@@ -7506,6 +7529,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # charset repair: oracle = table replace chain on the same injected
         # mojibake; the Spark side runs the real codec round trip
+        # real NFC both sides: pandas unicodedata vs DuckDB nfc_normalize
+        "nfc_docs": """
+            WITH d AS (SELECT doc_id,
+                         text || CASE WHEN doc_id % 3 = 0
+                           THEN ' cafe' || chr(769) || ' A' || chr(778)
+                           ELSE '' END AS raw
+                       FROM documents WHERE doc_id < 200)
+            SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+                   raw != nfc_normalize(raw) AS changed,
+                   CAST(length(raw) AS BIGINT) AS n_cp_in,
+                   CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_cp_out
+            FROM d
+        """,
         "mojibake_fixed": f"""
             WITH a AS (SELECT doc_id, text || '{_MOJI_SUFFIX}' AS t
                        FROM documents WHERE doc_id < 200)

@@ -140,3 +140,40 @@ def fix_double_utf8(
         .alias("fixed_text"),
         ok.alias("was_fixed"),
     )
+
+
+def nfc_normalize(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode NFC normalization (canonical composition - 'e' + COMBINING
+    ACUTE -> U+00E9 etc.), the other half of web-text cleanup after
+    mojibake repair: the same visible string must hash/shingle/dedup
+    identically whether the page shipped it composed or decomposed.
+
+    Arrow-batched pandas_udf (pandas Series.str.normalize - vectorized
+    unicodedata), pure map, no shuffle; DuckDB's nfc_normalize() is the
+    bit-exact oracle twin.  Returns (id, nfc_text, changed, n_cp_in,
+    n_cp_out) - both engines count length() in codepoints."""
+    import pandas as pd
+
+    def _nfc_fn(s):
+        return s.str.normalize("NFC")
+
+    # real annotation objects: the module-wide `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf cannot
+    # resolve on pyspark 4
+    _nfc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = F.pandas_udf(_nfc_fn, "string")
+
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_raw"),
+        _nfc(F.col(text_col)).alias("nfc_text"),
+    )
+    return out.select(
+        id_col,
+        "nfc_text",
+        (F.col("_raw") != F.col("nfc_text")).alias("changed"),
+        F.length("_raw").cast("long").alias("n_cp_in"),
+        F.length("nfc_text").cast("long").alias("n_cp_out"),
+    )

@@ -87,3 +87,26 @@ def test_codec_survives_lone_lead_byte(spark):
     got = {r["doc_id"]: r["fixed_text"] for r in fix_double_utf8(docs).collect()}
     assert got[1] == "plain"
     assert isinstance(got[0], str)
+
+
+def test_nfc_normalize(spark):
+    # round-6: canonical composition - decomposed sequences compose, the
+    # changed flag and codepoint counts register the delta, composed or
+    # ASCII text passes through byte-identical
+    from boilerplate_buster_spark.operators.encoding import nfc_normalize
+
+    rows = [
+        (0, "plain ascii"),
+        (1, "café"),          # e + combining acute -> é
+        (2, "café"),           # already composed
+        (3, "Å ring"),        # A + combining ring -> Å
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in nfc_normalize(df).collect()}
+    assert got[0]["nfc_text"] == "plain ascii" and not got[0]["changed"]
+    assert got[1]["nfc_text"] == "café" and got[1]["changed"]
+    assert got[1]["n_cp_in"] == 5 and got[1]["n_cp_out"] == 4
+    assert got[2]["nfc_text"] == "café" and not got[2]["changed"]
+    assert got[3]["nfc_text"] == "Å ring" and got[3]["changed"]
+    assert got[4]["nfc_text"] == "" and not got[4]["changed"]
