@@ -134,25 +134,28 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
 
 
 def decode_bmp(buf: bytes) -> np.ndarray:
-    """(h, w, 3) RGB uint8 from a 24-bit BI_RGB BMP; honors the pixel-data
+    """(h, w, 3) RGB uint8 from a 24- or 32-bit BI_RGB BMP (round 6: the
+    32-bit screenshot layout, 4th byte dropped); honors the pixel-data
     offset, signed height (top-down when negative), and row padding."""
     buf = bytes(buf)
     if buf[:2] != b"BM" or len(buf) < 54:
         raise ValueError("not BMP")
     off = struct.unpack_from("<I", buf, 10)[0]
     hsz, w, h_signed, planes, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
-    if bpp != 24 or comp != 0 or w <= 0 or h_signed == 0:
+    if bpp not in (24, 32) or comp != 0 or w <= 0 or h_signed == 0:
         raise ValueError(f"unsupported BMP (bpp={bpp} comp={comp})")
     bottom_up = h_signed > 0
     h = abs(h_signed)
-    stride = (w * 3 + 3) & ~3
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3  # 32-bit rows are already 4-aligned
     if len(buf) - off < stride * h:
         raise ValueError("truncated BMP raster")
     rows = np.frombuffer(buf, np.uint8, count=stride * h, offset=off)
-    bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    px = rows.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
+    bgr = px[:, :, :3]  # 32-bit BI_RGB: 4th byte is padding/alpha, dropped
     if bottom_up:
         bgr = bgr[::-1]
-    return bgr[:, :, ::-1].copy()
+    return np.ascontiguousarray(bgr[:, :, ::-1])
 
 
 def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
@@ -419,8 +422,11 @@ def encode_wav(rate: int, samples: np.ndarray) -> bytes:
 
 
 def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
-    """(sample_rate, int16 samples) from a PCM16 mono RIFF/WAVE file; walks
-    the chunk list (fmt /data may be separated by LIST/fact/etc chunks)."""
+    """(sample_rate, int16 samples) from a PCM RIFF/WAVE file; walks the
+    chunk list (fmt /data may be separated by LIST/fact/etc chunks).
+    Round 6 widens the honest subset: 8-bit unsigned PCM (centered and
+    widened to int16) and multi-channel files (integer-floor mean downmix
+    to mono) decode; non-PCM formats still refuse."""
     buf = bytes(buf)
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not WAVE")
@@ -437,9 +443,21 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, channels, rate, _, _, bits = fmt
-    if audio_fmt != 1 or channels != 1 or bits != 16:
+    if audio_fmt != 1 or channels < 1 or bits not in (8, 16):
         raise ValueError(f"unsupported WAVE (fmt={audio_fmt} ch={channels} bits={bits})")
-    return rate, np.frombuffer(data, "<i2", count=len(data) // 2)
+    if bits == 8:  # 8-bit PCM is UNSIGNED per the spec -> center + widen
+        frames = len(data) // channels
+        raw = np.frombuffer(data, np.uint8, count=frames * channels)
+        samples = (raw.astype(np.int16) - 128) << 8
+    else:
+        frames = len(data) // (2 * channels)
+        samples = np.frombuffer(data, "<i2", count=frames * channels)
+    if channels > 1:  # integer mean downmix (floor), deterministic
+        samples = (
+            samples.astype(np.int32).reshape(frames, channels).sum(axis=1)
+            // channels
+        ).astype(np.int16)
+    return rate, samples
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

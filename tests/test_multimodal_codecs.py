@@ -579,3 +579,64 @@ def test_fuzz_decode_bytes_never_raises():
                 for kind in ("image", "video", "audio"):
                     v = mm.decode_bytes(payload, kind)
                     assert isinstance(v, list) and len(v) == 8
+
+
+def test_wav_stereo_and_8bit():
+    # round-6: stereo -> integer-floor mean downmix; 8-bit unsigned PCM
+    # centered and widened; non-PCM still refuses
+    import struct as _s
+
+    rng = np.random.RandomState(65)
+    left = rng.randint(-30000, 30000, 50).astype(np.int16)
+    right = rng.randint(-30000, 30000, 50).astype(np.int16)
+    inter = np.empty(100, np.int16)
+    inter[0::2], inter[1::2] = left, right
+    data = inter.astype("<i2").tobytes()
+    wav = (
+        b"RIFF" + _s.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + _s.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + _s.pack("<I", len(data)) + data
+    )
+    rate, got = mm.decode_wav(wav)
+    want = ((left.astype(np.int32) + right.astype(np.int32)) // 2).astype(
+        np.int16
+    )
+    assert rate == 8000 and np.array_equal(got, want)
+
+    u8 = rng.randint(0, 256, 40).astype(np.uint8)
+    wav8 = (
+        b"RIFF" + _s.pack("<I", 36 + len(u8)) + b"WAVEfmt "
+        + _s.pack("<IHHIIHH", 16, 1, 1, 11025, 11025, 1, 8)
+        + b"data" + _s.pack("<I", len(u8)) + u8.tobytes()
+    )
+    _, got8 = mm.decode_wav(wav8)
+    assert np.array_equal(got8, (u8.astype(np.int16) - 128) << 8)
+
+    bad = wav8.replace(_s.pack("<IHHIIHH", 16, 1, 1, 11025, 11025, 1, 8),
+                       _s.pack("<IHHIIHH", 16, 3, 1, 11025, 11025, 1, 8))
+    with pytest.raises(ValueError):
+        mm.decode_wav(bad)  # IEEE-float format refused
+
+
+def test_bmp_32bit():
+    # round-6: 32-bit BI_RGB (screenshot layout) - 4th byte dropped,
+    # top-down honored
+    import struct as _s
+
+    rng = np.random.RandomState(66)
+    img = rng.randint(0, 256, (3, 2, 3)).astype(np.uint8)
+    raster = bytearray()
+    for y in range(3):
+        for x in range(2):
+            raster += bytes([img[y, x, 2], img[y, x, 1], img[y, x, 0], 0xAA])
+    hdr = b"BM" + _s.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    hdr += _s.pack(
+        "<IiiHHIIiiII", 40, 2, -3, 1, 32, 0, len(raster), 0, 0, 0, 0
+    )
+    assert np.array_equal(mm.decode_bmp(hdr + bytes(raster)), img)
+    # bottom-up variant
+    hdr2 = b"BM" + _s.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    hdr2 += _s.pack(
+        "<IiiHHIIiiII", 40, 2, 3, 1, 32, 0, len(raster), 0, 0, 0, 0
+    )
+    assert np.array_equal(mm.decode_bmp(hdr2 + bytes(raster)), img[::-1])
