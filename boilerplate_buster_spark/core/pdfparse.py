@@ -13,11 +13,13 @@ frames stream bodies by their exact /Length when the dict declares a
 direct one (regex framing would mis-split compressed bytes containing
 "endstream"), and inflates via stdlib zlib.  Crisply documented boundary:
 streams with any OTHER filter (DCT, JBIG2, JPX, Crypt, ...) are skipped,
-never faked; likewise streams whose /DecodeParms (or /DP) declare a
-Predictor > 1 or EarlyChange 0 - decoding those without honoring the
-parameters would emit predictor-delta / misaligned bytes as "text"
-(round-5: skip, never garble; nested parameter dicts are balanced when
-locating the stream dict, so an inner << >> cannot hide /Filter).
+never faked; round 6 HONORS /DecodeParms predictors at
+BitsPerComponent 8 - TIFF horizontal differencing (2) and the PNG
+row filters (10-15) are reversed after the filter chain - while
+EarlyChange 0 (shifted LZW widths), other bit depths, and per-filter
+parms arrays still skip, never garble (nested parameter dicts are
+balanced when locating the stream dict, so an inner << >> cannot hide
+/Filter).
 
 Supported when parsing:
   * object scan for ``stream ... endstream`` bodies (any object order);
@@ -229,7 +231,9 @@ def _stream_info(data: bytes, stream_start: int) -> tuple[list[str] | None, int 
     """(filter_chain, direct_length) from the dict immediately before a
     stream.  filter_chain is [] for unfiltered, the in-order name list when
     every filter is decodable, or None when any filter is unsupported ->
-    caller skips the stream (honest boundary, never faked)."""
+    caller skips the stream (honest boundary, never faked).  The third
+    element carries honored /DecodeParms predictor settings
+    (predictor, columns, colors) or None."""
     head = data[max(0, stream_start - 512) : stream_start]
     # last TOP-LEVEL << before the stream: a plain rfind would land on a
     # nested dict (/DecodeParms << ... >>) and miss the outer /Filter
@@ -253,24 +257,39 @@ def _stream_info(data: bytes, stream_start: int) -> tuple[list[str] | None, int 
     length = int(lm.group(1)) if lm else None
     fm = _FILTER_RE.search(d)
     if fm is None:
-        return ([], length) if b"/Filter" not in d else (None, length)
+        return ([], length, None) if b"/Filter" not in d else (None, length, None)
     names = [n.decode("ascii") for n in re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))]
     if not names or any(n not in _SUPPORTED_FILTERS for n in names):
-        return None, length
-    # /DecodeParms we can't honor (Predictor > 1 delta-codes the bytes,
-    # EarlyChange 0 shifts LZW code widths) would decompress into garbage
-    # the token scan then "extracts" - skip such streams instead (the
-    # honest boundary: skip, never garble)
+        return None, length, None
+    # /DecodeParms: TIFF (2) and PNG (10-15) predictors at
+    # BitsPerComponent 8 are HONORED (round 6 - the forms Flate streams
+    # actually use); EarlyChange 0 (shifted LZW code widths) and other
+    # bit depths still skip - decoding those without honoring the
+    # parameters would emit garbage the token scan then "extracts"
     pm = re.search(rb"/(?:DecodeParms|DP)\b", d)
+    predictor = None
     if pm is not None:
         parms = d[pm.end() :]
         pred = re.search(rb"/Predictor\s+(\d+)", parms)
         if pred is not None and int(pred.group(1)) > 1:
-            return None, length
+            pv = int(pred.group(1))
+            bpc = re.search(rb"/BitsPerComponent\s+(\d+)", parms)
+            if (pv == 2 or 10 <= pv <= 15) and (
+                bpc is None or int(bpc.group(1)) == 8
+            ) and len(names) == 1:
+                cols = re.search(rb"/Columns\s+(\d+)", parms)
+                colr = re.search(rb"/Colors\s+(\d+)", parms)
+                predictor = (
+                    pv,
+                    int(cols.group(1)) if cols else 1,
+                    int(colr.group(1)) if colr else 1,
+                )
+            else:
+                return None, length, None
         ec = re.search(rb"/EarlyChange\s+(\d+)", parms)
         if ec is not None and int(ec.group(1)) == 0:
-            return None, length
-    return names, length
+            return None, length, None
+    return names, length, predictor
 
 
 def _apply_filter(name: str, body: bytes) -> bytes:
@@ -297,6 +316,52 @@ def _apply_filter(name: str, body: bytes) -> bytes:
     raise ValueError(f"unsupported filter {name}")
 
 
+def _undo_predictor(body: bytes, predictor: int, columns: int, colors: int) -> bytes:
+    """Reverse /DecodeParms prediction on filter output (BPC 8): TIFF
+    horizontal differencing (2) or the PNG per-row filters (10-15, each
+    row tagged Sub/Up/Average/Paeth exactly as in PNG).  Pure stdlib -
+    content streams are small and this module stays numpy-free."""
+    rowlen = columns * colors
+    if predictor == 2:
+        out = bytearray(body)
+        for r0 in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r0 + colors, r0 + rowlen):
+                out[i] = (out[i] + out[i - colors]) & 0xFF
+        return bytes(out)
+    # PNG predictors: rows are (1 + rowlen) bytes, first byte = filter tag
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 <= len(body):
+        ft = body[pos]
+        row = bytearray(body[pos + 1 : pos + 1 + rowlen])
+        if len(row) < rowlen:
+            raise ValueError("truncated predictor row")
+        pos += 1 + rowlen
+        for i in range(rowlen):
+            a = row[i - colors] if i >= colors else 0
+            b = prev[i]
+            c = prev[i - colors] if i >= colors else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            else:
+                raise ValueError(f"unknown predictor row filter {ft}")
+            row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def parse_pdf_text(data: bytes | bytearray | memoryview | None) -> str | None:
     """Extract the text layer of a PDF: uncompressed, /FlateDecode,
     /ASCIIHexDecode, /ASCII85Decode, /LZWDecode streams (and chains of
@@ -316,7 +381,7 @@ def parse_pdf_text(data: bytes | bytearray | memoryview | None) -> str | None:
     for m in _STREAM_RE.finditer(data):
         if m.start(1) < prev_end:
             continue  # spurious match inside a previous /Length-framed body
-        filters, length = _stream_info(data, m.start())
+        filters, length, predictor = _stream_info(data, m.start())
         if filters is None:
             continue
         body = m.group(1)
@@ -333,6 +398,8 @@ def parse_pdf_text(data: bytes | bytearray | memoryview | None) -> str | None:
         try:
             for fname in filters:
                 body = _apply_filter(fname, body)
+            if predictor is not None:
+                body = _undo_predictor(body, *predictor)
         except (zlib.error, ValueError):
             continue  # malformed encoded body: skip, never garble
         in_text = False

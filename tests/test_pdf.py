@@ -293,3 +293,54 @@ def test_hex_show_strings():
         if not compress:  # compressed bodies hide the op bytes, of course
             assert b"> Tj" in pdf  # a hex show op is actually present
         assert P.parse_pdf_text(pdf) == "\n".join(P.wrap_words(text, 18))
+
+
+def test_decodeparms_predictors_honored():
+    # round-6: TIFF (2) and PNG (10-15) predictors at BPC 8 are reversed
+    # after inflation; other bit depths still skip (never garble)
+    import zlib
+
+    from boilerplate_buster_spark.core import pdfparse as P
+
+    content = b"BT (Hello predictor world) Tj ET"
+    cols = 16
+    rows = [
+        content[i : i + cols].ljust(cols, b" ")
+        for i in range(0, len(content), cols)
+    ]
+    png = bytearray()
+    prev = bytes(cols)
+    for r in rows:  # PNG Up-filter each row
+        png.append(2)
+        png += bytes((r[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = r
+    flate = zlib.compress(bytes(png))
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 12 /Columns 16 >> /Length "
+        + str(len(flate)).encode() + b" >>\nstream\n" + flate
+        + b"\nendstream\nendobj"
+    )
+    assert P.parse_pdf_text(pdf) == "Hello predictor world"
+
+    tiff = bytearray()
+    for r in rows:  # TIFF horizontal differencing
+        rr = bytearray(r)
+        for i in range(len(rr) - 1, 0, -1):
+            rr[i] = (rr[i] - rr[i - 1]) & 0xFF
+        tiff += rr
+    flate2 = zlib.compress(bytes(tiff))
+    pdf2 = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /DP "
+        b"<< /Predictor 2 /Columns 16 >> /Length "
+        + str(len(flate2)).encode() + b" >>\nstream\n" + flate2
+        + b"\nendstream\nendobj"
+    )
+    assert P.parse_pdf_text(pdf2) == "Hello predictor world"
+
+    # 16-bit components remain outside the subset -> stream skipped
+    pdf3 = pdf.replace(
+        b"/Predictor 12 /Columns 16",
+        b"/Predictor 12 /Columns 16 /BitsPerComponent 16",
+    )
+    assert P.parse_pdf_text(pdf3) is None
