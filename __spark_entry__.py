@@ -2647,6 +2647,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_shared_spans").cast("long").alias("n_shared_spans"),
         )
 
+    def prefix_jaccard(spark, sf):
+        # EXACT set-similarity join (prefix filtering, AllPairs/SSJoin):
+        # recall 1.0 by construction, so the brute-force all-pairs oracle
+        # must agree EXACTLY - the deterministic complement of the
+        # probabilistic minhash-LSH path
+        from boilerplate_buster_spark.operators import dedup
+
+        return dedup.prefix_jaccard_pairs(
+            _dedup_union(spark, sf), threshold=0.6
+        )
+
     def substring_dup_spans(spark, sf):
         # span-level view of exact-substring duplication: maximal merged
         # token spans whose every 10-token window occurs in >= 2 docs
@@ -4635,6 +4646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vocab_oov_rates=vocab_oov_rates,
         shard_balance=shard_balance,
         exact_span_pairs=exact_span_pairs,
+        prefix_jaccard=prefix_jaccard,
         substring_dup_spans=substring_dup_spans,
         substring_dedup_docs=substring_dedup_docs,
         robots_decisions=robots_decisions,
@@ -6304,6 +6316,19 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY 1, 2)
             SELECT doc_a, doc_b, CAST(n_shared_spans AS BIGINT) AS n_shared_spans
             FROM p
+        """,
+        # exact set-similarity join: brute-force all-pairs Jaccard on
+        # distinct token sets - prefix filtering must find EVERY pair
+        "prefix_jaccard": f"""
+            WITH {_D_UNI},
+            s AS (SELECT doc_id, list_distinct(t) AS s FROM toks
+                  WHERE len(t) > 0),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                               / greatest(len(list_distinct(
+                                   list_concat(a.s, b.s))), 1), 4) AS jaccard
+                  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.6
         """,
         # span-level substring duplication: islands of >= 2-doc 10-token
         # windows merged per doc (gaps-and-islands over running max end)

@@ -953,3 +953,87 @@ def quality_survivors(
         F.col(score_col).cast("long").alias(score_col),
         (F.row_number().over(w) == 1).alias("is_survivor"),
     )
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT token-set similarity join via prefix filtering (the
+    AllPairs/SSJoin principle; Bayardo et al. WWW'07, Chaudhuri et al.
+    ICDE'06): (doc_a, doc_b, jaccard) for every pair with set-Jaccard >=
+    threshold, recall 1.0 by construction - the exact complement of the
+    probabilistic MinHash-LSH path.
+
+    Prefix principle: order every set by a GLOBAL rank (ascending document
+    frequency, i.e. rarest first, ties by token); a pair with J >= t must
+    share a token within each set's first |s| - ceil(t*|s|) + 1 tokens
+    (if a's prefix missed the min-ranked shared token, a would carry more
+    than (1-t)*|a| unshared tokens - contradiction with J >= t).  So
+    bucketing on prefix tokens alone finds every qualifying pair, and
+    rare-token buckets stay small.
+
+    Plan: one df aggregate (vocab-sized) + rank join, one per-doc
+    sort/collect, one prefix-token bucket shuffle (the
+    lsh_candidate_pairs expansion shape, never an all-pairs join), then
+    exact verification on candidate pairs only.  max_bucket caps
+    stop-word-like prefix tokens (with rarest-first ordering such tokens
+    only enter prefixes of very large sets)."""
+    sets = docs.select(
+        F.col(id_col), F.array_sort(F.array_distinct(tokens_col)).alias("s")
+    ).filter(F.size("s") > 0)
+    tok_df = (
+        sets.select(F.explode("s").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    ordered = (
+        sets.select(F.col(id_col), F.size("s").alias("n"), F.explode("s").alias("tok"))
+        .join(tok_df, "tok")
+        .groupBy(id_col, "n")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(df, tok))), x -> x.tok)").alias("o")
+        )
+    )
+    t = float(threshold)
+    prefix = ordered.select(
+        F.col(id_col),
+        F.expr(f"slice(o, 1, size(o) - CAST(ceil({t} * size(o)) AS INT) + 1)").alias("p"),
+    ).select(F.col(id_col), F.explode("p").alias("tok"))
+    grouped = prefix.groupBy("tok").agg(
+        F.expr(f"array_sort(collect_set({id_col}))").alias("ids")
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    cand = (
+        grouped.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
+                )
+            ).alias("c")
+        )
+        .select(F.col("c.doc_a").alias("doc_a"), F.col("c.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "round(cast(size(array_intersect(sa, sb)) AS double) "
+                "/ greatest(size(array_union(sa, sb)), 1), 4)"
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )

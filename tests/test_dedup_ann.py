@@ -711,3 +711,51 @@ def test_quality_survivors_keeps_best_not_min_id(spark):
     assert got[2] == (1, True)
     assert got[3] == (1, False)
     assert got[9] == (9, True)  # singleton survives itself
+
+
+def test_prefix_jaccard_exact_vs_brute_force(spark):
+    # round-6: prefix filtering is an EXACT join - every brute-force pair
+    # with J >= t must surface, none extra, across thresholds and corpora
+    import random
+
+    from boilerplate_buster_spark.operators.dedup import prefix_jaccard_pairs
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        docs = {
+            d: [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+            for d in range(40)
+        }
+        sdf = spark.createDataFrame(
+            [(d, toks) for d, toks in docs.items()],
+            "doc_id int, tokens array<string>",
+        )
+        sets = {d: set(t) for d, t in docs.items() if t}
+        for t in (0.4, 0.6, 0.8):
+            want = set()
+            for a in sets:
+                for b in sets:
+                    if a < b:
+                        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                        if round(j, 4) >= t:
+                            want.add((a, b, round(j, 4)))
+            got = {
+                (r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in prefix_jaccard_pairs(sdf, threshold=t).collect()
+            }
+            assert got == want, (trial, t)
+
+
+def test_prefix_jaccard_no_allpairs_join(spark):
+    from boilerplate_buster_spark.operators.dedup import prefix_jaccard_pairs
+
+    sdf = spark.createDataFrame(
+        [(i, ["a", "b", f"x{i}"]) for i in range(10)],
+        "doc_id int, tokens array<string>",
+    )
+    plan = (
+        prefix_jaccard_pairs(sdf, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
