@@ -3367,6 +3367,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "n_tokens_in", "n_tokens_out", "n_spans"
         )
 
+    def stream_click_attribution(spark, sf):
+        # the fourth streaming oracle, and a genuinely NEW primitive under
+        # the gate: a STREAM-STREAM inner join (view impressions joined to
+        # clicks by user within a 24-hour attribution window) - Spark
+        # buffers both sides' state, requires watermarks on both streams
+        # and a time-range join condition; availableNow drains the file
+        # source and the batch SQL twin pins every emitted pair.
+        # Watermarks are set beyond the data span so micro-batch file
+        # ordering can never evict state early (the eviction path itself
+        # is a latency optimization, not a semantics change, and the
+        # interval-join semantics are what the oracle certifies)
+        import os
+        import tempfile
+        import uuid
+
+        schema = spark.read.parquet(f"{sf}/events.parquet").schema
+        stream_dir = tempfile.gettempdir() + "/bbs_stream_src_" + (
+            sf.strip("/").replace("/", "_")
+        )
+        os.makedirs(stream_dir, exist_ok=True)
+        link = stream_dir + "/events.parquet"
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(f"{sf}/events.parquet"), link)
+        src = spark.readStream.schema(schema).parquet(stream_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        views = (
+            src.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("user_v"),
+                F.col("ts").alias("ts_v"),
+            )
+            .withWatermark("ts_v", "87600 hours")
+        )
+        clicks = (
+            src.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("user_c"),
+                F.col("ts").alias("ts_c"),
+            )
+            .withWatermark("ts_c", "87600 hours")
+        )
+        joined = views.join(
+            clicks,
+            F.expr(
+                "user_v = user_c AND ts_c >= ts_v "
+                "AND ts_c < ts_v + interval 24 hours"
+            ),
+        ).select(
+            "view_id",
+            "click_id",
+            F.col("user_v").alias("user_id"),
+            (F.unix_millis("ts_c") - F.unix_millis("ts_v")).alias("gap_ms"),
+        )
+        name = "bbs_stream_attr_" + uuid.uuid4().hex[:12]
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="bbs_attr_ck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
     def media_png_decode(spark, sf):
         # real PNG encode (filter type y%5 per scanline: None/Sub/Up/
         # Average/Paeth all exercised at h=5) -> real decode (zlib inflate
@@ -4656,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web_pipeline=web_pipeline,
         strip_fixed_counts=strip_fixed_counts,
         stream_strip_counts=stream_strip_counts,
+        stream_click_attribution=stream_click_attribution,
         llm_corpus_pipeline=llm_corpus_pipeline,
         url_canonical=url_canonical,
         anchor_text=anchor_text,
@@ -6987,6 +7058,15 @@ def oracle_sql() -> dict[str, str]:
         "strip_fixed_counts": _STRIP_COUNTS_SQL,
         # streaming twin: SAME oracle - batch SQL pins the streaming path
         "stream_strip_counts": _STRIP_COUNTS_SQL,
+        # stream-stream interval join: batch twin of the attribution join
+        "stream_click_attribution": """
+            SELECT v.event_id AS view_id, c.event_id AS click_id,
+                   v.user_id,
+                   CAST(epoch_ms(c.ts) - epoch_ms(v.ts) AS BIGINT) AS gap_ms
+            FROM events v JOIN events c ON v.user_id = c.user_id
+            WHERE v.event_type = 'view' AND c.event_type = 'click'
+              AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 24 HOURS
+        """,
         # the composed FineWeb-style job: every stage's closed form chained
         # in one WITH-block - WARC+DOM recover text per url (dom_extract
         # invariant), then line dedup, decontamination, langid/quality/LM
