@@ -3337,8 +3337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream_dir = tempfile.gettempdir() + "/bbs_strip_src_" + (
             sf.strip("/").replace("/", "_")
         )
-        if not os.path.exists(stream_dir + "/_SUCCESS"):
-            docs.write.mode("overwrite").parquet(stream_dir)
+        # written UNCONDITIONALLY: an existence-keyed cache would certify
+        # against a stale snapshot if the corpus at `sf` were regenerated
+        docs.write.mode("overwrite").parquet(stream_dir)
         src = spark.readStream.schema(docs.schema).parquet(stream_dir)
         stripped = strip_text_pass(src, phrases)
         name = "bbs_stream_strip_" + uuid.uuid4().hex[:12]
@@ -3346,14 +3347,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stripped.writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="bbs_strip_ck_")
-            )
+            .option("checkpointLocation", (ckpt := tempfile.mkdtemp(prefix="bbs_strip_ck_")))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        counts = spark.table(name).select(
+        # localize the (small) sink contents so the memory table and the
+        # checkpoint dir can be released - repeated sweep invocations must
+        # not accumulate driver-resident result sets
+        rows = spark.table(name)
+        local = spark.createDataFrame(rows.collect(), rows.schema)
+        spark.catalog.dropTempView(name)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        counts = local.select(
             "url",
             F.size(
                 F.expr("filter(split(extracted_text, ' '), x -> x != '')")
@@ -3428,14 +3436,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             joined.writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="bbs_attr_ck_")
-            )
+            .option("checkpointLocation", (ckpt := tempfile.mkdtemp(prefix="bbs_attr_ck_")))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        return spark.table(name)
+        rows = spark.table(name)
+        local = spark.createDataFrame(rows.collect(), rows.schema)
+        spark.catalog.dropTempView(name)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return local
 
     def media_png_decode(spark, sf):
         # real PNG encode (filter type y%5 per scanline: None/Sub/Up/
@@ -6395,11 +6407,12 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT doc_id, list_distinct(t) AS s FROM toks
                   WHERE len(t) > 0),
             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                               / greatest(len(list_distinct(
-                                   list_concat(a.s, b.s))), 1), 4) AS jaccard
+                         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / greatest(len(list_distinct(
+                               list_concat(a.s, b.s))), 1) AS j
                   FROM s a JOIN s b ON a.doc_id < b.doc_id)
-            SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.6
+            SELECT doc_a, doc_b, round(j, 4) AS jaccard
+            FROM p WHERE j >= 0.6
         """,
         # span-level substring duplication: islands of >= 2-doc 10-token
         # windows merged per doc (gaps-and-islands over running max end)

@@ -227,9 +227,11 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 
 
-def _stream_info(data: bytes, stream_start: int) -> tuple[list[str] | None, int | None]:
-    """(filter_chain, direct_length) from the dict immediately before a
-    stream.  filter_chain is [] for unfiltered, the in-order name list when
+def _stream_info(
+    data: bytes, stream_start: int
+) -> tuple[list[str] | None, int | None, tuple[int, int, int] | None]:
+    """(filter_chain, direct_length, predictor_parms) from the dict
+    immediately before a stream.  filter_chain is [] for unfiltered, the in-order name list when
     every filter is decodable, or None when any filter is unsupported ->
     caller skips the stream (honest boundary, never faked).  The third
     element carries honored /DecodeParms predictor settings
@@ -323,6 +325,10 @@ def _undo_predictor(body: bytes, predictor: int, columns: int, colors: int) -> b
     content streams are small and this module stays numpy-free."""
     rowlen = columns * colors
     if predictor == 2:
+        if len(body) % rowlen:
+            # a partial trailing row would pass through as raw deltas -
+            # garbled "text"; skip the stream instead (caller catches)
+            raise ValueError("truncated predictor row")
         out = bytearray(body)
         for r0 in range(0, len(out) - rowlen + 1, rowlen):
             for i in range(r0 + colors, r0 + rowlen):

@@ -1031,9 +1031,14 @@ def prefix_jaccard_pairs(
             "doc_a",
             "doc_b",
             F.expr(
-                "round(cast(size(array_intersect(sa, sb)) AS double) "
-                "/ greatest(size(array_union(sa, sb)), 1), 4)"
-            ).alias("jaccard"),
+                "cast(size(array_intersect(sa, sb)) AS double) "
+                "/ greatest(size(array_union(sa, sb)), 1)"
+            ).alias("_j"),
         )
-        .filter(F.col("jaccard") >= t)
+        # filter on the UNROUNDED ratio: the prefix lemma guarantees
+        # recall only for true J >= t - a rounded comparison would admit
+        # pairs (true J in [t - 5e-5, t)) that candidate generation is
+        # allowed to miss; round for display only
+        .filter(F.col("_j") >= t)
+        .select("doc_a", "doc_b", F.round("_j", 4).alias("jaccard"))
     )

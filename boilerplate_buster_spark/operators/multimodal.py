@@ -358,14 +358,18 @@ def decode_gif_frames(buf: bytes) -> list[np.ndarray]:
         gtable = np.frombuffer(buf, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
         pos += n * 3
     frames: list[np.ndarray] = []
+    geoms: list[tuple[int, int, int, int]] = []
+    transparent = False
     while pos < len(buf):
         b0 = buf[pos]
         if b0 == 0x21:  # 89a extension: label + sub-blocks
             label = buf[pos + 1]
             pos += 2
             if label == 0xF9 and buf[pos] >= 4 and (buf[pos + 1] & 0x01):
-                # transparent-color animations need compositing - refuse
-                raise ValueError("transparent GIF frames unsupported")
+                # single-frame transparency renders as the palette pixels
+                # (no compositing exists to change them); MULTI-frame
+                # transparency needs compositing and is refused below
+                transparent = True
             while buf[pos] != 0:
                 pos += 1 + buf[pos]
             pos += 1
@@ -390,8 +394,7 @@ def decode_gif_frames(buf: bytes) -> list[np.ndarray]:
             pos += 1  # block terminator
             if table is None:
                 raise ValueError("GIF image without a color table")
-            if frames and (x, y, w, h) != (0, 0, sw, sh):
-                raise ValueError("partial GIF animation frames unsupported")
+            geoms.append((x, y, w, h))
             idx = _lzw_decode(bytes(data), mcs, w * h)
             rgb = table[idx].reshape(h, w, 3)
             if interlaced:
@@ -406,8 +409,13 @@ def decode_gif_frames(buf: bytes) -> list[np.ndarray]:
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
     if not frames:
         raise ValueError("GIF contains no image block")
-    if len(frames) > 1 and frames[0].shape != frames[1].shape:
-        raise ValueError("partial GIF animation frames unsupported")
+    if len(frames) > 1:
+        # multi-frame honest subset: EVERY block (including the first)
+        # full-screen at the origin, and no transparency compositing
+        if any(g != (0, 0, sw, sh) for g in geoms):
+            raise ValueError("partial GIF animation frames unsupported")
+        if transparent:
+            raise ValueError("transparent GIF animations unsupported")
     return frames
 
 

@@ -738,7 +738,7 @@ def test_prefix_jaccard_exact_vs_brute_force(spark):
                 for b in sets:
                     if a < b:
                         j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
-                        if round(j, 4) >= t:
+                        if j >= t:  # unrounded filter, rounded display
                             want.add((a, b, round(j, 4)))
             got = {
                 (r["doc_a"], r["doc_b"], r["jaccard"])

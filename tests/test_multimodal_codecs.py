@@ -640,3 +640,25 @@ def test_bmp_32bit():
         "<IiiHHIIiiII", 40, 2, 3, 1, 32, 0, len(raster), 0, 0, 0, 0
     )
     assert np.array_equal(mm.decode_bmp(hdr2 + bytes(raster)), img[::-1])
+
+
+def test_gif_single_frame_transparency_decodes():
+    # review fix: a single-frame GIF with the GCE transparency flag (the
+    # majority of web GIFs) must decode to its palette pixels - no
+    # compositing exists to change them; only multi-frame transparency
+    # refuses.  An animation whose FIRST frame is offset also refuses.
+    import struct as _s
+
+    img = (np.arange(12).reshape(3, 4, 1) % 4 * 60).astype(np.uint8).repeat(3, 2)
+    enc = bytearray(mm.encode_gif(img))
+    at = bytes(enc).find(b"\x2c")
+    gce = b"\x21\xf9\x04\x01\x00\x00\x00\x00"  # transparency flag set
+    spliced = bytes(enc[:at]) + gce + bytes(enc[at:])
+    assert np.array_equal(mm.decode_gif(spliced), img)
+
+    frames = [img, img[::-1].copy()]
+    anim = bytearray(mm.encode_gif_animation(frames))
+    at = bytes(anim).find(b"\x2c")
+    anim[at + 1] = 2  # first frame x-offset = 2
+    with pytest.raises(ValueError, match="partial"):
+        mm.decode_gif_frames(bytes(anim))

@@ -344,3 +344,20 @@ def test_decodeparms_predictors_honored():
         b"/Predictor 12 /Columns 16 /BitsPerComponent 16",
     )
     assert P.parse_pdf_text(pdf3) is None
+
+
+def test_tiff_predictor_partial_row_skips():
+    # review fix: a TIFF-predicted stream whose body is not a whole number
+    # of rows must SKIP (the partial row would pass through as raw deltas)
+    import zlib
+
+    from boilerplate_buster_spark.core import pdfparse as P
+
+    body = zlib.compress(b"BT (x) Tj ET" + b"\x01" * 5)  # 17 B, rows of 16
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /DP "
+        b"<< /Predictor 2 /Columns 16 >> /Length "
+        + str(len(body)).encode() + b" >>\nstream\n" + body
+        + b"\nendstream\nendobj"
+    )
+    assert P.parse_pdf_text(pdf) is None
