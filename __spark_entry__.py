@@ -1432,6 +1432,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.split(F.expr(_BLOOMSPAN_ORACLE_CORPUS), " ").alias("tokens"),
             )
         )
+        # LOUD guard on the oracle's unroll depth: the SQL twin replays the
+        # skip/mark pass for 24 ranks only - if a regenerated corpus ever
+        # yields more frequent seeds than that, fail here with a clear
+        # message instead of shipping a silently-truncated oracle
+        from boilerplate_buster_spark.operators.corpus_stats import (
+            frequent_ngrams,
+        )
+
+        n_cand = frequent_ngrams(docs, n=2, min_docs=30).count()
+        if n_cand > 24:
+            raise ValueError(
+                f"bloomspan_oracle SQL unrolls 24 ranks but the corpus "
+                f"yields {n_cand} frequent seeds - raise n_ranks in "
+                f"_d_bloomspan_sql to match"
+            )
         out = bloomspan.mine_df(spark, docs, min_docs=30, ngrams=2)
         return out.select(
             "phrase", "freq", "length",
@@ -2920,7 +2935,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .start()
         )
         q.awaitTermination()
-        return spark.table(name).select(
+        rows = spark.table(name)
+        local = spark.createDataFrame(rows.collect(), rows.schema)
+        spark.catalog.dropTempView(name)
+        # release the temp dirs this certification query materialized
+        for d in glob.glob(tempfile.gettempdir() + "/bbs_stream_dd_w_*"):
+            shutil.rmtree(d, ignore_errors=True)
+        return local.select(
             "fp",
             F.col("doc_id").alias("first_doc"),
             F.col("n_seen").cast("long").alias("n_seen"),

@@ -9,8 +9,9 @@ format.  Honest subset, precisely bounded:
   round 5: spectral selection + successive approximation, DC/AC first and
   refinement scans, EOBRUN, per-scan restart intervals), 8-bit samples,
   Huffman entropy coding, 1 / 3 / 4 components, component sampling factors
-  1/2/4 with integer ratios (round 6: covers 4:4:4, 4:2:2, 4:2:0 AND the
-  DV/phone-video 4:1:1 - non-integer ratios like 3x2-over-2x2 refused),
+  1-4 (the full T.81 range) with integer max-to-component ratios (round 6:
+  covers 4:4:4, 4:2:2, 4:2:0 AND the DV/phone-video 4:1:1; a 3x2-luma over
+  2x1-chroma layout needs a 1.5x upsample and is refused),
   restart markers (DRI/RSTn), multi-table DQT/DHT segments, APP1 Exif
   Orientation HONORED (round 6: values 1-8 applied like a browser;
   apply_orientation=False returns the stored array), APP14 Adobe
@@ -709,7 +710,7 @@ def decode_jpeg(buf: bytes, apply_orientation: bool = True) -> np.ndarray:
                     ">BBB", payload, 6 + 3 * i
                 )
                 hs, vs = samp >> 4, samp & 0x0F
-                if hs not in (1, 2, 4) or vs not in (1, 2, 4):
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):  # T.81 range
                     raise ValueError(f"sampling {hs}x{vs} unsupported")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             hm = max(c["h"] for c in comps)

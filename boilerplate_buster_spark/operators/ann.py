@@ -182,7 +182,10 @@ def multiprobe_recall_sweep(
         F.col(id_col),
         F.expr(f"round({cosine_expr(vec_col, 'qv')}, 4)").alias("cos"),
         F.expr("bit_count(bucket ^ qbucket)").alias("d"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the dominant corpus-x-queries cosine scan feeds THREE consumers
+    # (brute, per-radius hits, candidate counts); Catalyst does not CSE
+    # across join branches, so without materialization it runs ~3x
     wq = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col(id_col))
     brute = (
         x.withColumn("rn", F.row_number().over(wq))

@@ -726,7 +726,7 @@ def lsh_tuning_eval(
     spark = docs.sparkSession
     k_max = max(k for k, _ in configs)
     for ck, cb in configs:
-        if ck % cb != 0 or ck > k_max:
+        if ck % cb != 0:
             raise ValueError(f"bands {cb} must divide k {ck}")
     sig = minhash_signature(docs, id_col, tokens_col, n_shingle, k_max, hash_fn)
     structs = []

@@ -266,20 +266,24 @@ def test_411_and_422_subsampling_roundtrip():
 
 
 def test_nonint_sampling_ratio_refused():
-    # 3x1 Y over 2x1 chroma would need a 1.5x upsample - must refuse
+    # 3x2 luma over 2x1 chroma needs a 1.5x upsample - the INTEGER-RATIO
+    # guard must refuse at SOF parse (factors 1-4 are each individually
+    # legal per T.81, so only the ratio check can catch this); a factor
+    # outside 1-4 refuses via the range check
     rng = np.random.RandomState(10)
     img = _const_block_img(rng, 2, 2)
-    buf = bytearray(jpeg.encode_jpeg(img, subsample="411"))
+    buf = bytearray(jpeg.encode_jpeg(img, subsample="420"))
     i = buf.find(b"\xff\xc0")
-    # component 0 sampling byte: SOF0 payload = P(1) H(2) W(2) Nc(1), then
-    # per-comp (id, samp, tq)
+    # SOF0 payload = P(1) H(2) W(2) Nc(1), then per-comp (id, samp, tq):
+    # comp0 sampling byte at +7, comp1's at +10
     samp_off = i + 4 + 6 + 1
-    assert buf[samp_off] == 0x41
-    buf[samp_off] = 0x31  # 3x1: max ratios no longer integer for chroma? 3/1=3 ok...
-    buf[samp_off] = 0x42  # 4x2 Y with 1x1 chroma is fine; craft 3x2 instead
-    buf[samp_off] = 0x32
-    buf[samp_off + 3 + 1] = 0x21  # chroma 2x1 -> hmax 3 over 2: ratio 1.5
-    with pytest.raises(ValueError, match="sampling|ratio"):
+    assert buf[samp_off] == 0x22
+    buf[samp_off] = 0x32      # Y 3x2
+    buf[samp_off + 3] = 0x21  # Cb 2x1 -> hmax 3 over 2 = 1.5
+    with pytest.raises(ValueError, match="ratio"):
+        jpeg.decode_jpeg(bytes(buf))
+    buf[samp_off] = 0x52      # factor 5 is outside T.81's 1-4
+    with pytest.raises(ValueError, match="sampling 5x2"):
         jpeg.decode_jpeg(bytes(buf))
 
 
