@@ -81,40 +81,105 @@ _PAIR_EXPR = (
 
 
 def _train_bpe_driver(
-    word_counts: dict[str, int], k: int, min_count: int
+    word_syms, word_counts, k: int, min_count: int
 ) -> list[tuple[int, str, str, int]]:
-    """Classic BPE over a collected word-count dict - same pair counting,
-    same (count DESC, lhs, rhs) tie-break, same left-to-right merge as
-    the distributed path (the pytest suite pins both against each
-    other)."""
-    from collections import Counter
+    """Classic BPE over collected per-word SYMBOL sequences - same pair
+    counting, same (count DESC, lhs, rhs) tie-break, same left-to-right
+    merge as the distributed path (the pytest suite pins both against each
+    other).  ``word_syms`` is a sequence of per-word symbol lists (the
+    engine-side char_split_expr output, so the initial segmentation is
+    byte-identical to the distributed path and the SQL oracle by
+    construction); ``word_counts`` the matching count array.
 
-    segs = {w: list(w) + ["</w>"] for w in word_counts}
+    Vectorized (round-7): the symbol stream of ALL words lives in one flat
+    int-code array (word-id array marks boundaries); each round is a
+    weighted bincount pair count, an argmax with the reference tie-break,
+    and an in-place merge of the matched positions (runs of overlapping
+    matches keep alternate elements - exactly the sequential left-to-right
+    fold).  The previous pure-Python dict loop took ~17 s at a 480k-word
+    vocabulary; this takes under a second, which lets the driver strategy
+    cover vocabularies the distributed rounds used to eat ~8 s of fixed
+    job overhead on."""
+    import numpy as np
+    import pandas as pd
+
+    n_words = len(word_syms)
+    if n_words == 0:
+        return []
+    wcounts = np.asarray(word_counts, dtype=np.int64)
+    lens = np.fromiter(map(len, word_syms), dtype=np.int64, count=n_words)
+    flat = np.concatenate([np.asarray(s, dtype=object) for s in word_syms])
+    codes_idx, uniques = pd.factorize(flat)
+    # symbol STRINGS stay authoritative: a merge producing a string that
+    # already exists (including '</w>' itself) reuses that code, exactly
+    # like string-keyed counting
+    sym_strs: list[str] = [str(s) for s in uniques]
+    sym_code = {s: i for i, s in enumerate(sym_strs)}
+    codes = codes_idx.astype(np.int64)
+    wid = np.repeat(np.arange(n_words, dtype=np.int64), lens)
+    wsym = wcounts[wid]  # weight of each symbol position
+
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, k + 1):
-        pairs: Counter = Counter()
-        for w, cnt in word_counts.items():
-            s = segs[w]
-            for a, b in zip(s, s[1:]):
-                pairs[(a, b)] += cnt
-        if not pairs:
+        if len(codes) < 2:
             break
-        (lhs, rhs), c = min(
-            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        same = wid[:-1] == wid[1:]
+        left = codes[:-1][same]
+        right = codes[1:][same]
+        w = wsym[:-1][same]
+        if len(left) == 0:
+            break
+        V = len(sym_strs)
+        keys = left * V + right
+        # bincount weights are float64: exact for any count below 2^53.
+        # Dense V*V histogram when it fits (symbol alphabets are tiny -
+        # chars + k merges): O(n), no sort.  np.unique's argsort of the
+        # 11M-key stream was 3-7 s PER ROUND at the 480k-word bench vocab
+        # vs 0.07 s for the dense bincount.
+        if V * V <= 16_777_216:
+            acc = np.bincount(keys, weights=w, minlength=V * V).astype(np.int64)
+            best = int(acc.max())
+            if best < min_count:
+                break
+            cand_keys = np.nonzero(acc == best)[0]
+        else:
+            uniq, inv = np.unique(keys, return_inverse=True)
+            acc = np.bincount(inv, weights=w).astype(np.int64)
+            best = int(acc.max())
+            if best < min_count:
+                break
+            cand_keys = uniq[acc == best]
+        lhs, rhs = min(
+            (sym_strs[int(kk) // V], sym_strs[int(kk) % V])
+            for kk in cand_keys
         )
-        if c < min_count:
-            break
-        merges.append((rank, lhs, rhs, c))
-        for w, s in segs.items():
-            out, i = [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
-                    out.append(lhs + rhs)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            segs[w] = out
+        merges.append((rank, lhs, rhs, best))
+        l_code, r_code = sym_code[lhs], sym_code[rhs]
+        m_str = lhs + rhs
+        m_code = sym_code.get(m_str)
+        if m_code is None:
+            m_code = len(sym_strs)
+            sym_code[m_str] = m_code
+            sym_strs.append(m_str)
+        madj = (codes[:-1] == l_code) & (codes[1:] == r_code) & same
+        p = np.nonzero(madj)[0]
+        if len(p):
+            # consecutive match positions (only possible when lhs == rhs)
+            # overlap: keep alternate elements of each run = the sequential
+            # left-to-right merge ('a a a' + (a,a) -> 'aa a')
+            rid = p - np.arange(len(p))
+            _, first_idx = np.unique(rid, return_index=True)
+            run_first = np.repeat(
+                first_idx, np.diff(np.append(first_idx, len(p)))
+            )
+            keep = ((np.arange(len(p)) - run_first) % 2) == 0
+            pk = p[keep]
+            codes[pk] = m_code
+            delete = np.zeros(len(codes), dtype=bool)
+            delete[pk + 1] = True
+            codes = codes[~delete]
+            wid = wid[~delete]
+            wsym = wsym[~delete]
     return merges
 
 
@@ -124,7 +189,7 @@ def train_bpe(
     tokens_col: str = "tokens",
     min_count: int = 1,
     strategy: str = "auto",
-    driver_max_vocab: int = 100_000,
+    driver_max_vocab: int = 2_000_000,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``k`` BPE merges from the corpus; returns
     [(rank, lhs, rhs, pair_count)] (model-sized, driver-side by design -
@@ -134,10 +199,15 @@ def train_bpe(
     strategy='auto' (the miner's precedent): the corpus aggregates to
     word counts either way (one shuffle); when the VOCABULARY fits
     ``driver_max_vocab`` the k merge rounds run driver-side over the
-    collected counts (each distributed round costs a fixed ~1 s of job
-    overhead that dwarfs the compute on a small vocabulary - measured
-    8.9 s -> sub-second at 200k pages), and distributed (k vocab-sized
-    Spark rounds) above it.  Identical output on every path."""
+    collected counts (each distributed round costs ~2 s of fixed job
+    overhead that dwarfs the compute on a driver-sized vocabulary), and
+    distributed (k vocab-sized Spark rounds) above it.  Identical output
+    on every path.  The driver cap is 2M words since the round-7
+    vectorized trainer (see _train_bpe_driver: flat numpy symbol stream,
+    ~100 MB at 2M words) - the pure-Python dict loop it replaced was
+    slower than the distributed rounds past ~100k words.  At real-corpus
+    scale (Heaps-law vocabularies in the 10^8 range) the distributed
+    path still takes over."""
     # persisted so the strategy probe and the collect / checkpoint that
     # follows read the SAME materialized aggregate - without it the full
     # corpus explode+shuffle (the expensive stage) runs twice
@@ -151,9 +221,23 @@ def train_bpe(
         probe = counts_df.limit(driver_max_vocab + 1).count()
         strategy = "driver" if probe <= driver_max_vocab else "distributed"
     if strategy == "driver":
-        wc = {r["word"]: r["cnt"] for r in counts_df.collect()}
+        # Arrow transfer (toPandas), not a row collect: 480k (word, cnt)
+        # rows collected ~3 s row-wise vs ~0.3 s columnar.  The initial
+        # char split runs ENGINE-side (char_split_expr), so the driver
+        # trainer sees exactly the symbol stream the distributed rounds
+        # and the DuckDB oracle would ('.' regex line-terminator handling
+        # included) - list(word) in Python is NOT that stream for words
+        # carrying line terminators.
+        pdf = counts_df.select(
+            F.expr(
+                f"split({char_split_expr('word', 'spark')}, ' ')"
+            ).alias("syms"),
+            "cnt",
+        ).toPandas()
         counts_df.unpersist()
-        return _train_bpe_driver(wc, k, min_count)
+        return _train_bpe_driver(
+            pdf["syms"].to_numpy(), pdf["cnt"].to_numpy(), k, min_count
+        )
     vocab = (
         counts_df
         .withColumn("seg", F.expr(char_split_expr("word", "spark")))

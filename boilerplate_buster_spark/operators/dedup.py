@@ -253,11 +253,20 @@ def duplicate_clusters(
     exact count of changed labels; exhausting max_iters unconverged RAISES
     instead of silently returning split clusters (the documented contract is
     cluster_id = min doc_id in the component)."""
+    # both edge orientations come from ONE evaluation of the (possibly
+    # expensive - e.g. the whole LSH pipeline) `pairs` plan: Catalyst does
+    # not CSE across union branches, so the previous
+    # select(a,b).unionByName(select(b,a)) ran the upstream plan twice
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.expr(
+                    "array(struct(doc_a AS src, doc_b AS dst), "
+                    "struct(doc_b AS src, doc_a AS dst))"
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )

@@ -95,15 +95,23 @@ def score_docs(
     # within-doc repetition factor (same trick as lines.line_doc_freq).  The
     # weighted mean below is integer-exact and identical to the per-occurrence
     # formulation.
+    # The shuffle key is (doc, big) only: prev is the bigram's first token,
+    # so it is re-derived AFTER the aggregate with substring_index (exact -
+    # tokens cannot contain the ' ' separator, they come from splitting on
+    # it; a tokenizer emitting spaces would already corrupt the `big` model
+    # key itself).  Carrying prev through the exchange was ~25% redundant
+    # shuffle bytes on the heaviest stage of this operator.
+    t = tokens_col
+    big_strings = (
+        f"transform(slice(sequence(1, greatest(size({t}) - 1, 1)), "
+        f"1, greatest(size({t}) - 1, 0)), "
+        f"i -> array_join(slice({t}, i, 2), ' '))"
+    )
     occ = (
-        docs.select(
-            F.col(id_col), F.explode(F.expr(_bigram_expr(tokens_col))).alias("p")
-        )
-        .select(
-            id_col, F.col("p.prev").alias("prev"), F.col("p.big").alias("big")
-        )
-        .groupBy(id_col, "prev", "big")
+        docs.select(F.col(id_col), F.explode(F.expr(big_strings)).alias("big"))
+        .groupBy(id_col, "big")
         .agg(F.count("*").alias("k"))
+        .withColumn("prev", F.expr("substring_index(big, ' ', 1)"))
     )
     joined = (
         occ.join(bigrams, "big", "left")

@@ -215,36 +215,47 @@ def extraction_eval(
     extraction can be scored against a labeled sample in one job.
 
     n_common is the MULTISET intersection: per (doc, token) the min of the
-    two occurrence counts, summed.  Two hash-aggregates on (id, token) +
-    one join, all uniform keys; integer e6 surfaces (exact // arithmetic)
-    so a SQL oracle can pin every value."""
+    two occurrence counts, summed.  Integer e6 surfaces (exact //
+    arithmetic) so a SQL oracle can pin every value.
 
-    def counts(col, out):
-        return (
-            pairs.select(
-                F.col(id_col),
-                F.explode(
-                    F.expr(f"filter(split({col}, ' '), x -> x != '')")
-                ).alias("tok"),
+    Round-7 shape: both texts live on the SAME row, so the counters are a
+    pure map - one Arrow-batched Counter intersection per row, ZERO
+    shuffles.  The round-6 shape exploded both columns into corpus-wide
+    (id, token) hash aggregates plus a join (three exchanges; measured
+    3.8 s at 20k pages vs ~1 s for the map).  Per-row == the previous
+    per-id aggregation whenever ids are unique, which the operator
+    already required (totals were per-ROW while counters aggregated per
+    id, so duplicate ids produced incoherent joins before)."""
+    import pandas as pd
+    from collections import Counter
+
+    id_type = pairs.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            n_ext, n_gold, n_common = [], [], []
+            for e, g in zip(pdf[ext_col], pdf[gold_col]):
+                et = [t for t in e.split(" ") if t] if e is not None else None
+                gt = [t for t in g.split(" ") if t] if g is not None else None
+                n_ext.append(len(et) if et is not None else None)
+                n_gold.append(len(gt) if gt is not None else None)
+                if et is None or gt is None:
+                    n_common.append(0)
+                else:
+                    n_common.append(sum((Counter(et) & Counter(gt)).values()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_ext": pd.array(n_ext, dtype="Int64"),
+                    "n_gold": pd.array(n_gold, dtype="Int64"),
+                    "n_common": pd.array(n_common, dtype="Int64"),
+                }
             )
-            .groupBy(id_col, "tok")
-            .agg(F.count("*").alias(out))
-        )
 
-    ce, cg = counts(ext_col, "ce"), counts(gold_col, "cg")
-    common = (
-        ce.join(cg, [id_col, "tok"])
-        .groupBy(id_col)
-        .agg(F.sum(F.least("ce", "cg")).alias("n_common"))
+    counted = pairs.select(id_col, ext_col, gold_col).mapInPandas(
+        run, f"{id_col} {id_type}, n_ext long, n_gold long, n_common long"
     )
-    totals = pairs.select(
-        F.col(id_col),
-        F.expr(f"size(filter(split({ext_col}, ' '), x -> x != ''))")
-        .cast("long").alias("n_ext"),
-        F.expr(f"size(filter(split({gold_col}, ' '), x -> x != ''))")
-        .cast("long").alias("n_gold"),
-    )
-    return totals.join(common, id_col, "left").select(
+    return counted.select(
         id_col,
         "n_ext",
         "n_gold",
