@@ -76,33 +76,41 @@ def classify_docs(
     class by summed weight, ties to the smallest class id; score = the
     winning sum.  Buckets absent from the weight table contribute 0; a
     document with no grams scores class 0 with score 0."""
-    spark = docs.sparkSession
-    # densify the (model-sized) weight table across all n_classes before
-    # the join: with a SPARSE table a class with no weight rows on a
-    # doc's buckets would vanish from the per-class aggregate and the
-    # argmax would ignore its implicit score of 0 - e.g. a doc whose only
-    # matched class sums to -5 must still classify as the best
-    # zero-scoring class
-    classes = spark.range(n_classes).selectExpr("cast(id AS int) AS class")
+    nc = int(n_classes)
+    # densify the (model-sized) weight table into ONE row per bucket with
+    # an n_classes-long weight ARRAY (absent (bucket, class) pairs weigh
+    # 0, same implicit-zero semantics as the previous per-class densify):
+    # the broadcast join then matches each feature row ONCE instead of
+    # n_classes times, and the per-class sums ride a SINGLE per-doc
+    # aggregate - the previous shape tripled the post-join row count and
+    # aggregated twice (groupBy(id, class) + groupBy(id))
     dense = (
-        weights.select("bucket").distinct()
-        .crossJoin(F.broadcast(classes))
-        .join(weights, ["bucket", "class"], "left")
+        weights.groupBy("bucket")
+        .agg(F.collect_list(F.struct("class", "w")).alias("_cw"))
         .select(
-            "bucket", "class", F.coalesce("w", F.lit(0)).alias("w")
+            "bucket",
+            F.expr(
+                f"transform(sequence(0, {nc - 1}), c -> "
+                f"aggregate(filter(_cw, s -> s.class = c), "
+                f"cast(0 AS bigint), (acc, s) -> acc + s.w))"
+            ).alias("ws"),
         )
     )
     feats = _gram_buckets(docs, buckets, id_col, tokens_col)
-    per_class = (
+    sums = (
         feats.join(F.broadcast(dense), "bucket")
-        .groupBy(id_col, "class")
-        .agg(F.sum("w").alias("s"))
+        .groupBy(id_col)
+        .agg(*[
+            F.sum(F.expr(f"ws[{c}]")).alias(f"_s{c}") for c in range(nc)
+        ])
     )
-    best = per_class.groupBy(id_col).agg(
-        F.max(
-            F.struct(F.col("s"), (-F.col("class")).alias("nc"))
-        ).alias("b")
+    # argmax with ties to the smallest class id = max over (sum, -class)
+    best_struct = (
+        "array_max(array("
+        + ", ".join(f"struct(_s{c} AS s, {-c} AS nc)" for c in range(nc))
+        + "))"
     )
+    best = sums.select(F.col(id_col), F.expr(best_struct).alias("b"))
     # rejoin against all input ids: docs whose every bucket missed the
     # weight table (or with no tokens) would otherwise vanish
     return (

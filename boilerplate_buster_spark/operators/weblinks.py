@@ -53,21 +53,25 @@ def extract_links(
 def link_graph_degrees(links: DataFrame) -> DataFrame:
     """(node, out_degree, in_degree): per-url outgoing link count and
     per-target incoming link count over the edge list (self-links count in
-    both).  Two hash-aggregates + one full-outer join on the node key;
-    nodes appearing only as sources (or only as targets) get 0 for the
-    missing side."""
-    out_d = links.groupBy(F.col("url").alias("node")).agg(
-        F.count("*").alias("out_degree")
-    )
-    in_d = links.groupBy(F.col("href").alias("node")).agg(
-        F.count("*").alias("in_degree")
+    both).  ONE pass: each edge explodes into its two roles and a single
+    node-keyed aggregate counts both degrees (nodes appearing in only one
+    role get 0 for the other) - the previous two-aggregate + full-outer
+    join shape evaluated the upstream `links` plan twice (no CSE across
+    join branches; for extract_links input that is the whole Python HTML
+    link parse) and shuffled three times."""
+    roles = links.select(
+        F.explode(
+            F.expr(
+                "array(struct(url AS node, 1 AS is_out), "
+                "struct(href AS node, 0 AS is_out))"
+            )
+        ).alias("r")
     )
     return (
-        out_d.join(in_d, "node", "full_outer")
-        .select(
-            "node",
-            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        roles.groupBy(F.col("r.node").alias("node"))
+        .agg(
+            F.sum("r.is_out").cast("long").alias("out_degree"),
+            F.sum(1 - F.col("r.is_out")).cast("long").alias("in_degree"),
         )
     )
 
