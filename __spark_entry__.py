@@ -2924,13 +2924,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         out = stream_dedup_first_seen(stream, text_col="text", doc_col="doc_key")
         name = "bbs_stream_dd_" + uuid.uuid4().hex[:12]
+        ck_dir = tempfile.mkdtemp(prefix="bbs_stream_dd_ck_")
         q = (
             out.writeStream.format("memory")
             .queryName(name)
             .outputMode("update")
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="bbs_stream_dd_ck_")
-            )
+            .option("checkpointLocation", ck_dir)
             .trigger(availableNow=True)
             .start()
         )
@@ -2938,9 +2937,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rows = spark.table(name)
         local = spark.createDataFrame(rows.collect(), rows.schema)
         spark.catalog.dropTempView(name)
-        # release the temp dirs this certification query materialized
+        # release ALL the temp dirs this certification query materialized
+        # (src + checkpoint included - repeated sweep/bench invocations
+        # must not accumulate disk, same discipline as the sibling
+        # streaming queries)
         for d in glob.glob(tempfile.gettempdir() + "/bbs_stream_dd_w_*"):
             shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck_dir, ignore_errors=True)
         return local.select(
             "fp",
             F.col("doc_id").alias("first_doc"),

@@ -957,6 +957,14 @@ def _assemble_rgb(comps, planes, fh, fw, hmax, vmax, adobe=None):
         ych = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(ych[:, :, None], 3, axis=2)
     if len(full) == 4:
+        if adobe not in (None, 0, 2):
+            # spec-invalid transform for 4 components (e.g. 1 = YCbCr):
+            # refuse rather than decode through a guessed color path -
+            # the caller's stub ledger records it (round-6 ADVICE)
+            raise ValueError(
+                f"unsupported Adobe APP14 transform {adobe} for a "
+                f"4-component frame"
+            )
         if adobe == 2:  # YCCK: invert YCbCr first, K passes through
             y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
             sc = np.clip(y + 1.402 * cr, 0.0, 255.0)

@@ -182,10 +182,13 @@ def multiprobe_recall_sweep(
         F.col(id_col),
         F.expr(f"round({cosine_expr(vec_col, 'qv')}, 4)").alias("cos"),
         F.expr("bit_count(bucket ^ qbucket)").alias("d"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     # ^ the dominant corpus-x-queries cosine scan feeds THREE consumers
     # (brute, per-radius hits, candidate counts); Catalyst does not CSE
-    # across join branches, so without materialization it runs ~3x
+    # across join branches, so without materialization it runs ~3x.
+    # persist (not localCheckpoint): the curve below is collected eagerly
+    # so the blocks can be RELEASED before returning - repeated sweep
+    # invocations must not accumulate storage (round-6 ADVICE)
     wq = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col(id_col))
     brute = (
         x.withColumn("rn", F.row_number().over(wq))
@@ -213,7 +216,7 @@ def multiprobe_recall_sweep(
         [(int(r),) for r in radii], "radius int"
     )
     nq = int(n_queries)
-    return (
+    curve = (
         grid.join(hits, "radius", "left")
         .join(ncand, "radius", "left")
         .select(
@@ -226,6 +229,10 @@ def multiprobe_recall_sweep(
             .cast("long").alias("avg_candidates"),
         )
     )
+    # the curve is len(radii) rows: materialize it, release the scan cache
+    rows = curve.collect()
+    x.unpersist()
+    return emb.sparkSession.createDataFrame(rows, curve.schema)
 
 
 def planted_cluster_vectors(

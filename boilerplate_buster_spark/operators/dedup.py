@@ -990,7 +990,13 @@ def prefix_jaccard_pairs(
     lsh_candidate_pairs expansion shape, never an all-pairs join), then
     exact verification on candidate pairs only.  max_bucket caps
     stop-word-like prefix tokens (with rarest-first ordering such tokens
-    only enter prefixes of very large sets)."""
+    only enter prefixes of very large sets).
+
+    CAVEAT: passing max_bucket VOIDS the recall-1.0 guarantee - a pair
+    whose only shared prefix token sits in an over-cap bucket is silently
+    dropped (the exactness claim above holds only for max_bucket=None,
+    the default; callers needing a bounded-but-ledgered variant should
+    mirror lsh_candidate_pairs_with_drop_count)."""
     sets = docs.select(
         F.col(id_col), F.array_sort(F.array_distinct(tokens_col)).alias("s")
     ).filter(F.size("s") > 0)
