@@ -218,8 +218,11 @@ def train_bpe(
         .persist()
     )
     if strategy == "auto":
-        probe = counts_df.limit(driver_max_vocab + 1).count()
-        strategy = "driver" if probe <= driver_max_vocab else "distributed"
+        # full count, not a limit-probe: the count materializes EVERY
+        # partition of the persisted aggregate exactly once, so the
+        # toPandas/checkpoint that follows is a pure cache read (a limit
+        # probe can stop early and leave partitions to recompute)
+        strategy = "driver" if counts_df.count() <= driver_max_vocab else "distributed"
     if strategy == "driver":
         # Arrow transfer (toPandas), not a row collect: 480k (word, cnt)
         # rows collected ~3 s row-wise vs ~0.3 s columnar.  The initial

@@ -617,15 +617,30 @@ def fuzzy_pairs(
         F.col(t).alias("_t"),
         F.explode(F.expr(variants)).alias("_v"),
     )
-    a, b = v.alias("a"), v.alias("b")
+    # candidates meet inside one variant-keyed aggregate + in-array pair
+    # expansion (the lsh_candidate_pairs shape): the previous variant
+    # SELF-join evaluated the exploded-variants plan twice (no CSE across
+    # join branches) and shuffled both sides
+    grouped = v.groupBy("_v").agg(
+        F.expr("array_sort(collect_list(struct(_id, _t)))").alias("ms")
+    )
     cands = (
-        a.join(b, (F.col("a._v") == F.col("b._v")) & (F.col("a._id") < F.col("b._id")))
+        grouped.filter(F.size("ms") >= 2)
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._t").alias("_ta"),
-            F.col("b._t").alias("_tb"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), y -> "
+                    "named_struct('id_a', x._id, 'id_b', y._id, "
+                    "'_ta', x._t, '_tb', y._t))))"
+                )
+            ).alias("c")
         )
+        # members sort by (_id, _t), so pair order gives id_a <= id_b;
+        # the strict filter preserves the old join's a._id < b._id
+        # exclusion of equal-id pairs (duplicate input ids)
+        .filter(F.col("c.id_a") != F.col("c.id_b"))
+        .select("c.id_a", "c.id_b", "c._ta", "c._tb")
         .distinct()
     )
     return (

@@ -73,6 +73,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let the planner pick shuffled-hash join when its size conditions
+        # hold (sort-merge stays the fallback): avoids both sort passes on
+        # moderate join sides - the optimization guide's recommended
+        # baseline for batch ETL at any scale, not a local-mode tweak; the
+        # OOM risk window is the same build-side-fits check AQE enforces
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
