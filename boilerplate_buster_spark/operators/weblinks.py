@@ -58,7 +58,10 @@ def link_graph_degrees(links: DataFrame) -> DataFrame:
     role get 0 for the other) - the previous two-aggregate + full-outer
     join shape evaluated the upstream `links` plan twice (no CSE across
     join branches; for extract_links input that is the whole Python HTML
-    link parse) and shuffled three times."""
+    link parse) and shuffled three times.  Edge-case note: a NULL url or
+    href now lands in ONE null-node row with both degrees, where the
+    full-outer join (null keys never match) produced two disjoint null
+    rows - unreachable from extract_links, which never emits nulls."""
     roles = links.select(
         F.explode(
             F.expr(
