@@ -95,24 +95,41 @@ def score_docs(
     # within-doc repetition factor (same trick as lines.line_doc_freq).  The
     # weighted mean below is integer-exact and identical to the per-occurrence
     # formulation.
-    # The shuffle key is (doc, big) only: prev is the bigram's first token,
-    # so it is re-derived AFTER the aggregate with substring_index (exact -
-    # tokens cannot contain the ' ' separator, they come from splitting on
-    # it; a tokenizer emitting spaces would already corrupt the `big` model
-    # key itself).  Carrying prev through the exchange was ~25% redundant
-    # shuffle bytes on the heaviest stage of this operator.
-    t = tokens_col
-    big_strings = (
-        f"transform(slice(sequence(1, greatest(size({t}) - 1, 1)), "
-        f"1, greatest(size({t}) - 1, 0)), "
-        f"i -> array_join(slice({t}, i, 2), ' '))"
-    )
-    occ = (
-        docs.select(F.col(id_col), F.explode(F.expr(big_strings)).alias("big"))
-        .groupBy(id_col, "big")
-        .agg(F.count("*").alias("k"))
-        .withColumn("prev", F.expr("substring_index(big, ' ', 1)"))
-    )
+    # Per-doc (big, k) occurrence counts are computed IN-ROW (Arrow-batched
+    # Counter over adjacent token pairs): the whole bigram multiset of a
+    # document lives on its own row, so pre-aggregation needs NO exchange -
+    # the round-6 explode + groupBy(doc, big) shuffled one row per distinct
+    # per-doc bigram (corpus-sized) before the model joins ever ran.
+    # Identical rows by construction ('a'+' '+'b' == array_join(slice(t,i,2)))
+    # and identical k-groups, so the k-weighted float surface downstream is
+    # untouched.  prev = the bigram's first token via substring_index
+    # (exact - tokens cannot contain the separator they were split on).
+    import pandas as pd
+    from collections import Counter
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def count_occ(batches):
+        for pdf in batches:
+            ids: list = []
+            bigs: list = []
+            ks: list = []
+            for i, toks in zip(pdf[id_col], pdf[tokens_col]):
+                if toks is None:
+                    continue
+                for (a, b), k in Counter(zip(toks, toks[1:])).items():
+                    ids.append(i)
+                    bigs.append(a + " " + b)
+                    ks.append(k)
+                if len(ids) >= 200_000:  # bound worker memory per yield
+                    yield pd.DataFrame({id_col: ids, "big": bigs, "k": ks})
+                    ids, bigs, ks = [], [], []
+            if ids:
+                yield pd.DataFrame({id_col: ids, "big": bigs, "k": ks})
+
+    occ = docs.select(id_col, tokens_col).mapInPandas(
+        count_occ, f"{id_col} {id_type}, big string, k long"
+    ).withColumn("prev", F.expr("substring_index(big, ' ', 1)"))
     joined = (
         occ.join(bigrams, "big", "left")
         .join(unigrams, "prev", "left")
