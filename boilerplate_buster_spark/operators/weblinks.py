@@ -93,21 +93,26 @@ def pagerank_scaled(
                     + (85 * sum_{u->v} (pr_k(u) div out(u))) div 100
 
     Dangling-node mass (out-degree 0) is dropped, the common simplification.
-    The iteration count is FIXED (crawl-rank uses a handful of sweeps), so
-    the loop unrolls into one static plan: per sweep one edge join + one
-    dst hash-aggregate, uniform keys throughout.  N comes from one count()
-    job over the node set - a graph-statistics scalar, not data collected."""
+    The iteration count is FIXED (crawl-rank uses a handful of sweeps).
+    Round-7 materialization: edges and out-degrees are persisted ONCE and
+    each sweep's rank vector is localCheckpoint'ed (node-sized), so sweep
+    k reads cached inputs instead of re-deriving the whole `links` plan -
+    the previous fully-lazy chain re-evaluated `links` in every sweep's
+    joins (and the node set twice more), which is quadratic re-parse work
+    when `links` is an extraction pipeline.  N comes from one count() job
+    over the node set - a graph-statistics scalar, not data collected."""
     nodes = (
-        links.select(F.col("url").alias("node"))
-        .unionByName(links.select(F.col("href").alias("node")))
+        links.select(F.explode(F.expr("array(url, href)")).alias("node"))
         .distinct()
         .persist()
     )
     n = nodes.count()
     out_d = links.groupBy(F.col("url").alias("src")).agg(
         F.count("*").alias("sout")
-    )
-    edges = links.select(F.col("url").alias("src"), F.col("href").alias("dst"))
+    ).persist()
+    edges = links.select(
+        F.col("url").alias("src"), F.col("href").alias("dst")
+    ).persist()
     teleport = f"(15 * ({base} div {n})) div 100"
     pr = nodes.select("node", F.expr(f"{base} div {n}").alias("pr"))
     for _ in range(iters):
@@ -125,7 +130,10 @@ def pagerank_scaled(
             F.expr(
                 f"{teleport} + (85 * coalesce(inflow, 0)) div 100"
             ).alias("pr"),
-        )
+        ).localCheckpoint(eager=True)
+    edges.unpersist()
+    out_d.unpersist()
+    nodes.unpersist()
     return pr
 
 
@@ -160,20 +168,28 @@ def hits_scaled(
     iteration order cannot perturb results and the SQL oracle reproduces
     them bit-for-bit (float HITS sums in partition-dependent order).
     auth_0 = base everywhere.  The sweep count is FIXED (link-spam scoring
-    uses a handful), so the loop unrolls into one static plan: per sweep two
-    edge joins + two hash-aggregates, and each normalization sum rides as a
-    broadcast single-row aggregate CROSS JOIN — no driver-side collect
-    anywhere, the whole chain is one lazy plan.
+    uses a handful); per sweep two edge joins + two hash-aggregates, and
+    each normalization sum rides as a broadcast single-row aggregate CROSS
+    JOIN.
+
+    Round-7 materialization: nodes/edges are persisted once and each raw
+    aggregate and normalized vector is localCheckpoint'ed (node-sized).
+    The previous fully-lazy chain referenced every hraw/araw from TWO
+    branches (its normalization sum and the rescale), so each sweep
+    re-expanded the entire prior chain - multiplicative re-evaluation of
+    the `links` plan with sweep count.
 
     `base` bounds the intermediates: raw sums are <= E * base and the
     rescale multiplies by base again, so E * base^2 must stay under 2^63 —
     at 10^12 edges use base = 1e3-style scaling or promote to DECIMAL."""
     nodes = (
-        links.select(F.col("url").alias("node"))
-        .unionByName(links.select(F.col("href").alias("node")))
+        links.select(F.explode(F.expr("array(url, href)")).alias("node"))
         .distinct()
+        .persist()
     )
-    edges = links.select(F.col("url").alias("src"), F.col("href").alias("dst"))
+    edges = links.select(
+        F.col("url").alias("src"), F.col("href").alias("dst")
+    ).persist()
     auth = nodes.select("node", F.lit(base).cast("long").alias("auth"))
     hub = nodes.select("node", F.lit(0).cast("long").alias("hub"))
     for _ in range(iters):
@@ -184,6 +200,7 @@ def hits_scaled(
             )
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         hsum = hraw.agg(F.sum("raw").alias("s"))
         hub = (
@@ -195,6 +212,7 @@ def hits_scaled(
                     f"coalesce((raw * {base}) div greatest(s, 1), 0)"
                 ).alias("hub"),
             )
+            .localCheckpoint(eager=True)
         )
         araw = (
             edges.join(
@@ -203,6 +221,7 @@ def hits_scaled(
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         asum = araw.agg(F.sum("raw").alias("s"))
         auth = (
@@ -214,11 +233,16 @@ def hits_scaled(
                     f"coalesce((raw * {base}) div greatest(s, 1), 0)"
                 ).alias("auth"),
             )
+            .localCheckpoint(eager=True)
         )
-    return (
+    out = (
         hub.join(auth, "node")
         .select("node", F.col("hub").cast("long"), F.col("auth").cast("long"))
+        .localCheckpoint(eager=True)
     )
+    edges.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def triangle_count(
